@@ -1,0 +1,266 @@
+package graft.oracle
+
+import graft.rules.Rules._
+
+/** DuckDB oracle-SQL generator.
+  *
+  * Every query in `SparkEntry.queries` has a DuckDB-equivalent here. The SQL
+  * is GENERATED from the same `graft.rules.Rules` constants the Spark column
+  * expressions use, and mirrors the Spark expressions' arithmetic order
+  * exactly, so doubles come out bit-identical (same IEEE-754 op sequence).
+  *
+  * Parity rules observed throughout (verified empirically against DuckDB):
+  *  - fractional literals are CAST(x AS DOUBLE) — bare `0.3` is DECIMAL in
+  *    DuckDB, which would change the arithmetic;
+  *  - int/int division is double division in BOTH engines (`/`);
+  *  - double->int conversion always goes through floor() (DuckDB CAST rounds,
+  *    Spark CAST truncates);
+  *  - DuckDB regexp_replace needs the 'g' flag (Spark replaces all matches
+  *    by default);
+  *  - both engines round() half-away-from-zero for positive doubles;
+  *  - counts are cast to INTEGER/BIGINT explicitly to match Spark's types.
+  */
+object Sql {
+
+  /** SQL string literal with quote escaping. */
+  def s(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** Double literal (DuckDB parses bare decimals as DECIMAL type). */
+  def d(v: Double): String = s"CAST($v AS DOUBLE)"
+
+  /** Occurrences of single-char regex class `cls`. Mirrors
+    * TextFeatures.charClassCount.
+    */
+  def classCount(e: String, cls: String): String =
+    s"(length($e) - length(regexp_replace($e, ${s(cls)}, '', 'g')))"
+
+  /** Number of non-overlapping matches. Mirrors Spark regexp_count. */
+  def reCount(e: String, pattern: String): String =
+    s"len(regexp_extract_all($e, ${s(pattern)}))"
+
+  def reMatch(e: String, pattern: String): String =
+    s"regexp_matches($e, ${s(pattern)})"
+
+  private def spamFlag(i: Int): String =
+    s"(CASE WHEN ${reMatch("text_lc", SpamPatterns(i))} THEN 1 ELSE 0 END)"
+
+  /** Mirror of graft.ops.Reviews.docsAsReviews over the `documents` table. */
+  val rawReviewsCte: String =
+    s"""raw AS (
+       |  SELECT
+       |    CAST(doc_id AS VARCHAR) AS review_id,
+       |    source AS business_id,
+       |    'u' || CAST(doc_id % 50 AS VARCHAR) AS user_id,
+       |    CASE WHEN doc_id % 19 = 0 THEN NULL
+       |         ELSE CAST(doc_id % 8 AS DOUBLE) END AS rating,
+       |    CASE WHEN doc_id % 23 = 0 THEN NULL
+       |         WHEN doc_id % 29 = 0 THEN substr(text, 1, 5)
+       |         WHEN doc_id % 31 = 0 THEN
+       |           repeat(text, CAST(floor(5001 / n_chars) AS INTEGER) + 1)
+       |         WHEN doc_id % 37 = 0 THEN
+       |           concat(text, ' ', repeat('0123456789 ',
+       |             CAST(floor(2 * n_chars / 11) AS INTEGER) + 1))
+       |         ELSE text END AS text,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + CAST(doc_id AS INTEGER) * INTERVAL 1 MINUTE AS "date",
+       |    CASE WHEN doc_id % 7 = 0 THEN NULL
+       |         ELSE CAST(doc_id % 4 AS INTEGER) END AS useful,
+       |    CAST(doc_id % 3 AS INTEGER) AS funny,
+       |    CAST(doc_id % 5 AS INTEGER) AS cool,
+       |    source
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Mirror of graft.ops.Clean.annotate: layered CTEs ending in `ann`. */
+  val annCtes: String = {
+    val emptyT = "(text IS NULL OR length(text) = 0)"
+    val emptyCt = "(cleaned_text IS NULL OR length(cleaned_text) = 0)"
+    val wordsExpr =
+      s"list_filter(regexp_split_to_array(cleaned_text, ${s("""\s+""")}), w -> w != '')"
+    val stripLen =
+      s"length(regexp_replace(w, ${s(WordStripClass)}, '', 'g'))"
+    val spamPunctRatio = s"(${classCount("text_lc", PunctSpamClass)} / length(text_lc))"
+    val spamDigitRatio = s"(${classCount("text_lc", DigitClass)} / length(text_lc))"
+    val matchedRepr = SpamPatterns.indices.map { i =>
+      s"CASE WHEN ${reMatch("text_lc", SpamPatterns(i))} THEN '''pattern_$i''' END"
+    }.mkString("[", ", ", "]")
+    s"""$rawReviewsCte,
+       |c1 AS (
+       |  SELECT *,
+       |    lower(text) AS text_lc,
+       |    length(text) AS raw_len,
+       |    $emptyT AS text_missing,
+       |    (rating IS NULL OR rating = 0) AS rating_missing,
+       |    CASE WHEN $emptyT THEN 0
+       |         ELSE ${reCount("lower(text)", EnStopwords)} END AS en_matches
+       |  FROM raw
+       |),
+       |c2 AS (
+       |  SELECT *,
+       |    CASE WHEN en_matches >= 1 THEN 'en' ELSE 'unknown' END AS language,
+       |    least(${d(1.0)}, round(en_matches * ${d(ConfPerMatch)}, 2))
+       |      AS language_confidence,
+       |    (${SpamPatterns.indices.map(spamFlag).mkString(" + ")})
+       |      AS pattern_matches,
+       |    list_aggregate(list_filter($matchedRepr, x -> x IS NOT NULL),
+       |      'string_agg', ', ') AS matched_list,
+       |    CASE WHEN raw_len > $TextMaxLength
+       |         THEN substr(text, 1, $TextMaxLength)
+       |         ELSE text END AS cleaned_text
+       |  FROM c1
+       |),
+       |c3 AS (
+       |  SELECT *,
+       |    (raw_len < $TextMinLength) AS too_short,
+       |    (raw_len > $TextMaxLength) AS too_long,
+       |    (rating < $RatingMin OR rating > $RatingMax) AS rating_out,
+       |    (pattern_matches >= $SpamPatternThreshold) AS spam_hit,
+       |    length(cleaned_text) AS cleaned_len,
+       |    ${classCount("cleaned_text", AlphaClass)} AS alpha_count,
+       |    (length(trim(cleaned_text)) = 0) AS stripped_empty,
+       |    $wordsExpr AS words
+       |  FROM c2
+       |),
+       |c4 AS (
+       |  SELECT *,
+       |    (stripped_empty OR (alpha_count / cleaned_len) < ${d(MinAlphaRatio)})
+       |      AS invalid_format,
+       |    NOT (text_missing OR rating_missing) AS past_missing,
+       |    (NOT (text_missing OR rating_missing)
+       |      AND language IN (${SupportedLanguages.map(s).mkString(", ")}))
+       |      AS past_lang,
+       |    CASE WHEN $emptyCt THEN 0
+       |         ELSE CAST(len(words) AS INTEGER) END AS word_count,
+       |    CASE WHEN $emptyCt THEN 0
+       |         ELSE CAST(length(cleaned_text) AS INTEGER) END AS char_count,
+       |    CASE WHEN $emptyCt THEN 0
+       |         ELSE CAST(greatest(1, ${classCount("cleaned_text", SentenceClass)})
+       |              AS INTEGER) END AS sentence_count,
+       |    CASE WHEN $emptyCt OR len(words) = 0 THEN ${d(0.0)}
+       |         ELSE round(
+       |           CAST(list_sum(list_transform(words, w -> $stripLen)) AS BIGINT)
+       |             / len(words), 2) END AS avg_word_length
+       |  FROM c3
+       |),
+       |c5 AS (
+       |  SELECT *,
+       |    (past_lang AND NOT spam_hit) AS past_spam,
+       |    (past_lang AND NOT spam_hit AND NOT too_short) AS past_short,
+       |    (past_lang AND NOT spam_hit AND NOT too_short AND NOT rating_out)
+       |      AS past_range
+       |  FROM c4
+       |),
+       |c6 AS (
+       |  SELECT *,
+       |    (past_range AND NOT invalid_format) AS accepted,
+       |    ((CASE WHEN review_id IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN business_id IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN rating IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN "date" IS NOT NULL THEN 1 ELSE 0 END) / 6 * ${d(0.8)}
+       |     + (CASE WHEN useful IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN funny IS NOT NULL THEN 1 ELSE 0 END
+       |      + CASE WHEN cool IS NOT NULL THEN 1 ELSE 0 END) / 3 * ${d(0.2)})
+       |      AS completeness_score,
+       |    ((CASE WHEN $emptyT THEN ${d(0.0)}
+       |           WHEN raw_len >= $TextMinLength AND raw_len <= $TextMaxLength
+       |             THEN ${d(1.0)}
+       |           WHEN raw_len < $TextMinLength THEN raw_len / $TextMinLength
+       |           ELSE $TextMaxLength / raw_len END
+       |      + CASE WHEN rating IS NULL OR rating = 0 THEN ${d(0.0)}
+       |             WHEN rating >= $RatingMin AND rating <= $RatingMax
+       |               THEN ${d(1.0)}
+       |             ELSE ${d(0.0)} END) / 2) AS validity_score,
+       |    ${d(0.0)} AS freshness_score,
+       |    (CASE WHEN $emptyT THEN ${d(0.0)}
+       |          ELSE greatest(${d(0.0)}, least(${d(1.0)},
+       |            ${d(1.0)} - ${d(0.3)} * pattern_matches
+       |            - CASE WHEN $spamPunctRatio > ${d(0.3)}
+       |                   THEN ${d(0.3)} ELSE ${d(0.0)} END
+       |            - CASE WHEN ${reCount("text_lc", RepeatedRun4)} > 2
+       |                   THEN ${d(0.2)} ELSE ${d(0.0)} END
+       |            - CASE WHEN $spamDigitRatio > ${d(0.3)}
+       |                   THEN ${d(0.3)} ELSE ${d(0.0)} END))
+       |     END) AS spam_check_score
+       |  FROM c5
+       |),
+       |ann AS (
+       |  SELECT *,
+       |    round(completeness_score * ${d(WeightCompleteness)}
+       |      + validity_score * ${d(WeightValidity)}
+       |      + freshness_score * ${d(WeightFreshness)}
+       |      + spam_check_score * ${d(WeightSpamCheck)}, 2)
+       |      AS data_quality_score
+       |  FROM c6
+       |)""".stripMargin
+  }
+
+  /** Oracle for q_clean_docs: accepted records in CleanedYelpReview shape. */
+  val cleanDocs: String =
+    s"""WITH $annCtes
+       |SELECT review_id, business_id, user_id,
+       |  trim(cleaned_text) AS text,
+       |  CAST(rating AS INTEGER) AS rating,
+       |  "date",
+       |  COALESCE(useful, 0) AS useful,
+       |  COALESCE(funny, 0) AS funny,
+       |  COALESCE(cool, 0) AS cool,
+       |  word_count, char_count, sentence_count, avg_word_length,
+       |  language, language_confidence, data_quality_score,
+       |  FALSE AS is_spam,
+       |  (data_quality_score < ${d(AnomalyThreshold)}) AS is_anomaly,
+       |  source
+       |FROM ann WHERE accepted
+       |ORDER BY review_id""".stripMargin
+
+  /** Oracle for q_quality_issues: the exploded issue stream. */
+  val qualityIssues: String = {
+    val sev = "CAST(%d AS INTEGER)"
+    s"""WITH $annCtes
+       |, iss AS (
+       |  SELECT review_id, 'missing_value' AS issue_type, 'text' AS field_name,
+       |    CAST(NULL AS VARCHAR) AS og_value, CAST(NULL AS VARCHAR) AS expected_range,
+       |    ${sev.format(SevMissing)} AS severity
+       |  FROM ann WHERE text_missing
+       |  UNION ALL
+       |  SELECT review_id, 'missing_value', 'rating', NULL, NULL,
+       |    ${sev.format(SevMissing)}
+       |  FROM ann WHERE rating_missing
+       |  UNION ALL
+       |  SELECT review_id, 'unsupported_language', 'text', language,
+       |    '[''en'']', ${sev.format(SevUnsupportedLanguage)}
+       |  FROM ann WHERE past_missing
+       |    AND language NOT IN (${SupportedLanguages.map(s).mkString(", ")})
+       |  UNION ALL
+       |  SELECT review_id, 'wrong_language', 'language_confidence',
+       |    CAST(CAST(language_confidence AS DECIMAL(4,2)) AS VARCHAR),
+       |    '>=$LangConfThreshold', ${sev.format(SevWrongLanguage)}
+       |  FROM ann WHERE past_lang AND language_confidence < ${d(LangConfThreshold)}
+       |  UNION ALL
+       |  SELECT review_id, 'spam_detected', 'text',
+       |    'Matched patterns: [' || matched_list || ']', NULL,
+       |    ${sev.format(SevSpam)}
+       |  FROM ann WHERE past_lang AND spam_hit
+       |  UNION ALL
+       |  SELECT review_id, 'too_short', 'text', CAST(raw_len AS VARCHAR),
+       |    '>=$TextMinLength', ${sev.format(SevTooShort)}
+       |  FROM ann WHERE past_spam AND too_short
+       |  UNION ALL
+       |  SELECT review_id, 'too_long', 'text', CAST(raw_len AS VARCHAR),
+       |    '<=$TextMaxLength', ${sev.format(SevTooLong)}
+       |  FROM ann WHERE past_short AND too_long
+       |  UNION ALL
+       |  SELECT review_id, 'out_of_range', 'rating', CAST(rating AS VARCHAR),
+       |    '$RatingMin-$RatingMax', ${sev.format(SevOutOfRange)}
+       |  FROM ann WHERE past_short AND rating_out
+       |  UNION ALL
+       |  SELECT review_id, 'invalid_format', 'multiple',
+       |    CASE WHEN stripped_empty THEN 'Text cannot be empty or whitespace'
+       |         ELSE 'Text must contain at least 40% alphabetic characters' END,
+       |    NULL, ${sev.format(SevInvalidFormat)}
+       |  FROM ann WHERE past_range AND invalid_format
+       |)
+       |SELECT * FROM iss ORDER BY review_id, issue_type, field_name""".stripMargin
+  }
+}
