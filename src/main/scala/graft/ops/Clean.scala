@@ -5,15 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType}
 
 import graft.rules.Rules._
+import TextFeatures.charClassCount
 
 /** The full `clean_review` pipeline (`streaming/quality_engine.py:223-358`)
-  * as ONE declarative DataFrame transform. The reference evaluates an ordered
-  * short-circuit filter chain per record; we compute the same decision as a
-  * single wide projection — every record is annotated with its (first-
-  * failure) rejection stage, the accumulated issue list, text features,
-  * sub-scores and the final quality score. Catalyst's common-subexpression
-  * elimination + whole-stage codegen make this a single scan-project pass
-  * with no shuffles — at 100 TB this is embarrassingly parallel.
+  * as a STAGED declarative DataFrame transform. The reference evaluates an
+  * ordered short-circuit filter chain per record; we compute the same
+  * decision as a sequence of narrow projections — every record is annotated
+  * with its (first-failure) rejection stage, the accumulated issue list,
+  * text features, sub-scores and the final quality score.
+  *
+  * Why staged projections instead of one wide select: every expensive
+  * subexpression (`lower(text)`, the 5 spam rlikes, regexp counts) is
+  * computed ONCE as a named column and referenced by attribute afterwards.
+  * Catalyst's CollapseProject keeps non-cheap aliases that are consumed more
+  * than once un-inlined, so the generated code stays small (fast Janino
+  * compile, tight whole-stage-codegen) and higher-order-function fallback
+  * islands (array filter/aggregate) reference attributes instead of
+  * re-interpreting whole regex subtrees per row. No shuffles — at 100 TB
+  * this is embarrassingly parallel scan-project work.
   *
   * Stage order (reject unless noted):
   *   1. missing text and/or missing rating (rating==0 counts as missing —
@@ -47,112 +56,157 @@ object Clean {
 
   private val nullStr = lit(null).cast(StringType)
 
+  private def spamFlag(i: Int) = col(s"_spam_p$i")
+
   /** Annotate a RawYelpReview-shaped DataFrame (review_id, business_id,
     * user_id, rating, text, date, useful, funny, cool, source) with
     * language, features, sub-scores, score, `accepted`, `stage` and
-    * `issues: array<struct>`.
+    * `issues: array<struct>`. Internal `_`-prefixed helper columns are left
+    * in place — downstream column pruning removes them for free.
     */
   def annotate(raw: DataFrame): DataFrame = {
     val text = col("text")
     val rating = col("rating")
 
-    val textMissing = TextFeatures.emptyText(text)
-    val ratingMissing = rating.isNull || rating === 0 // Python truthiness
-    val lang = Language.language(text)
-    val conf = Language.confidence(text)
-    val langUnsupported = !lang.isin(SupportedLanguages: _*)
-    val lowConf = conf < lit(LangConfThreshold)
-    val spamHit = Spam.isSpam(text)
-    val rawLen = length(text)
-    val tooShort = rawLen < TextMinLength
-    val tooLong = rawLen > TextMaxLength
-    val cleanedText = when(tooLong, substring(text, 1, TextMaxLength))
-      .otherwise(text)
-    val ratingOut = rating < RatingMin || rating > RatingMax
-    // pydantic validator on the cleaned (truncated, unstripped) text
-    val cleanedLen = length(cleanedText)
-    val alphaCount = TextFeatures.charClassCount(cleanedText, AlphaClass)
-    val strippedEmpty = length(trim(cleanedText)) === 0
-    val invalidFormat =
-      strippedEmpty || (alphaCount / cleanedLen) < lit(MinAlphaRatio)
+    // L0: single-pass derivations of the raw text
+    val l0 = raw.withColumns(Map(
+      "_lc" -> lower(text),
+      "_raw_len" -> length(text)))
 
-    // cumulative reachability of each stage
-    val pastMissing = !(textMissing || ratingMissing)
-    val pastLang = pastMissing && !langUnsupported
-    val pastSpam = pastLang && !spamHit
-    val pastShort = pastSpam && !tooShort
-    val pastRange = pastShort && !ratingOut
-    val accepted = pastRange && !invalidFormat
+    // L1: everything that scans _lc / text exactly once
+    val l1 = l0.withColumns(Map(
+      "_text_missing" -> (text.isNull || col("_raw_len") === 0),
+      "_rating_missing" -> (rating.isNull || rating === 0), // Python truthiness
+      "_en_matches" -> when(text.isNull || col("_raw_len") === 0, lit(0))
+        .otherwise(regexp_count(col("_lc"), lit(EnStopwords))),
+      "_repeats" -> regexp_count(col("_lc"), lit(RepeatedRun4)),
+      "_punct_spam_cnt" -> charClassCount(col("_lc"), PunctSpamClass),
+      "_digit_cnt" -> charClassCount(col("_lc"), DigitClass),
+      "cleaned_text" -> when(col("_raw_len") > TextMaxLength,
+        substring(text, 1, TextMaxLength)).otherwise(text)
+    ) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
+      s"_spam_p$i" -> col("_lc").rlike(p)
+    })
 
-    val stage = when(!pastMissing, lit("missing_value"))
-      .when(!pastLang, lit("unsupported_language"))
-      .when(!pastSpam, lit("spam_detected"))
-      .when(!pastShort, lit("too_short"))
-      .when(!pastRange, lit("out_of_range"))
-      .when(!accepted, lit("invalid_format"))
-      .otherwise(lit("accepted"))
+    // L2: derived from L1 columns; scans cleaned_text once per feature
+    val l2 = l1.withColumns(Map(
+      "_pattern_matches" ->
+        SpamPatterns.indices
+          .map(i => when(spamFlag(i), lit(1)).otherwise(lit(0)))
+          .reduce(_ + _),
+      "language" ->
+        when(col("_en_matches") >= 1, lit("en")).otherwise(lit("unknown")),
+      "language_confidence" ->
+        least(lit(1.0), round(col("_en_matches") * lit(ConfPerMatch), 2)),
+      "_cleaned_len" -> length(col("cleaned_text")),
+      "_alpha_cnt" -> charClassCount(col("cleaned_text"), AlphaClass),
+      "_sentence_cnt" -> charClassCount(col("cleaned_text"), SentenceClass),
+      "_stripped_empty" -> (length(trim(col("cleaned_text"))) === 0),
+      "_words" -> TextFeatures.wordsCol(col("cleaned_text"))))
 
-    // issue accumulation in reference emission order
-    val issues = filter(array(
-      when(textMissing,
-        issue("missing_value", "text", nullStr, nullStr, SevMissing)),
-      when(ratingMissing,
-        issue("missing_value", "rating", nullStr, nullStr, SevMissing)),
-      when(pastMissing && langUnsupported,
-        issue("unsupported_language", "text", lang,
-          lit(s"['${SupportedLanguages.mkString("', '")}']"),
-          SevUnsupportedLanguage)),
-      when(pastLang && lowConf,
-        issue("wrong_language", "language_confidence",
-          conf.cast(DecimalType(4, 2)),
-          lit(s">=$LangConfThreshold"), SevWrongLanguage)),
-      when(pastLang && spamHit,
-        issue("spam_detected", "text", Spam.matchedPatternsRepr(text),
-          nullStr, SevSpam)),
-      when(pastSpam && tooShort,
-        issue("too_short", "text", rawLen,
-          lit(s">=$TextMinLength"), SevTooShort)),
-      when(pastShort && tooLong,
-        issue("too_long", "text", rawLen,
-          lit(s"<=$TextMaxLength"), SevTooLong)),
-      when(pastShort && ratingOut,
-        issue("out_of_range", "rating", rating,
-          lit(s"$RatingMin-$RatingMax"), SevOutOfRange)),
-      when(pastRange && invalidFormat,
-        issue("invalid_format", "multiple",
-          when(strippedEmpty, lit("Text cannot be empty or whitespace"))
-            .otherwise(
-              lit("Text must contain at least 40% alphabetic characters")),
-          nullStr, SevInvalidFormat))
-    ), i => i.isNotNull)
+    // L3: flags + features assembled from attributes
+    val emptyCt = col("cleaned_text").isNull || col("_cleaned_len") === 0
+    val l3 = l2.withColumns(Map(
+      "_spam_hit" -> (col("_pattern_matches") >= SpamPatternThreshold),
+      "_too_short" -> (col("_raw_len") < TextMinLength),
+      "_too_long" -> (col("_raw_len") > TextMaxLength),
+      "_rating_out" -> (rating < RatingMin || rating > RatingMax),
+      "_invalid_format" -> (col("_stripped_empty") ||
+        (col("_alpha_cnt") / col("_cleaned_len")) < lit(MinAlphaRatio)),
+      "word_count" -> when(emptyCt, lit(0)).otherwise(size(col("_words"))),
+      "char_count" -> when(emptyCt, lit(0)).otherwise(col("_cleaned_len")),
+      "sentence_count" -> when(emptyCt, lit(0))
+        .otherwise(greatest(lit(1), col("_sentence_cnt"))),
+      "avg_word_length" -> when(emptyCt || size(col("_words")) === 0, lit(0.0))
+        .otherwise(round(
+          aggregate(col("_words"), lit(0),
+            (acc, w) => acc + length(regexp_replace(w, WordStripClass, ""))) /
+            size(col("_words")), 2))))
 
-    val completeness = Quality.completeness(
-      required = Seq(col("review_id"), col("business_id"), col("user_id"),
-        text, rating, col("date")),
-      optional = Seq(col("useful"), col("funny"), col("cool")))
-    val validity = Quality.validity(text, rating) // RAW text + rating
-    val freshness = Quality.freshness(col("date"))
-    val spamCheck = Spam.spamScore(text) // RAW text
-    val score =
-      Quality.score(completeness, validity, freshness, spamCheck)
+    // L4: stage reachability + sub-scores (cheap arithmetic on attributes)
+    val pastMissing = !(col("_text_missing") || col("_rating_missing"))
+    val pastLang = pastMissing && col("language").isin(SupportedLanguages: _*)
+    val pastSpam = pastLang && !col("_spam_hit")
+    val pastShort = pastSpam && !col("_too_short")
+    val pastRange = pastShort && !col("_rating_out")
+    val l4 = l3.withColumns(Map(
+      "_past_missing" -> pastMissing,
+      "_past_lang" -> pastLang,
+      "_past_spam" -> pastSpam,
+      "_past_short" -> pastShort,
+      "_past_range" -> pastRange,
+      "accepted" -> (pastRange && !col("_invalid_format")),
+      "completeness_score" -> Quality.completeness(
+        required = Seq(col("review_id"), col("business_id"), col("user_id"),
+          text, rating, col("date")),
+        optional = Seq(col("useful"), col("funny"), col("cool"))),
+      // Q2 validity on the RAW text length + rating
+      "validity_score" ->
+        Quality.validityFrom(col("_text_missing"), col("_raw_len"), rating),
+      "freshness_score" -> Quality.freshness(col("date")),
+      // Q4 spam sub-score on the RAW lowered text
+      "spam_check_score" -> when(col("_text_missing"), lit(0.0)).otherwise(
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0) - lit(0.3) * col("_pattern_matches") -
+            when(col("_punct_spam_cnt") / col("_raw_len") > lit(0.3),
+              lit(0.3)).otherwise(lit(0.0)) -
+            when(col("_repeats") > 2, lit(0.2)).otherwise(lit(0.0)) -
+            when(col("_digit_cnt") / col("_raw_len") > lit(0.3),
+              lit(0.3)).otherwise(lit(0.0)))))))
 
-    raw.withColumns(Map(
-      "language" -> lang,
-      "language_confidence" -> conf,
-      "cleaned_text" -> cleanedText,
-      "word_count" -> TextFeatures.wordCount(cleanedText),
-      "char_count" -> TextFeatures.charCount(cleanedText),
-      "sentence_count" -> TextFeatures.sentenceCount(cleanedText),
-      "avg_word_length" -> TextFeatures.avgWordLength(cleanedText),
-      "completeness_score" -> completeness,
-      "validity_score" -> validity,
-      "freshness_score" -> freshness,
-      "spam_check_score" -> spamCheck,
-      "data_quality_score" -> score,
-      "is_anomaly" -> Quality.isAnomaly(score),
-      "stage" -> stage,
-      "accepted" -> accepted,
-      "issues" -> issues))
+    // L5: final score; L6: anomaly flag + stage label + issue accumulation
+    val l5 = l4.withColumn("data_quality_score",
+      Quality.score(col("completeness_score"), col("validity_score"),
+        col("freshness_score"), col("spam_check_score")))
+
+    val matchedRepr = concat(lit("Matched patterns: ["),
+      array_join(filter(array(SpamPatterns.indices.map(i =>
+        when(spamFlag(i), lit(s"'pattern_$i'"))): _*), e => e.isNotNull), ", "),
+      lit("]"))
+
+    l5.withColumns(Map(
+      "is_anomaly" -> Quality.isAnomaly(col("data_quality_score")),
+      "stage" -> when(!col("_past_missing"), lit("missing_value"))
+        .when(!col("_past_lang"), lit("unsupported_language"))
+        .when(!col("_past_spam"), lit("spam_detected"))
+        .when(!col("_past_short"), lit("too_short"))
+        .when(!col("_past_range"), lit("out_of_range"))
+        .when(!col("accepted"), lit("invalid_format"))
+        .otherwise(lit("accepted")),
+      // issue accumulation in reference emission order
+      "issues" -> filter(array(
+        when(col("_text_missing"),
+          issue("missing_value", "text", nullStr, nullStr, SevMissing)),
+        when(col("_rating_missing"),
+          issue("missing_value", "rating", nullStr, nullStr, SevMissing)),
+        when(col("_past_missing") && !col("language").isin(SupportedLanguages: _*),
+          issue("unsupported_language", "text", col("language"),
+            lit(s"['${SupportedLanguages.mkString("', '")}']"),
+            SevUnsupportedLanguage)),
+        when(col("_past_lang") &&
+          col("language_confidence") < lit(LangConfThreshold),
+          issue("wrong_language", "language_confidence",
+            col("language_confidence").cast(DecimalType(4, 2)),
+            lit(s">=$LangConfThreshold"), SevWrongLanguage)),
+        when(col("_past_lang") && col("_spam_hit"),
+          issue("spam_detected", "text", matchedRepr, nullStr, SevSpam)),
+        when(col("_past_spam") && col("_too_short"),
+          issue("too_short", "text", col("_raw_len"),
+            lit(s">=$TextMinLength"), SevTooShort)),
+        when(col("_past_short") && col("_too_long"),
+          issue("too_long", "text", col("_raw_len"),
+            lit(s"<=$TextMaxLength"), SevTooLong)),
+        when(col("_past_short") && col("_rating_out"),
+          issue("out_of_range", "rating", rating,
+            lit(s"$RatingMin-$RatingMax"), SevOutOfRange)),
+        when(col("_past_range") && col("_invalid_format"),
+          issue("invalid_format", "multiple",
+            when(col("_stripped_empty"),
+              lit("Text cannot be empty or whitespace"))
+              .otherwise(
+                lit("Text must contain at least 40% alphabetic characters")),
+            nullStr, SevInvalidFormat))
+      ), i => i.isNotNull)))
   }
 
   /** Accepted records in CleanedYelpReview shape (models.py:40-69), minus the

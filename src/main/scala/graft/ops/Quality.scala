@@ -28,9 +28,14 @@ object Quality {
     * a rating score, both computed on the RAW (pre-truncation) values.
     * Text falsy -> 0.0; rating falsy (None or 0) -> 0.0.
     */
-  def validity(text: Column, rating: Column): Column = {
-    val len = length(text)
-    val textScore = when(TextFeatures.emptyText(text), lit(0.0))
+  def validity(text: Column, rating: Column): Column =
+    validityFrom(TextFeatures.emptyText(text), length(text), rating)
+
+  /** validity from precomputed (textMissing, rawLen) — lets callers share the
+    * length/emptiness columns instead of re-embedding the text scans.
+    */
+  def validityFrom(textMissing: Column, len: Column, rating: Column): Column = {
+    val textScore = when(textMissing, lit(0.0))
       .when(len >= TextMinLength && len <= TextMaxLength, lit(1.0))
       .when(len < TextMinLength, len / lit(TextMinLength))
       .otherwise(lit(TextMaxLength) / len)

@@ -28,7 +28,9 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     n_ok = n_bad = 0
     for q in sorted(oracles):
-        res_dir = os.path.join(out_dir, q)
+        res_dir = os.path.join(out_dir, q + ".parquet")
+        if not os.path.isdir(res_dir):
+            res_dir = os.path.join(out_dir, q)  # legacy layout
         if not os.path.isdir(res_dir):
             print(f"[MISS] {q}: no spark result dir")
             n_bad += 1
