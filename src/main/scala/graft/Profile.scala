@@ -6,13 +6,9 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[8]")
+    val spark = Sessions.builder("8")
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
       .config("spark.sql.codegen.factoryMode", sys.env.getOrElse("FACTORY", "FALLBACK"))
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](label: String)(f: => A): A = {

@@ -22,13 +22,70 @@ object Queries {
     Clean.issues(docsAnnotated(spark, dir))
       .orderBy("review_id", "issue_type", "field_name")
 
+  def hourlyStats(spark: SparkSession, dir: String): DataFrame =
+    Stats.hourlyStats(docsAnnotated(spark, dir))
+
+  def issueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Stats.issueHistogram(Clean.issues(docsAnnotated(spark, dir)))
+
+  def businessStats(spark: SparkSession, dir: String): DataFrame =
+    Stats.businessStats(Clean.cleaned(docsAnnotated(spark, dir)))
+
+  def topQuality(spark: SparkSession, dir: String): DataFrame =
+    Clean.cleaned(docsAnnotated(spark, dir))
+      .select(col("review_id"), col("business_id"), col("rating"),
+        col("data_quality_score"))
+      .orderBy(desc("data_quality_score"), col("review_id"))
+      .limit(20)
+
+  def recentReviews(spark: SparkSession, dir: String): DataFrame =
+    Clean.cleaned(docsAnnotated(spark, dir))
+      .select(col("review_id"), col("date"), col("rating"),
+        col("data_quality_score"))
+      .orderBy(desc("date"), col("review_id"))
+      .limit(50)
+
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.firstEventPerKey(Tables.events(spark, dir))
+
+  def dupEvents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateEvents(Tables.events(spark, dir))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // quality pipeline (SURVEY §2.2-2.6)
     "q_clean_docs" -> (cleanDocs _),
-    "q_quality_issues" -> (qualityIssues _)
+    "q_quality_issues" -> (qualityIssues _),
+    // aggregations (§2.5) + sorts/limits (§2.7)
+    "q_hourly_stats" -> (hourlyStats _),
+    "q_issue_histogram" -> (issueHistogram _),
+    "q_business_stats" -> (businessStats _),
+    "q_top_quality" -> (topQuality _),
+    "q_recent_reviews" -> (recentReviews _),
+    // dedup (§2.4, batch semantics)
+    "q_dedup_events" -> (dedupEvents _),
+    "q_dup_events" -> (dupEvents _),
+    // relational surface (§2.7 joins/windows — north star)
+    "q1_pricing" -> (Relational.q1Pricing _),
+    "q3_shipping" -> (Relational.q3Shipping _),
+    "q_top_orders" -> (Relational.topOrdersPerCustomer _),
+    "q_region_revenue" -> (Relational.regionRevenue _),
+    "q_event_props" -> (Relational.eventPropsAgg _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_clean_docs" -> Sql.cleanDocs,
-    "q_quality_issues" -> Sql.qualityIssues
+    "q_quality_issues" -> Sql.qualityIssues,
+    "q_hourly_stats" -> Sql.hourlyStats,
+    "q_issue_histogram" -> Sql.issueHistogram,
+    "q_business_stats" -> Sql.businessStats,
+    "q_top_quality" -> Sql.topQuality,
+    "q_recent_reviews" -> Sql.recentReviews,
+    "q_dedup_events" -> Sql.dedupEvents,
+    "q_dup_events" -> Sql.dupEvents,
+    "q1_pricing" -> Sql.q1Pricing,
+    "q3_shipping" -> Sql.q3Shipping,
+    "q_top_orders" -> Sql.topOrdersPerCustomer,
+    "q_region_revenue" -> Sql.regionRevenue,
+    "q_event_props" -> Sql.eventPropsAgg
   )
 }

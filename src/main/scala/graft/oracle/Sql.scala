@@ -263,4 +263,142 @@ object Sql {
        |)
        |SELECT * FROM iss ORDER BY review_id, issue_type, field_name""".stripMargin
   }
+
+  /** Oracle for q_hourly_stats: full ReviewStats per event-time hour.
+    * Mirrors graft.ops.Stats.hourlyStats (stage predicates expanded to the
+    * underlying flags).
+    */
+  val hourlyStats: String = {
+    def countIf(c: String) =
+      s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
+    def avgIf(c: String, v: String) =
+      s"round(avg(CASE WHEN $c THEN $v END), 2)"
+    val hist = (1 to 5).map(k =>
+      s"${countIf(s"accepted AND rating = $k")} AS rating_$k").mkString(",\n  ")
+    s"""WITH $annCtes
+       |SELECT date_trunc('hour', "date") AS window_start,
+       |  CAST(count(*) AS BIGINT) AS total_reviews,
+       |  ${countIf("accepted")} AS valid_reviews,
+       |  ${countIf("NOT accepted")} AS rejected_reviews,
+       |  ${avgIf("accepted", "data_quality_score")} AS avg_quality_score,
+       |  ${countIf("past_lang AND spam_hit")} AS spam_count,
+       |  ${countIf(s"past_missing AND language NOT IN (${SupportedLanguages.map(s).mkString(", ")})")} AS wrong_language_count,
+       |  $hist,
+       |  ${avgIf("accepted", "rating")} AS avg_rating,
+       |  ${avgIf("accepted", "word_count")} AS avg_word_count,
+       |  ${avgIf("accepted", "sentence_count")} AS avg_sentence_count
+       |FROM ann
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Oracle for q_issue_histogram. */
+  val issueHistogram: String =
+    qualityIssues.replace(
+      "SELECT * FROM iss ORDER BY review_id, issue_type, field_name",
+      "SELECT issue_type, CAST(count(*) AS BIGINT) AS n FROM iss " +
+        "GROUP BY 1 ORDER BY n DESC, issue_type")
+
+  /** Oracle for q_business_stats (per business_id over accepted records). */
+  val businessStats: String =
+    s"""WITH $annCtes
+       |SELECT business_id,
+       |  CAST(count(*) AS BIGINT) AS n_reviews,
+       |  round(avg(CAST(rating AS INTEGER)), 2) AS avg_rating,
+       |  round(avg(data_quality_score), 2) AS avg_quality,
+       |  min(data_quality_score) AS min_quality,
+       |  max(data_quality_score) AS max_quality
+       |FROM ann WHERE accepted
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle for q_top_quality (top-20 by score; deterministic tiebreak). */
+  val topQuality: String =
+    s"""WITH $annCtes
+       |SELECT review_id, business_id, CAST(rating AS INTEGER) AS rating,
+       |  data_quality_score
+       |FROM ann WHERE accepted
+       |ORDER BY data_quality_score DESC, review_id LIMIT 20""".stripMargin
+
+  /** Oracle for q_recent_reviews (date DESC index pattern, init_db.sql:34). */
+  val recentReviews: String =
+    s"""WITH $annCtes
+       |SELECT review_id, "date", CAST(rating AS INTEGER) AS rating,
+       |  data_quality_score
+       |FROM ann WHERE accepted
+       |ORDER BY "date" DESC, review_id LIMIT 50""".stripMargin
+
+  /** Oracle for q_dedup_events / q_dup_events (deterministic first-per-key
+    * dedup; SURVEY §2.4).
+    */
+  private def dedupSql(keep: String): String =
+    s"""SELECT event_id, ts, user_id, event_type, value, props
+       |FROM events
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY user_id, event_type, date_trunc('hour', ts)
+       |  ORDER BY ts, event_id) $keep
+       |ORDER BY event_id""".stripMargin
+  val dedupEvents: String = dedupSql("= 1")
+  val dupEvents: String = dedupSql("> 1")
+
+  /** Oracle for q1_pricing (TPC-H Q1 shape). */
+  val q1Pricing: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+      |    AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for q3_shipping (TPC-H Q3 shape, top-10). */
+  val q3Shipping: String =
+    """SELECT l_orderkey,
+      |  o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Oracle for q_top_orders (window rank per customer). */
+  val topOrdersPerCustomer: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** Oracle for q_region_revenue (dimension star-join). */
+  val regionRevenue: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for q_event_props (JSON path extraction + agg). */
+  val eventPropsAgg: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |    AS BIGINT) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)
+      |    AS avg_k,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
