@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
-import graft.oracle.Sql
+import graft.oracle.{Sql, SqlText}
 
 /** Query registry backing SparkEntry.queries / SparkEntry.oracleSql.
   * Every entry returns a deterministic, oracle-comparable result: stable
@@ -12,8 +12,31 @@ import graft.oracle.Sql
   */
 object Queries {
 
+  /** Session-scoped memo for DataFrames shared by several registry queries
+    * (the annotated clean pipeline feeds 7 queries; MinHash signatures feed
+    * 2). Verify/Bench run every query in one session, so persisting these
+    * avoids recomputing the regex-heavy pipelines per query. Keyed by
+    * (session, dir); persisted MEMORY_AND_DISK — at most a few hundred MB
+    * at bench scale.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
+  private def memoize(spark: SparkSession, dir: String, what: String)
+                     (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((spark, dir, what),
+      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
-    Clean.annotate(Reviews.docsAsReviews(Tables.load(spark, dir, "documents")))
+    memoize(spark, dir, "ann") {
+      Clean.annotate(Reviews.docsAsReviews(Tables.load(spark, dir, "documents")))
+    }
+
+  private def nearSignatures(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, dir, "sigs") {
+      TextDedup.signatures(Corpus.withNearDups(spark, dir))
+        .select("doc_id", "shingles", "mh", "bands")
+    }
 
   def cleanDocs(spark: SparkSession, dir: String): DataFrame =
     Clean.cleaned(docsAnnotated(spark, dir)).orderBy("review_id")
@@ -69,7 +92,31 @@ object Queries {
     "q3_shipping" -> (Relational.q3Shipping _),
     "q_top_orders" -> (Relational.topOrdersPerCustomer _),
     "q_region_revenue" -> (Relational.regionRevenue _),
-    "q_event_props" -> (Relational.eventPropsAgg _)
+    "q_event_props" -> (Relational.eventPropsAgg _),
+    // LLM-data-pipeline: dedup family (north star)
+    "q_dedup_exact" -> ((s: SparkSession, d: String) =>
+      TextDedup.exactDedup(Corpus.withExactDups(s, d))),
+    "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
+      TextDedup.minhashPairsOf(nearSignatures(s, d))),
+    "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+    "q_simhash" -> ((s: SparkSession, d: String) =>
+      TextDedup.simhash(Tables.load(s, d, "documents"))),
+    "q_fingerprints" -> ((s: SparkSession, d: String) =>
+      TextDedup.fingerprints(Tables.load(s, d, "documents"))),
+    // LLM-data-pipeline: text analysis
+    "q_lang_id" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langId(Tables.load(s, d, "documents"))),
+    "q_token_stats" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
+    "q_doc_quality" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.docQuality(Tables.load(s, d, "documents"))),
+    // LLM-data-pipeline: similarity search
+    "q_knn_brute" -> (EmbedSim.knnBrute _),
+    "q_knn_ivf" -> (EmbedSim.knnIvf _),
+    // multimodal plumbing (stubbed decode — no SQL oracle, rows-only check)
+    "q_media_features" -> ((s: SparkSession, _: String) =>
+      Media.featureStats(Media.decodeStub(Media.mediaTable(s, 300))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +133,16 @@ object Queries {
     "q3_shipping" -> Sql.q3Shipping,
     "q_top_orders" -> Sql.topOrdersPerCustomer,
     "q_region_revenue" -> Sql.regionRevenue,
-    "q_event_props" -> Sql.eventPropsAgg
+    "q_event_props" -> Sql.eventPropsAgg,
+    "q_dedup_exact" -> SqlText.exactDedup,
+    "q_minhash_pairs" -> SqlText.minhashPairs,
+    "q_jaccard_pairs" -> SqlText.jaccardPairs,
+    "q_simhash" -> SqlText.simhash,
+    "q_fingerprints" -> SqlText.fingerprints,
+    "q_lang_id" -> SqlText.langId,
+    "q_token_stats" -> SqlText.tokenStats,
+    "q_doc_quality" -> SqlText.docQuality,
+    "q_knn_brute" -> SqlText.knnBrute,
+    "q_knn_ivf" -> SqlText.knnIvf
   )
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Two paths, per the training-data-pipeline charter:
+  *  - [[knnBrute]]: exact brute-force cosine top-k — the baseline. Query set
+  *    broadcast against a full scan: one pass, no shuffle except the final
+  *    per-query top-k (TakeOrdered per partition via window rank).
+  *  - [[knnIvf]]: IVF-style approximate path that scales — vectors are
+  *    assigned to their nearest coarse centroid (one broadcast join), and a
+  *    query probes only its 2 nearest centroids' inverted lists. At 100 TB
+  *    the full cross product is impossible; probing c of C lists cuts the
+  *    scored candidates by ~C/c while keeping recall high.
+  *
+  * All arithmetic is double (embeddings cast once) and sequential
+  * (`aggregate` left fold ≡ DuckDB list_reduce), and cosine is rounded to
+  * 6dp BEFORE ranking, so results are bit-identical to the DuckDB oracle,
+  * including top-k boundaries (rank tiebreak on vec_id).
+  */
+object EmbedSim {
+
+  val TopK = 10
+  val QueryMod = 100 // vec_id % 100 == 0 are the query vectors
+  val CentroidMod = 50 // vec_id % 50 == 0 are the IVF coarse centroids
+  val Probes = 2
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+
+  /** Exact cosine top-10 for each query vector (vec_id % 100 == 0). */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir)
+    val queries = all.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = all.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (vec_id % 50 == 0), then each query scores only the vectors in its 2
+    * nearest centroids' lists. Deterministic ties: (cos desc, centroid_id).
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir)
+    val centroids = all.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+
+    // inverted lists: nearest centroid per vector (broadcast C centroids)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("_cc"), col("centroid_id"))
+    val assigned = all.join(broadcast(centroids), lit(true))
+      .withColumn("_cc", round(cosine(col("emb"), col("cemb")), 6))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+
+    // probe lists: 2 nearest centroids per query
+    val queries = all.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("_qc"), col("centroid_id"))
+    val probes = queries.join(broadcast(centroids), lit(true))
+      .withColumn("_qc", round(cosine(col("qemb"), col("cemb")), 6))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= Probes)
+      .select(col("query_id"), col("qemb"), col("centroid_id"))
+
+    // score only the probed lists
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash.words
+
+/** Text-analysis operators for training-data pipelines: language-ID,
+  * token counting, and quality scoring over the `documents` table. All pure
+  * column expressions (codegen'd, shuffle-free, embarrassingly parallel).
+  */
+object TextAnalysis {
+
+  /** Per-language stopword alternations (language-ID profiles). The `zh`
+    * profile counts CJK codepoints instead of stopwords.
+    */
+  val StopwordProfiles: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|a|an|and|of|to|in|is|it|for|on|with|was|this)\b""",
+    "es" -> """\b(el|la|los|las|de|que|y|en|un|una|es|por|con|para)\b""",
+    "de" -> """\b(der|die|das|und|ist|ich|nicht|ein|eine|mit|auf|zu)\b""",
+    "fr" -> """\b(le|la|les|de|des|et|est|en|un|une|du|que|pour|dans)\b""")
+  val CjkClass = """[\x{4e00}-\x{9fff}]"""
+
+  /** N-gram-heuristic language ID: stopword-match density per profile,
+    * CJK-char density for zh; prediction = argmax with a deterministic
+    * preference order (en > es > de > fr > zh) on ties.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val lc = lower(col("text"))
+    val wc = greatest(size(words(col("text"))), lit(1))
+    val densities = StopwordProfiles.map { case (lang, re) =>
+      lang -> (regexp_count(lc, lit(re)) / wc)
+    } :+ ("zh" ->
+      ((length(lc) - length(regexp_replace(lc, CjkClass, ""))) /
+        greatest(length(lc), lit(1))))
+    val scored = densities.foldLeft(docs) { case (df, (lang, d)) =>
+      df.withColumn(s"score_$lang", round(d, 4))
+    }
+    val best = densities.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = densities.foldRight(lit("unknown"): Column) {
+      case ((lang, _), elseCol) =>
+        when(col(s"score_$lang") === col("_best") &&
+          col("_best") > 0, lit(lang)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("_best", best)
+      .withColumn("lang_pred", pred)
+      .select(Seq(col("doc_id"), col("lang"), col("lang_pred"),
+        (col("lang_pred") === col("lang")).as("correct")) ++
+        densities.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish tokenizer regex: letter runs, single digits, single
+    * non-alphanumeric marks (leftmost, non-overlapping — identical under
+    * Java's leftmost-first and RE2's leftmost-longest because the branches
+    * are disjoint character classes).
+    */
+  val BpeIshToken = """[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""
+
+  /** Token counting per doc, aggregated per source: whitespace tokens and
+    * BPE-ish regex tokens.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      col("source"),
+      size(words(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit(BpeIshToken)).as("bpe_tokens"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ws_tokens")).cast("long").as("sum_ws_tokens"),
+      sum(col("bpe_tokens")).cast("long").as("sum_bpe_tokens"),
+      round(avg(col("ws_tokens")), 2).as("avg_ws_tokens"),
+      round(avg(col("bpe_tokens")), 2).as("avg_bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** Heuristic document quality score in [0,1]:
+    * 0.4·min(1, words/100) + 0.4·min(1, 5·stopword_density)
+    * + 0.2·(1 − min(1, 5·punct_ratio)), rounded to 3dp.
+    */
+  def docQuality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val lc = lower(t)
+    val wc = size(words(t))
+    val wcSafe = greatest(wc, lit(1))
+    val stopDensity =
+      regexp_count(lc, lit(graft.rules.Rules.EnStopwords)) / wcSafe
+    val punctRatio =
+      (length(t) - length(regexp_replace(t, """[^.,!?;:'"()\-]""", ""))) /
+        greatest(length(t), lit(1))
+    val lenScore = least(lit(1.0), wc / lit(100.0))
+    val q = round(
+      lit(0.4) * lenScore +
+        lit(0.4) * least(lit(1.0), stopDensity * 5) +
+        lit(0.2) * (lit(1.0) - least(lit(1.0), punctRatio * 5)), 3)
+    docs.select(col("doc_id"), col("source"),
+      wc.as("word_count"), q.as("quality"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Deduplication family for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH near-dup candidates, true n-gram
+  * Jaccard verification, SimHash fingerprints, and MOD-sampled k-gram
+  * document fingerprints.
+  *
+  * Scale design (100 TB): every operator is shuffle-minimal —
+  *  - exact dedup: one window/groupBy on the content hash (the only shuffle);
+  *  - MinHash: per-row shingling/hashing (no shuffle), then ONE shuffle on
+  *    the band key; candidate pairs are generated per-bucket, never all-pairs
+  *    (the classic LSH trade: recall vs the quadratic blowup);
+  *  - Jaccard verification joins shingle sets only for LSH candidates;
+  *  - SimHash/fingerprints: embarrassingly parallel projections.
+  */
+object TextDedup {
+
+  val ShingleK = 3
+  val MinhashK = 16
+  val Bands = 8
+  val BandRows = 2
+
+  /** Exact dedup over whitespace-normalized lowered text. One row per doc:
+    * its canonical (min) doc_id, group size, and dup flag.
+    */
+  def exactDedup(corpus: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), """\s+""", " ")))
+    val byHash = Window.partitionBy(col("_h"))
+    corpus
+      .withColumn("_h", md5(norm))
+      .withColumn("canonical_id", min(col("doc_id")).over(byHash))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        col("group_size").cast("long").as("group_size"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** doc_id, shingles, minhash vector, band keys — the shared prefix of the
+    * MinHash pipeline. Docs with < ShingleK words carry no shingles and are
+    * dropped (no signature to compare).
+    */
+  def signatures(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("_words", words(col("text")))
+      .filter(size(col("_words")) >= ShingleK)
+      .withColumn("shingles", shingles(col("_words"), ShingleK))
+      .withColumn("mh", minhashes(col("shingles"), MinhashK))
+      .withColumn("bands", bandKeys(col("mh"), Bands, BandRows))
+
+  /** LSH candidate pairs: doc_a < doc_b sharing >= 1 band bucket. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val exploded = sigs.select(col("doc_id"), explode(col("bands")).as("band"))
+    exploded.as("a")
+      .join(exploded.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  def minhashPairs(corpus: DataFrame): DataFrame =
+    minhashPairsOf(signatures(corpus).select("doc_id", "shingles", "mh", "bands"))
+
+  /** Candidate pairs with the estimated Jaccard = fraction of equal minhash
+    * components; `sigs` is a (cached) signatures() projection.
+    */
+  def minhashPairsOf(sigs: DataFrame): DataFrame = {
+    val pairs = candidatePairs(sigs)
+    val mhOf = sigs.select(col("doc_id"), col("mh"))
+    pairs
+      .join(mhOf.as("ma"), col("doc_a") === col("ma.doc_id"))
+      .join(mhOf.as("mb"), col("doc_b") === col("mb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("ma.mh"), col("mb.mh"),
+          (x, y) => x === y), b => b)) / lit(MinhashK))
+          .as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def jaccardPairs(corpus: DataFrame): DataFrame =
+    jaccardPairsOf(signatures(corpus).select("doc_id", "shingles", "mh", "bands"))
+
+  /** True shingle-set Jaccard for the LSH candidates (the scale path:
+    * LSH narrows, exact similarity verifies), kept at j >= 0.5.
+    */
+  def jaccardPairsOf(sigs: DataFrame): DataFrame = {
+    val pairs = candidatePairs(sigs)
+    val shOf = sigs.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(shOf.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shOf.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val SimhashBits = 56
+
+  /** 56-bit SimHash fingerprint per doc as a '0'/'1' string (bit b set iff
+    * the signed sum of word-hash bits at position b is positive).
+    */
+  def simhash(corpus: DataFrame): DataFrame = {
+    val hashes = transform(words(col("text")), w => h56(w))
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(SimhashBits - 1)),
+        b => when(call_function("shiftright", h, b).bitwiseAND(lit(1)) === 1,
+          lit(1)).otherwise(lit(-1)))
+    val bitSums = aggregate(hashes,
+      array_repeat(lit(0), SimhashBits),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
+    corpus
+      .withColumn("_words", words(col("text")))
+      .filter(size(col("_words")) >= 1)
+      .withColumn("simhash",
+        concat_ws("", transform(bitSums, v =>
+          when(v > 0, lit("1")).otherwise(lit("0")))))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val GramLen = 8
+  val FpMod = 16
+
+  /** MOD-sampled k-gram rolling fingerprint: hash every 8-char gram, keep
+    * h % 16 == 0 as the doc's fingerprint set; summarized to scalars
+    * (count/min/max/sum-mod) for engine-portable comparison.
+    */
+  def fingerprints(corpus: DataFrame): DataFrame = {
+    val t = col("text")
+    val nGrams = greatest(length(t) - (GramLen - 1), lit(0))
+    val grams = when(nGrams === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nGrams),
+        i => call_function("substr", t, i, lit(GramLen))))
+    val fps = filter(transform(grams, g => h56(g)), h => h % FpMod === 0)
+    corpus
+      .withColumn("_fps", fps)
+      .select(col("doc_id"),
+        nGrams.cast("long").as("n_grams"),
+        size(col("_fps")).cast("long").as("n_fp"),
+        array_min(col("_fps")).as("min_fp"),
+        array_max(col("_fps")).as("max_fp"),
+        aggregate(col("_fps"), lit(0L), (acc, h) => acc + h % 1000003)
+          .as("fp_sum_mod"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,268 @@
+package graft.oracle
+
+import graft.ops.{TextAnalysis, TextDedup, EmbedSim}
+
+/** DuckDB oracle SQL for the LLM-data-pipeline operators (dedup family,
+  * similarity search, text analysis). Mirrors graft.ops.{TextDedup,
+  * TextAnalysis, EmbedSim} expression-for-expression; shares their constants
+  * so thresholds cannot drift.
+  *
+  * Portability invariants (same as graft.oracle.Sql): fractional literals
+  * CAST AS DOUBLE; int/int division is double in both engines; the only
+  * hash is the md5-prefix h56 (`('0x'||substr(md5(x),1,14))::BIGINT`),
+  * bit-identical to Spark's `conv(substring(md5(x),1,14),16,10)`.
+  */
+object SqlText {
+  import Sql.{d, s}
+
+  /** h56 in DuckDB. */
+  def h56(e: String): String = s"('0x' || substr(md5($e), 1, 14))::BIGINT"
+
+  /** Python-split words of lowered text. */
+  def wordsOf(e: String): String =
+    s"list_filter(regexp_split_to_array(lower($e), '\\s+'), w -> w != '')"
+
+  val exactCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, source FROM documents
+      |  WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  val nearCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    regexp_replace(text, '\s+\S+\s*$', '', 'g'), source
+      |  FROM documents WHERE doc_id % 13 = 0
+      |)""".stripMargin
+
+  /** Oracle for q_dedup_exact. */
+  val exactDedup: String =
+    s"""WITH $exactCorpusCte,
+       |h AS (SELECT doc_id,
+       |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS _h
+       |  FROM corpus)
+       |SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY _h) AS canonical_id,
+       |  CAST(count(*) OVER (PARTITION BY _h) AS BIGINT) AS group_size,
+       |  doc_id != min(doc_id) OVER (PARTITION BY _h) AS is_dup
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Shared MinHash signature CTEs over the near-dup corpus: words ->
+    * distinct 3-shingles -> 16 minhashes -> 8 band keys -> candidate pairs.
+    */
+  val signatureCtes: String = {
+    val k = TextDedup.ShingleK
+    s"""$nearCorpusCte,
+       |docs AS (SELECT doc_id, ${wordsOf("text")} AS words FROM corpus),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(len(words) - ${k - 1}),
+       |    i -> list_aggregate(list_slice(words, i + 1, i + $k),
+       |           'string_agg', ' '))) AS shingles
+       |  FROM docs WHERE len(words) >= $k),
+       |un AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+       |base AS (SELECT doc_id, ${h56("sgl")} % ${graft.ops.TextHash.P31}
+       |  AS h31 FROM un),
+       |mhl AS (SELECT doc_id, i,
+       |  min((ca[i + 1] * h31 + cb[i + 1]) % ${graft.ops.TextHash.P31}) AS v
+       |  FROM base CROSS JOIN
+       |    (SELECT unnest(range(${TextDedup.MinhashK})) AS i,
+       |       ${(0 until TextDedup.MinhashK)
+                   .map(graft.ops.TextHash.affineA).mkString("[", ", ", "]")} AS ca,
+       |       ${(0 until TextDedup.MinhashK)
+                   .map(graft.ops.TextHash.affineB).mkString("[", ", ", "]")} AS cb)
+       |  GROUP BY 1, 2),
+       |mh AS (SELECT doc_id, list(v ORDER BY i) AS mh FROM mhl GROUP BY 1),
+       |bands AS (SELECT doc_id,
+       |  CAST(b AS VARCHAR) || ':' ||
+       |    CAST(mh[${TextDedup.BandRows} * b + 1] AS VARCHAR) || ':' ||
+       |    CAST(mh[${TextDedup.BandRows} * b + 2] AS VARCHAR) AS band
+       |  FROM mh CROSS JOIN (SELECT unnest(range(${TextDedup.Bands})) AS b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  /** Oracle for q_minhash_pairs. */
+  val minhashPairs: String =
+    s"""WITH $signatureCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  len(list_filter(range(${TextDedup.MinhashK}),
+       |    i -> ma.mh[i + 1] = mb.mh[i + 1])) / ${TextDedup.MinhashK}
+       |    AS est_jaccard
+       |FROM pairs p
+       |JOIN mh ma ON p.doc_a = ma.doc_id
+       |JOIN mh mb ON p.doc_b = mb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for q_jaccard_pairs (true shingle Jaccard >= 0.5 on LSH
+    * candidates).
+    */
+  val jaccardPairs: String =
+    s"""WITH $signatureCtes
+       |SELECT * FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |      AS jaccard
+       |  FROM pairs p
+       |  JOIN sh sa ON p.doc_a = sa.doc_id
+       |  JOIN sh sb ON p.doc_b = sb.doc_id)
+       |WHERE jaccard >= ${d(0.5)}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for q_simhash (56-bit simhash bit-string per doc). */
+  val simhash: String =
+    s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(words) AS w FROM docs
+       |  WHERE len(words) >= 1),
+       |th AS (SELECT doc_id, ${h56("w")} AS h FROM tok),
+       |bits AS (SELECT doc_id, b,
+       |  sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM th CROSS JOIN
+       |    (SELECT unnest(range(${TextDedup.SimhashBits})) AS b)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+       |    AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for q_fingerprints (MOD-sampled 8-gram rolling fingerprints). */
+  val fingerprints: String = {
+    val g = TextDedup.GramLen
+    s"""WITH fp AS (SELECT doc_id,
+       |  greatest(len(text) - ${g - 1}, 0) AS n_grams,
+       |  list_filter(
+       |    list_transform(range(greatest(len(text) - ${g - 1}, 0)),
+       |      i -> ${h56(s"substr(text, i + 1, $g)")}),
+       |    h -> h % ${TextDedup.FpMod} = 0) AS fps
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  list_aggregate(fps, 'min') AS min_fp,
+       |  list_aggregate(fps, 'max') AS max_fp,
+       |  COALESCE(CAST(list_sum(list_transform(fps, h -> h % 1000003))
+       |    AS BIGINT), 0) AS fp_sum_mod
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for q_lang_id (stopword-density language ID). */
+  val langId: String = {
+    val wc = s"greatest(len(${wordsOf("text")}), 1)"
+    val scores = TextAnalysis.StopwordProfiles.map { case (lang, re) =>
+      s"round(len(regexp_extract_all(lower(text), ${s(re)})) / $wc, 4)" +
+        s" AS score_$lang"
+    }.mkString(",\n  ")
+    val zh =
+      s"""round((length(lower(text)) - length(
+         |    regexp_replace(lower(text), ${s(TextAnalysis.CjkClass)}, '', 'g')))
+         |    / greatest(length(lower(text)), 1), 4) AS score_zh""".stripMargin
+    val langs = TextAnalysis.StopwordProfiles.map(_._1) :+ "zh"
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.map(l =>
+      s"WHEN score_$l = _best AND _best > 0 THEN '$l'").mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang,
+       |  $scores,
+       |  $zh
+       |  FROM documents),
+       |b AS (SELECT *, $best AS _best FROM sc)
+       |SELECT doc_id, lang,
+       |  CASE $pred ELSE 'unknown' END AS lang_pred,
+       |  (CASE $pred ELSE 'unknown' END) = lang AS correct,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for q_token_stats. */
+  val tokenStats: String =
+    s"""WITH t AS (SELECT source,
+       |  len(${wordsOf("text")}) AS ws_tokens,
+       |  len(regexp_extract_all(text, ${s(TextAnalysis.BpeIshToken)}))
+       |    AS bpe_tokens
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       |  CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+       |  round(avg(ws_tokens), 2) AS avg_ws_tokens,
+       |  round(avg(bpe_tokens), 2) AS avg_bpe_tokens
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle for q_doc_quality. */
+  val docQuality: String = {
+    val wc = s"len(${wordsOf("text")})"
+    s"""WITH t AS (SELECT doc_id, source, $wc AS wc,
+       |  len(regexp_extract_all(lower(text),
+       |    ${s(graft.rules.Rules.EnStopwords)})) AS stops,
+       |  (length(text) - length(regexp_replace(text,
+       |    '[^.,!?;:''"()\\-]', '', 'g'))) AS punct,
+       |  greatest(length(text), 1) AS lensafe
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(wc AS INTEGER) AS word_count,
+       |  round(${d(0.4)} * least(${d(1.0)}, wc / ${d(100.0)})
+       |    + ${d(0.4)} * least(${d(1.0)},
+       |        (stops / greatest(wc, 1)) * 5)
+       |    + ${d(0.2)} * (${d(1.0)} - least(${d(1.0)},
+       |        (punct / lensafe) * 5)), 3) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequential dot product of two DOUBLE[] columns (left fold — identical
+    * op order to Spark's `aggregate(zip_with(...))`).
+    */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]), (x, y) -> x + y)"
+
+  def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val embCtes: String =
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM emb
+       |  WHERE vec_id % ${EmbedSim.QueryMod} = 0)""".stripMargin
+
+  /** Oracle for q_knn_brute (exact cosine top-10 per query vector). */
+  val knnBrute: String =
+    s"""WITH $embCtes,
+       |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+       |  round(${cosSql("qemb", "e.emb")}, 6) AS cos_sim
+       |  FROM emb e CROSS JOIN q WHERE e.vec_id != query_id)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |FROM scored QUALIFY "rank" <= ${EmbedSim.TopK}
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  /** Oracle for q_knn_ivf (IVF-style probed ANN). */
+  val knnIvf: String =
+    s"""WITH $embCtes,
+       |cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM emb
+       |  WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |assigned AS (SELECT vec_id, emb, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cosSql("e.emb", "c.cemb")}, 6) DESC,
+       |        c.centroid_id) AS rn
+       |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT query_id, qemb, centroid_id FROM (
+       |  SELECT q.query_id, q.qemb, c.centroid_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(${cosSql("q.qemb", "c.cemb")}, 6) DESC,
+       |        c.centroid_id) AS rn
+       |  FROM q CROSS JOIN cent c) WHERE rn <= ${EmbedSim.Probes}),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  round(${cosSql("p.qemb", "a.emb")}, 6) AS cos_sim
+       |  FROM probes p JOIN assigned a USING (centroid_id)
+       |  WHERE a.vec_id != p.query_id)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+       |FROM scored QUALIFY "rank" <= ${EmbedSim.TopK}
+       |ORDER BY query_id, "rank"""".stripMargin
+}

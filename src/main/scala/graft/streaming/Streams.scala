@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.ops.{Clean, Stats}
+
+/** Structured Streaming wiring (SURVEY §2.9 / E1-E3). The reference's Faust
+  * topology maps 1:1:
+  *  - Kafka topics -> streaming DataFrames (here file/memory sources; the
+  *    kafka format is config-only and broker-gated, see `kafkaSource`);
+  *  - the dedup table (1h tumbling, 2h TTL, faust_app.py:77-80) ->
+  *    withWatermark + dropDuplicatesWithinWatermark (divergence noted in
+  *    SURVEY §7: Faust forgets dups across window boundaries, Spark keeps
+  *    keys until watermark expiry);
+  *  - clean/route fork (faust_app.py:95-170) -> one annotated stream,
+  *    filtered twice inside foreachBatch (single pass + persist, exactly the
+  *    reference's one-consume-two-produces shape);
+  *  - hourly stats table (faust_app.py:173-189) -> event-time window agg in
+  *    update mode;
+  *  - Postgres micro-batch upsert (postgres_sink.py:136-176) ->
+  *    foreachBatch idempotent keyed upsert + checkpoint (T1/T7: offsets
+  *    commit after sink success in both systems).
+  */
+object Streams {
+
+  /** The quality pipeline is stateless, so it applies to a streaming
+    * DataFrame unchanged — same code path as batch (E4's point: clean_review
+    * is a pure function).
+    */
+  def annotate(raw: DataFrame): DataFrame = Clean.annotate(raw)
+
+  /** Streaming dedup on the reference's composite key (review_id, date)
+    * with a 2-hour state TTL (faust_app.py:77-80,113).
+    */
+  def dedup(raw: DataFrame, delay: String = "2 hours"): DataFrame =
+    raw.withWatermark("date", delay)
+      .dropDuplicatesWithinWatermark("review_id", "date")
+
+  /** Hourly windowed ReviewStats in update mode (A1/A3). */
+  def hourlyStats(annotated: DataFrame, delay: String = "2 hours"): DataFrame =
+    annotated
+      .withWatermark("date", delay)
+      .groupBy(window(col("date"), "1 hour"))
+      .agg(
+        count(lit(1)).as("total_reviews"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("valid_reviews"),
+        round(avg(when(col("accepted"), col("data_quality_score"))), 2)
+          .as("avg_quality_score"))
+      .select(col("window.start").as("window_start"), col("total_reviews"),
+        col("valid_reviews"), col("avg_quality_score"))
+
+  /** Route one annotated micro-batch to the two sinks (cleaned + issues) in
+    * a single pass — persist once, write twice, like the reference's one
+    * consume / two produces (faust_app.py:156-170).
+    */
+  def routeBatch(annotated: DataFrame)(
+      writeCleaned: DataFrame => Unit, writeIssues: DataFrame => Unit): Unit = {
+    annotated.persist()
+    try {
+      writeCleaned(Clean.cleaned(annotated))
+      writeIssues(Clean.issues(annotated))
+    } finally annotated.unpersist()
+  }
+
+  /** Micro-batch trigger mirroring the sink's 10-second flush
+    * (postgres_sink.py:18-19; the 100-row bound is the micro-batch itself).
+    */
+  def withSinkTrigger[T](w: DataStreamWriter[T]): DataStreamWriter[T] =
+    w.trigger(Trigger.ProcessingTime("10 seconds"))
+
+  /** Kafka source/sink wiring (S4/S7/S8) — config-only in Spark; gated on a
+    * broker being reachable (none in CI, so tests use memory/file sources;
+    * the option surface is what the reference's topics map onto).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+}

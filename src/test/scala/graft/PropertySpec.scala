@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{Clean, Dedup, TextDedup}
+import graft.schema.RawReview
+
+/** ScalaCheck-generated properties over the quality pipeline (SURVEY §5c):
+  * score bounds, truncation bounds, feature invariants, dedup idempotence.
+  * Generators are sampled with fixed seeds (scalatestplus isn't in the
+  * offline cache, so sampling is driven directly); corpora are annotated
+  * once per seed and invariants asserted row-wise.
+  */
+class PropertySpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val genText: Gen[String] = Gen.oneOf(
+    Gen.const(null: String),
+    Gen.const(""),
+    Gen.asciiPrintableStr.map(_.take(200)),
+    Gen.listOfN(30, Gen.oneOf("the", "buy", "http://x.co", "great", "food",
+      "1234567890", "!!!!", "aaaaa", "was", "place")).map(_.mkString(" ")),
+    Gen.const("x " * 3000)) // 6000 chars -> truncation path
+  private val genRating: Gen[Option[Double]] =
+    Gen.oneOf(None, Some(0.0), Some(1.0), Some(3.0), Some(5.0), Some(9.0),
+      Some(2.5))
+
+  private def genReviews(n: Int): Gen[List[RawReview]] =
+    Gen.listOfN(n, for {
+      id <- Gen.uuid.map(_.toString.take(8))
+      text <- genText
+      rating <- genRating
+      useful <- Gen.option(Gen.chooseNum(0, 5))
+    } yield RawReview(id, "b", "u", rating, text,
+      Timestamp.valueOf("2024-01-01 00:00:00"), useful, Some(0), Some(0), "t"))
+
+  test("annotated invariants hold for random corpora") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      val reviews = sample(genReviews(60), seed)
+      val rows = Clean.annotate(reviews.toDF()).collect()
+      rows.length shouldBe reviews.length
+      rows.foreach { r =>
+        val score = r.getAs[Double]("data_quality_score")
+        // max 0.80 by construction (consistency never computed);
+        // freshness≡0 makes the practical max 0.70
+        score should (be >= 0.0 and be <= 0.7)
+        r.getAs[Double]("freshness_score") shouldBe 0.0
+        r.getAs[Int]("char_count") should be <= 5000
+        val wc = r.getAs[Int]("word_count")
+        val sc = r.getAs[Int]("sentence_count")
+        if (r.getAs[Int]("char_count") > 0) sc should be >= 1
+        if (wc == 0) r.getAs[Double]("avg_word_length") shouldBe 0.0
+        if (r.getAs[Boolean]("accepted"))
+          r.getAs[String]("stage") shouldBe "accepted"
+      }
+    }
+  }
+
+  test("exact dedup is idempotent and canonical ids are group minima") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, s"text number ${i % 10}", "s"))
+      .toDF("doc_id", "text", "source")
+    val once = TextDedup.exactDedup(docs)
+    val rows = once.collect()
+    rows.length shouldBe 40
+    rows.foreach { r =>
+      r.getAs[Long]("canonical_id") should be <= r.getAs[Long]("doc_id")
+      (r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id")) shouldBe
+        !r.getAs[Boolean]("is_dup")
+    }
+    // groups of 4 (i%10 repeated at +10,+20,+30)
+    rows.map(_.getAs[Long]("group_size")).toSet shouldBe Set(4L)
+  }
+
+  test("event dedup keeps exactly one row per key and is idempotent") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val first = Dedup.firstEventPerKey(events)
+    val twice = Dedup.firstEventPerKey(first)
+    first.count() shouldBe twice.count()
+    first.count() + Dedup.duplicateEvents(events).count() shouldBe events.count()
+  }
+}
