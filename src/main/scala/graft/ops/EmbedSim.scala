@@ -41,19 +41,30 @@ object EmbedSim {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Embeddings with the L2 norm precomputed ONCE per vector — every
+    * (query, candidate) pair then costs a single dot product instead of
+    * three (the norms would otherwise be recomputed per pair: 3x the work
+    * at any scale).
+    */
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+
+  private def cosByNorm(dotC: Column, na: Column, nb: Column): Column =
+    round(dotC / (na * nb), 6)
 
   /** Exact cosine top-10 for each query vector (vec_id % 100 == 0). */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val all = embeddings(spark, dir)
     val queries = all.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("norm").as("qnorm"))
     val scored = all.join(broadcast(queries),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
+        cosByNorm(dot(col("qemb"), col("emb")), col("qnorm"), col("norm"))
+          .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -68,27 +79,31 @@ object EmbedSim {
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = embeddings(spark, dir)
     val centroids = all.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"),
+        col("norm").as("cnorm"))
 
     // inverted lists: nearest centroid per vector (broadcast C centroids)
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(desc("_cc"), col("centroid_id"))
     val assigned = all.join(broadcast(centroids), lit(true))
-      .withColumn("_cc", round(cosine(col("emb"), col("cemb")), 6))
+      .withColumn("_cc",
+        cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm")))
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("emb"), col("centroid_id"))
+      .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
 
     // probe lists: 2 nearest centroids per query
     val queries = all.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("norm").as("qnorm"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(desc("_qc"), col("centroid_id"))
     val probes = queries.join(broadcast(centroids), lit(true))
-      .withColumn("_qc", round(cosine(col("qemb"), col("cemb")), 6))
+      .withColumn("_qc",
+        cosByNorm(dot(col("qemb"), col("cemb")), col("qnorm"), col("cnorm")))
       .withColumn("_rn", row_number().over(probeW))
       .filter(col("_rn") <= Probes)
-      .select(col("query_id"), col("qemb"), col("centroid_id"))
+      .select(col("query_id"), col("qemb"), col("qnorm"), col("centroid_id"))
 
     // score only the probed lists
     val w = Window.partitionBy(col("query_id"))
@@ -96,7 +111,8 @@ object EmbedSim {
     probes.join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qemb"), col("emb")), 6).as("cos_sim"))
+        cosByNorm(dot(col("qemb"), col("emb")), col("qnorm"), col("norm"))
+          .as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .orderBy("query_id", "rank")

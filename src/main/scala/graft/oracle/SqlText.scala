@@ -222,16 +222,18 @@ object SqlText {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   private val embCtes: String =
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    s"""emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM emb
+       |emb AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+       |  FROM emb0),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM emb
        |  WHERE vec_id % ${EmbedSim.QueryMod} = 0)""".stripMargin
 
   /** Oracle for q_knn_brute (exact cosine top-10 per query vector). */
   val knnBrute: String =
     s"""WITH $embCtes,
        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-       |  round(${cosSql("qemb", "e.emb")}, 6) AS cos_sim
+       |  round(${dotSql("qemb", "e.emb")} / (qnrm * e.nrm), 6) AS cos_sim
        |  FROM emb e CROSS JOIN q WHERE e.vec_id != query_id)
        |SELECT query_id, neighbor_id, cos_sim,
        |  CAST(row_number() OVER (PARTITION BY query_id
@@ -242,22 +244,22 @@ object SqlText {
   /** Oracle for q_knn_ivf (IVF-style probed ANN). */
   val knnIvf: String =
     s"""WITH $embCtes,
-       |cent AS (SELECT vec_id AS centroid_id, emb AS cemb FROM emb
-       |  WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
-       |assigned AS (SELECT vec_id, emb, centroid_id FROM (
-       |  SELECT e.vec_id, e.emb, c.centroid_id,
+       |cent AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |  FROM emb WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${cosSql("e.emb", "c.cemb")}, 6) DESC,
-       |        c.centroid_id) AS rn
+       |      ORDER BY round(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm),
+       |        6) DESC, c.centroid_id) AS rn
        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
-       |probes AS (SELECT query_id, qemb, centroid_id FROM (
-       |  SELECT q.query_id, q.qemb, c.centroid_id,
+       |probes AS (SELECT query_id, qemb, qnrm, centroid_id FROM (
+       |  SELECT q.query_id, q.qemb, q.qnrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY round(${cosSql("q.qemb", "c.cemb")}, 6) DESC,
-       |        c.centroid_id) AS rn
+       |      ORDER BY round(${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm),
+       |        6) DESC, c.centroid_id) AS rn
        |  FROM q CROSS JOIN cent c) WHERE rn <= ${EmbedSim.Probes}),
        |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-       |  round(${cosSql("p.qemb", "a.emb")}, 6) AS cos_sim
+       |  round(${dotSql("p.qemb", "a.emb")} / (p.qnrm * a.nrm), 6) AS cos_sim
        |  FROM probes p JOIN assigned a USING (centroid_id)
        |  WHERE a.vec_id != p.query_id)
        |SELECT query_id, neighbor_id, cos_sim,
