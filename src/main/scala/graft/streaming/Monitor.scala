@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Streaming observability (SURVEY T8): the reference prints periodic
+  * console stats (producer.py:176-185, faust_app.py:185-189) and has an
+  * empty 60 s monitor timer. The Spark-native form is a
+  * StreamingQueryListener over StreamingQueryProgress — rows/sec, batch
+  * counts, state size — without touching the data path.
+  */
+final class Monitor extends StreamingQueryListener {
+  val batches = new AtomicLong
+  val rows = new AtomicLong
+  val lastProgressJson = new AtomicReference[String]("")
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    batches.incrementAndGet()
+    rows.addAndGet(e.progress.numInputRows)
+    lastProgressJson.set(e.progress.json)
+  }
+}
+
+object Monitor {
+  /** Attach a fresh monitor to the session's stream manager. */
+  def attach(spark: SparkSession): Monitor = {
+    val m = new Monitor
+    spark.streams.addListener(m)
+    m
+  }
+
+  /** RocksDB state backend, matching the reference's
+    * `store='rocksdb://'` (faust_app.py:25) — config-only in Spark.
+    */
+  val RocksDbConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{Clean, Reviews}
+import graft.streaming.{Monitor, Streams, Warehouse}
+
+/** S12 sort-on-write warehouse layout, S13 RocksDB state store, T8
+  * monitoring listener.
+  */
+class WarehouseSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  test("warehouse write clusters by business_id and sorts date DESC within") {
+    val cleaned = Clean.cleaned(Clean.annotate(Reviews.docsAsReviews(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))))
+    val path = Files.createTempDirectory("graft-wh").toString + "/cleaned"
+    Warehouse.write(cleaned, path, numPartitions = Some(4))
+    val back = Warehouse.read(spark, path)
+    back.count() shouldBe cleaned.count()
+    // within each file, rows are sorted by (business_id, date desc)
+    import org.apache.spark.sql.functions._
+    val files = back.withColumn("f", input_file_name())
+      .select("f", "business_id", "date").collect()
+      .groupBy(_.getString(0))
+    files.foreach { case (_, rows) =>
+      val keys = rows.map(r => (r.getString(1),
+        -r.getTimestamp(2).getTime))
+      keys.toSeq shouldBe keys.toSeq.sorted
+    }
+  }
+
+  test("streaming dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(Monitor.RocksDbConf._1, Monitor.RocksDbConf._2)
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.schema.RawReview]
+      val q = Streams.dedup(in.toDF()).writeStream
+        .format("memory").queryName("rocks_out").outputMode("append").start()
+      try {
+        val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+        val r = graft.schema.RawReview("r1", "b", "u", Some(4.0),
+          "this is the fine text", ts, None, None, None, "t")
+        in.addData(r, r, r.copy(review_id = "r2"))
+        q.processAllAvailable()
+        spark.table("rocks_out").count() shouldBe 2
+      } finally q.stop()
+    } finally spark.conf.unset(Monitor.RocksDbConf._1)
+  }
+
+  test("monitor listener observes progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = Monitor.attach(spark)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Int]
+    val q = in.toDF().writeStream.format("memory")
+      .queryName("mon_out").outputMode("append").start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      m.rows.get() shouldBe 3
+      m.batches.get() should be >= 1L
+      m.lastProgressJson.get() should include("numInputRows")
+    } finally {
+      q.stop(); spark.streams.removeListener(m)
+    }
+  }
+}
