@@ -24,8 +24,15 @@ object Queries {
       DataFrame]()
   private def memoize(spark: SparkSession, dir: String, what: String)
                      (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((spark, dir, what),
-      _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo.computeIfAbsent((spark, dir, what), { _ =>
+      val df =
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize eagerly: the first consumer query otherwise fans out
+      // into several concurrent scans that race to compute the uncached
+      // plan (measured 114 s vs 12 s for the MinHash family at sf0.1)
+      df.count()
+      df
+    })
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
