@@ -14,6 +14,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.rules.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -73,22 +73,23 @@ object Clean {
       "_lc" -> lower(text),
       "_raw_len" -> length(text)))
 
-    // L1: everything that scans _lc / text exactly once
+    // L1: everything that scans _lc / text exactly once. The fused
+    // TextStats expression (graft.functions) yields all char-class counts,
+    // token stats and repeated-run counts of the lowered raw text in ONE
+    // code-point scan (vs ~5 regex traversals + a codegen-blocking HOF).
     val l1 = l0.withColumns(Map(
       "_text_missing" -> (text.isNull || col("_raw_len") === 0),
       "_rating_missing" -> (rating.isNull || rating === 0), // Python truthiness
       "_en_matches" -> when(text.isNull || col("_raw_len") === 0, lit(0))
         .otherwise(regexp_count(col("_lc"), lit(EnStopwords))),
-      "_repeats" -> regexp_count(col("_lc"), lit(RepeatedRun4)),
-      "_punct_spam_cnt" -> charClassCount(col("_lc"), PunctSpamClass),
-      "_digit_cnt" -> charClassCount(col("_lc"), DigitClass),
+      "_lcs" -> graft.functions.TextStats(col("_lc")),
       "cleaned_text" -> when(col("_raw_len") > TextMaxLength,
         substring(text, 1, TextMaxLength)).otherwise(text)
     ) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
       s"_spam_p$i" -> col("_lc").rlike(p)
     })
 
-    // L2: derived from L1 columns; scans cleaned_text once per feature
+    // L2: derived from L1 columns; one fused scan of cleaned_text
     val l2 = l1.withColumns(Map(
       "_pattern_matches" ->
         SpamPatterns.indices
@@ -98,30 +99,27 @@ object Clean {
         when(col("_en_matches") >= 1, lit("en")).otherwise(lit("unknown")),
       "language_confidence" ->
         least(lit(1.0), round(col("_en_matches") * lit(ConfPerMatch), 2)),
-      "_cleaned_len" -> length(col("cleaned_text")),
-      "_alpha_cnt" -> charClassCount(col("cleaned_text"), AlphaClass),
-      "_sentence_cnt" -> charClassCount(col("cleaned_text"), SentenceClass),
-      "_stripped_empty" -> (length(trim(col("cleaned_text"))) === 0),
-      "_words" -> TextFeatures.wordsCol(col("cleaned_text"))))
+      "_cts" -> graft.functions.TextStats(col("cleaned_text")),
+      "_stripped_empty" -> (length(trim(col("cleaned_text"))) === 0)))
 
-    // L3: flags + features assembled from attributes
-    val emptyCt = col("cleaned_text").isNull || col("_cleaned_len") === 0
+    // L3: flags + features assembled from the fused stats
+    def lcs(f: String) = col("_lcs").getField(f)
+    def cts(f: String) = col("_cts").getField(f)
+    val cleanedLen = cts("char_count")
+    val emptyCt = col("cleaned_text").isNull || cleanedLen === 0
     val l3 = l2.withColumns(Map(
       "_spam_hit" -> (col("_pattern_matches") >= SpamPatternThreshold),
       "_too_short" -> (col("_raw_len") < TextMinLength),
       "_too_long" -> (col("_raw_len") > TextMaxLength),
       "_rating_out" -> (rating < RatingMin || rating > RatingMax),
       "_invalid_format" -> (col("_stripped_empty") ||
-        (col("_alpha_cnt") / col("_cleaned_len")) < lit(MinAlphaRatio)),
-      "word_count" -> when(emptyCt, lit(0)).otherwise(size(col("_words"))),
-      "char_count" -> when(emptyCt, lit(0)).otherwise(col("_cleaned_len")),
+        (cts("alpha") / cleanedLen) < lit(MinAlphaRatio)),
+      "word_count" -> when(emptyCt, lit(0)).otherwise(cts("word_count")),
+      "char_count" -> when(emptyCt, lit(0)).otherwise(cleanedLen),
       "sentence_count" -> when(emptyCt, lit(0))
-        .otherwise(greatest(lit(1), col("_sentence_cnt"))),
-      "avg_word_length" -> when(emptyCt || size(col("_words")) === 0, lit(0.0))
-        .otherwise(round(
-          aggregate(col("_words"), lit(0),
-            (acc, w) => acc + length(regexp_replace(w, WordStripClass, ""))) /
-            size(col("_words")), 2))))
+        .otherwise(greatest(lit(1), cts("sentence_marks"))),
+      "avg_word_length" -> when(emptyCt || cts("word_count") === 0, lit(0.0))
+        .otherwise(round(cts("strip_sum") / cts("word_count"), 2))))
 
     // L4: stage reachability + sub-scores (cheap arithmetic on attributes)
     val pastMissing = !(col("_text_missing") || col("_rating_missing"))
@@ -144,14 +142,15 @@ object Clean {
       "validity_score" ->
         Quality.validityFrom(col("_text_missing"), col("_raw_len"), rating),
       "freshness_score" -> Quality.freshness(col("date")),
-      // Q4 spam sub-score on the RAW lowered text
+      // Q4 spam sub-score on the RAW lowered text (fused-stat fields)
       "spam_check_score" -> when(col("_text_missing"), lit(0.0)).otherwise(
         greatest(lit(0.0), least(lit(1.0),
           lit(1.0) - lit(0.3) * col("_pattern_matches") -
-            when(col("_punct_spam_cnt") / col("_raw_len") > lit(0.3),
+            when(col("_lcs").getField("punct_spam") / col("_raw_len") > lit(0.3),
               lit(0.3)).otherwise(lit(0.0)) -
-            when(col("_repeats") > 2, lit(0.2)).otherwise(lit(0.0)) -
-            when(col("_digit_cnt") / col("_raw_len") > lit(0.3),
+            when(col("_lcs").getField("runs4") > 2, lit(0.2))
+              .otherwise(lit(0.0)) -
+            when(col("_lcs").getField("digit") / col("_raw_len") > lit(0.3),
               lit(0.3)).otherwise(lit(0.0)))))))
 
     // L5: final score; L6: anomaly flag + stage label + issue accumulation

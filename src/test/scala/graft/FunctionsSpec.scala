@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit, lower}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{CharClassParser, TextStats}
+import graft.rules.Rules._
+
+/** The fused TextStats expression must agree exactly with the regex-based
+  * column formulas it replaced, and the CountInClass optimizer rule must
+  * rewrite the char-class-count idiom without changing results.
+  */
+class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private val tricky = Seq(
+    "hello world",
+    "this is great!!! really... yes?!",
+    "...leading and trailing,,,",
+    "ALLCAPS TEXT 123",
+    "aaaa bbbbb c dd",
+    "a..b.. ..c.. ....",
+    "tabs\tand\nnewlines  double  spaces",
+    "%%%% @@@@ aaaa", // runs outside vs inside the restricted set
+    "1234567890 0.5% (50)",
+    "  ", "x", "",
+    "unicode éééé café")
+
+  test("TextStats fields match the regex-based formulas") {
+    import spark.implicits._
+    val df = tricky.toDF("t").withColumn("s", TextStats(lower(col("t"))))
+    val checks = df.select(
+      col("t"),
+      col("s").getField("char_count") === F.length(lower(col("t"))),
+      col("s").getField("word_count") ===
+        F.size(F.filter(F.split(lower(col("t")), """\s+"""), w => w =!= "")),
+      col("s").getField("sentence_marks") ===
+        (F.length(col("t")) - F.length(F.regexp_replace(lower(col("t")), SentenceClass, ""))),
+      col("s").getField("digit") ===
+        (F.length(col("t")) - F.length(F.regexp_replace(lower(col("t")), DigitClass, ""))),
+      col("s").getField("punct_spam") ===
+        (F.length(col("t")) - F.length(F.regexp_replace(lower(col("t")), PunctSpamClass, ""))),
+      col("s").getField("runs4") === F.regexp_count(lower(col("t")), lit(RepeatedRun4)),
+      col("s").getField("strip_sum") ===
+        F.aggregate(F.filter(F.split(lower(col("t")), """\s+"""), w => w =!= ""),
+          lit(0), (acc, w) => acc + F.length(F.regexp_replace(w, WordStripClass, ""))))
+    checks.collect().foreach { r =>
+      withClue(s"input='${r.getString(0)}': ") {
+        (1 until r.length).foreach { i =>
+          withClue(s"field $i: ") { r.getBoolean(i) shouldBe true }
+        }
+      }
+    }
+  }
+
+  test("alpha counts ASCII letters only (matches [A-Za-z] semantics)") {
+    import spark.implicits._
+    val r = Seq("café 123 ABC").toDF("t")
+      .select(TextStats(col("t")).getField("alpha")).head()
+    r.getInt(0) shouldBe 6 // c,a,f,A,B,C — é excluded like [A-Za-z]
+  }
+
+  test("CharClassParser expands simple classes and bails on fancy ones") {
+    CharClassParser.expand("[.!?]") shouldBe Some(".!?")
+    CharClassParser.expand("[0-9]") shouldBe Some("0123456789")
+    CharClassParser.expand("[A-Za-z]").get should have length 52
+    CharClassParser.expand("""[.,!?;:'"()\-]""") shouldBe Some(""".,!?;:'"()-""")
+    CharClassParser.expand("[^a]") shouldBe None
+    CharClassParser.expand("""[\d]""") shouldBe None
+    CharClassParser.expand("""[\x{4e00}-\x{9fff}]""") shouldBe None
+  }
+
+  test("CountInClassRule rewrites the idiom and preserves results") {
+    // parquet-backed source: local relations constant-fold before the plan
+    // can be inspected
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val idiom = docs.select(col("doc_id"),
+      (F.length(col("text")) - F.length(F.regexp_replace(col("text"), "[0-9]", "")))
+        .as("digits"))
+    idiom.queryExecution.optimizedPlan.toString should include("count_in_class")
+    val viaRule = idiom.orderBy("doc_id").collect().map(_.getInt(1))
+    val direct = docs.select(col("doc_id"),
+        F.length(col("text")).as("n"),
+        F.length(F.regexp_replace(col("text"), "[0-9]", "")).as("m"))
+      .orderBy("doc_id").collect().map(r => r.getInt(1) - r.getInt(2))
+    viaRule.toSeq shouldBe direct.toSeq
+  }
+
+  test("rule leaves non-matching shapes alone") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // different columns on the two sides -> no rewrite
+    val plan = docs.select(
+      (F.length(col("source")) - F.length(F.regexp_replace(col("text"), "[0-9]", "")))
+        .as("n")).queryExecution.optimizedPlan.toString
+    plan should not include "count_in_class"
+  }
+}

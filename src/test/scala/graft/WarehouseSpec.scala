@@ -62,6 +62,10 @@ class WarehouseSpec extends AnyFunSuite with Matchers with TestSpark {
     try {
       in.addData(1, 2, 3)
       q.processAllAvailable()
+      // listener events arrive via an async bus — wait for delivery
+      val deadline = System.currentTimeMillis() + 30000
+      while (m.rows.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
       m.rows.get() shouldBe 3
       m.batches.get() should be >= 1L
       m.lastProgressJson.get() should include("numInputRows")
