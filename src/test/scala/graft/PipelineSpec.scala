@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{Clean, Dedup}
+import graft.schema.RawReview
+import graft.streaming.{Pipeline, Streams, UpsertSink}
+
+/** The full reference topology end-to-end: replayed raw reviews ->
+  * dedup -> clean -> routed cleaned/issues -> idempotent warehouse.
+  */
+class PipelineSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def raw(id: String, date: String, text: String): RawReview =
+    RawReview(id, s"b_$id", "u1", Some(4.0), text, ts(date),
+      Some(1), Some(0), Some(0), "test")
+
+  test("E1->E2->E3: stream in, dedup, clean, route, upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = new UpsertSink("review_id")
+    val issues = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val in = MemoryStream[RawReview]
+    val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val q = new Pipeline(sink, issues).start(in.toDF(), checkpoint)
+    try {
+      in.addData(
+        raw("r1", "2024-01-01 10:00:00",
+          "this place was absolutely great for the whole family"),
+        raw("r1", "2024-01-01 10:00:00", "duplicate of the first record"),
+        raw("r2", "2024-01-01 10:20:00", "the x"), // too_short -> issue only
+        raw("r3", "2024-01-01 10:40:00",
+          "a wonderful spot with the best service in town"))
+      q.processAllAvailable()
+      sink.size shouldBe 2 // r1 (first wins), r3; r2 rejected
+      sink.store.containsKey("r1") shouldBe true
+      sink.store.containsKey("r3") shouldBe true
+      issues.size should be >= 1
+      // replay the whole input: idempotent upsert, no growth
+      in.addData(raw("r1", "2024-01-01 10:00:00",
+        "this place was absolutely great for the whole family"))
+      q.processAllAvailable()
+      sink.size shouldBe 2
+    } finally q.stop()
+  }
+
+  test("dedup-dropped records become duplicate issues (batch diff)") {
+    import spark.implicits._
+    val batch = Seq(
+      raw("r1", "2024-01-01 10:00:00", "the text one"),
+      raw("r1", "2024-01-01 10:00:00", "the text one again"),
+      raw("r2", "2024-01-01 10:10:00", "the text two")).toDF()
+    val deduped = batch.dropDuplicates("review_id", "date")
+    val dups = Pipeline.duplicateIssues(batch, deduped).collect()
+    dups.length shouldBe 1
+    dups.head.getAs[String]("issue_type") shouldBe "duplicate"
+    dups.head.getAs[Int]("severity") shouldBe 7
+    dups.head.getAs[String]("og_value") should startWith("r1:")
+  }
+}
