@@ -100,6 +100,9 @@ object Queries {
     "q_top_orders" -> (Relational.topOrdersPerCustomer _),
     "q_region_revenue" -> (Relational.regionRevenue _),
     "q_event_props" -> (Relational.eventPropsAgg _),
+    "q_pricing_rollup" -> (Relational.pricingRollup _),
+    "q_click_no_purchase" -> (Relational.clickNoPurchase _),
+    "q_click_and_purchase" -> (Relational.clickAndPurchase _),
     // LLM-data-pipeline: dedup family (north star)
     "q_dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exactDedup(Corpus.withExactDups(s, d))),
@@ -141,6 +144,9 @@ object Queries {
     "q_top_orders" -> Sql.topOrdersPerCustomer,
     "q_region_revenue" -> Sql.regionRevenue,
     "q_event_props" -> Sql.eventPropsAgg,
+    "q_pricing_rollup" -> Sql.pricingRollup,
+    "q_click_no_purchase" -> Sql.clickNoPurchase,
+    "q_click_and_purchase" -> Sql.clickAndPurchase,
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,

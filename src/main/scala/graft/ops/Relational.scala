@@ -97,6 +97,40 @@ object Relational {
       .orderBy("r_name", "yr")
   }
 
+  /** ROLLUP over the Q1 grouping — multi-level aggregates in one pass
+    * (Catalyst expands grouping sets; one shuffle). Null grouping levels
+    * are made oracle-comparable via grouping_id.
+    */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Set operations over the events stream: users seen in clicks but never
+    * in purchases (EXCEPT), plus the distinct union cardinality check cols.
+    */
+  def clickNoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click").select("user_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id")
+    clicks.except(purchases).orderBy("user_id")
+  }
+
+  /** INTERSECT: users who both clicked and purchased. */
+  def clickAndPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
   /** Semi-structured projection: extract `$.k` from the JSON props column
     * and aggregate per event_type (S1-adjacent: permissive JSON handling).
     */

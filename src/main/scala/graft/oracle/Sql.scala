@@ -390,6 +390,31 @@ object Sql {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Oracle for q_pricing_rollup (multi-level aggregate via ROLLUP). */
+  val pricingRollup: String =
+    """SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+      |  l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** Oracles for the set-operation surface (distinct semantics match
+    * Spark's except/intersect).
+    */
+  val clickNoPurchase: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+  val clickAndPurchase: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
   /** Oracle for q_event_props (JSON path extraction + agg). */
   val eventPropsAgg: String =
     """SELECT event_type,
