@@ -51,7 +51,9 @@ object TextDedup {
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= ShingleK)
       .withColumn("shingles", shingles(col("_words"), ShingleK))
-      .withColumn("mh", minhashes(col("shingles"), MinhashK))
+      // native one-pass signature (value-identical to
+      // TextHash.minhashes(shingles); equivalence spec'd in FunctionsSpec)
+      .withColumn("mh", graft.functions.MinHashSig(lower(col("text"))))
       .withColumn("bands", bandKeys(col("mh"), Bands, BandRows))
 
   /** LSH candidate pairs: doc_a < doc_b sharing >= 1 band bucket. */

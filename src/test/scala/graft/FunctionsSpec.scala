@@ -71,6 +71,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
     CharClassParser.expand("""[\x{4e00}-\x{9fff}]""") shouldBe None
   }
 
+  test("native MinHashSig equals the column-expression minhashes") {
+    import graft.ops.{TextDedup, TextHash}
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val viaExpr = corpus
+      .withColumn("w", TextHash.words(col("text")))
+      .filter(F.size(col("w")) >= TextDedup.ShingleK)
+      .withColumn("sh", TextHash.shingles(col("w"), TextDedup.ShingleK))
+      .select(col("doc_id"),
+        TextHash.minhashes(col("sh"), TextDedup.MinhashK).as("mh"))
+    val viaNative = corpus
+      .withColumn("w", TextHash.words(col("text")))
+      .filter(F.size(col("w")) >= TextDedup.ShingleK)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(lower(col("text"))).as("mh"))
+    val a = viaExpr.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val b = viaNative.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    a.length should be > 100
+    a.zip(b).foreach { case (x, y) => x shouldBe y }
+  }
+
   test("CountInClassRule rewrites the idiom and preserves results") {
     // parquet-backed source: local relations constant-fold before the plan
     // can be inspected
