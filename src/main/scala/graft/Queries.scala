@@ -101,6 +101,16 @@ object Queries {
     "q_region_revenue" -> (Relational.regionRevenue _),
     "q_event_props" -> (Relational.eventPropsAgg _),
     "q_pricing_rollup" -> (Relational.pricingRollup _),
+    // custom physical operator (plans/TopKPerKey): per-key bounded-heap
+    // top-k — no per-group sort, map-side pruning before one shuffle
+    "q_topk_custom" -> ((s: SparkSession, d: String) =>
+      graft.plans.TopK.perKey(
+          Tables.load(s, d, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"),
+          Seq(graft.plans.TopK.desc("o_totalprice"),
+            graft.plans.TopK.asc("o_orderkey")), k = 3)
+        .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))),
     "q_click_no_purchase" -> (Relational.clickNoPurchase _),
     "q_click_and_purchase" -> (Relational.clickAndPurchase _),
     // LLM-data-pipeline: dedup family (north star)
@@ -145,6 +155,11 @@ object Queries {
     "q_region_revenue" -> Sql.regionRevenue,
     "q_event_props" -> Sql.eventPropsAgg,
     "q_pricing_rollup" -> Sql.pricingRollup,
+    "q_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_click_no_purchase" -> Sql.clickNoPurchase,
     "q_click_and_purchase" -> Sql.clickAndPurchase,
     "q_dedup_exact" -> SqlText.exactDedup,

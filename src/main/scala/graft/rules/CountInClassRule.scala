@@ -36,6 +36,8 @@ object CountInClassRule extends Rule[LogicalPlan] {
   * does this for every engine session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CountInClassRule)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
