@@ -113,6 +113,8 @@ object Queries {
         .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))),
     "q_click_no_purchase" -> (Relational.clickNoPurchase _),
     "q_click_and_purchase" -> (Relational.clickAndPurchase _),
+    // as-of join (union+window; oracle = DuckDB native ASOF JOIN)
+    "q_asof_purchase" -> (Relational.clickLastPurchase _),
     // LLM-data-pipeline: dedup family (north star)
     "q_dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exactDedup(Corpus.withExactDups(s, d))),
@@ -162,6 +164,7 @@ object Queries {
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_click_no_purchase" -> Sql.clickNoPurchase,
     "q_click_and_purchase" -> Sql.clickAndPurchase,
+    "q_asof_purchase" -> Sql.clickLastPurchase,
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,

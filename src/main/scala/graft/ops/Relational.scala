@@ -131,6 +131,24 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** As-of join over the events stream: each click matched to the user's
+    * most recent prior (or simultaneous) purchase. Right side is deduped to
+    * unique (user_id, ts) so the as-of pick is deterministic in both
+    * engines (DuckDB's native ASOF JOIN is the oracle).
+    */
+  def clickLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(round(max(col("value")), 2).as("purchase_value"))
+    AsOfJoin.asOf(clicks, purchases, key = "user_id", ts = "ts",
+        payload = Seq("purchase_value"))
+      .select("event_id", "user_id", "ts", "purchase_value")
+      .orderBy("event_id")
+  }
+
   /** Semi-structured projection: extract `$.k` from the JSON props column
     * and aggregate per event_type (S1-adjacent: permissive JSON handling).
     */

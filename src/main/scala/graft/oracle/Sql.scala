@@ -415,6 +415,20 @@ object Sql {
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
 
+  /** Oracle for q_asof_purchase: DuckDB's NATIVE ASOF JOIN against our
+    * union+window implementation (ties at equal ts match; inner as-of).
+    */
+  val clickLastPurchase: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, round(max(value), 2) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+      |FROM clicks c ASOF JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   /** Oracle for q_event_props (JSON path extraction + agg). */
   val eventPropsAgg: String =
     """SELECT event_type,
