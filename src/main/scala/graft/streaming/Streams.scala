@@ -39,6 +39,51 @@ object Streams {
     raw.withWatermark("date", delay)
       .dropDuplicatesWithinWatermark("review_id", "date")
 
+  /** EXACT Faust-window dedup semantics (SURVEY §7 risk register): the
+    * reference dedups within a 1-hour tumbling PROCESSING-time window with
+    * 2-hour state expiry (faust_app.py:77-80) — duplicates are forgotten
+    * across window boundaries, unlike dropDuplicatesWithinWatermark which
+    * holds keys until the event-time watermark passes. This variant uses
+    * flatMapGroupsWithState keyed by (review_id, date) with a processing-
+    * time timeout = the table TTL: first record per key passes, later ones
+    * drop while the state lives, and the key is forgotten on timeout —
+    * exactly the Faust table behavior.
+    *
+    * Cost note: processing-time timeouts make the engine run empty
+    * micro-batches continuously to fire them
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch) — prefer the
+    * idiomatic [[dedup]] (watermark-scoped) unless the Faust boundary
+    * behavior is specifically required.
+    */
+  def dedupFaustStyle(raw: DataFrame, ttl: String = "2 hours")
+      : org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(raw.schema)
+    implicit val boolEnc = Encoders.scalaBoolean
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    raw.groupByKey { r: Row =>
+      (r.getAs[String]("review_id"),
+        String.valueOf(r.getAs[java.sql.Timestamp]("date")))
+    }.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      (_: (String, String), rows: Iterator[Row], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else if (state.exists) {
+          // key seen within TTL -> everything here is a duplicate
+          state.setTimeoutDuration(ttl)
+          Iterator.empty
+        } else {
+          state.update(true)
+          state.setTimeoutDuration(ttl)
+          rows.take(1) // first record wins; same-batch extras drop
+        }
+    }
+  }
+
   /** Hourly windowed ReviewStats in update mode (A1/A3). */
   def hourlyStats(annotated: DataFrame, delay: String = "2 hours"): DataFrame =
     annotated

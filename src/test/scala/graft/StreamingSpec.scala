@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite with Matchers with TestSpark {
     } finally q.stop()
   }
 
+  test("Faust-style dedup: first wins within TTL, key-scoped state (FMGWS)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawReview]
+    val q = Streams.dedupFaustStyle(in.toDF()).writeStream
+      .format("memory").queryName("fmgws_out").outputMode("append").start()
+    // NOTE processing-time timeouts make the engine re-run empty batches
+    // continuously (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so
+    // processAllAvailable never settles — poll the sink instead.
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("fmgws_out").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    try {
+      in.addData(raw("r1", "2024-01-01 10:00:00"),
+        raw("r1", "2024-01-01 10:00:00")) // same-batch dup -> dropped
+      awaitCount(1)
+      spark.table("fmgws_out").count() shouldBe 1
+      in.addData(raw("r1", "2024-01-01 10:00:00"), // cross-batch dup -> dropped
+        raw("r1", "2024-01-01 11:00:00")) // new (id, date) key -> kept
+      awaitCount(2)
+      spark.table("fmgws_out").count() shouldBe 2
+    } finally q.stop()
+  }
+
   test("hourly stats aggregate in update mode with event-time windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
