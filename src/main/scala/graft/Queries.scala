@@ -136,6 +136,7 @@ object Queries {
     // LLM-data-pipeline: similarity search
     "q_knn_brute" -> (EmbedSim.knnBrute _),
     "q_knn_ivf" -> (EmbedSim.knnIvf _),
+    "q_embed_dups" -> (EmbedSim.embedDups _),
     // multimodal plumbing (stubbed decode — no SQL oracle, rows-only check)
     "q_media_features" -> ((s: SparkSession, _: String) =>
       Media.featureStats(Media.decodeStub(Media.mediaTable(s, 300))))
@@ -174,6 +175,7 @@ object Queries {
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
     "q_knn_brute" -> SqlText.knnBrute,
-    "q_knn_ivf" -> SqlText.knnIvf
+    "q_knn_ivf" -> SqlText.knnIvf,
+    "q_embed_dups" -> SqlText.embedDups
   )
 }

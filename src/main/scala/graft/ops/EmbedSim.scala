@@ -72,6 +72,45 @@ object EmbedSim {
       .orderBy("query_id", "rank")
   }
 
+  val DupThreshold = 0.9
+  val DupMod = 25 // vec_id % 25 == 0 get a perturbed near-dup copy
+
+  /** Embedding-cosine near-dup detection, IVF-bucketed (the scale path:
+    * pairs form only within a coarse-centroid inverted list, never across
+    * the full corpus). The corpus gains deterministic near-dups — every
+    * (vec_id % 25 == 0) vector is repeated under vec_id + 100000 with
+    * +0.05 on every dimension (cos ≈ 0.92-0.95 vs a 0.51 background max,
+    * so the 0.9 threshold cleanly separates). Mirrored in the oracle.
+    */
+  def embedDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val perturbed = base.filter(col("vec_id") % DupMod === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.05)).as("emb"))
+    val corpus = base.unionAll(perturbed)
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val centroids = base.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+      .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("_cc"), col("centroid_id"))
+    val assigned = corpus.join(broadcast(centroids), lit(true))
+      .withColumn("_cc",
+        cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm")))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosByNorm(dot(col("a.emb"), col("b.emb")), col("a.norm"),
+          col("b.norm")).as("cos_sim"))
+      .filter(col("cos_sim") >= DupThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (vec_id % 50 == 0), then each query scores only the vectors in its 2
     * nearest centroids' lists. Deterministic ties: (cos desc, centroid_id).

@@ -241,6 +241,35 @@ object SqlText {
        |FROM scored QUALIFY "rank" <= ${EmbedSim.TopK}
        |ORDER BY query_id, "rank"""".stripMargin
 
+  /** Oracle for q_embed_dups (IVF-bucketed cosine near-dup pairs over the
+    * deterministically-perturbed corpus).
+    */
+  val embedDups: String =
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(emb, x -> x + ${d(0.05)}) AS emb
+       |  FROM emb0 WHERE vec_id % ${EmbedSim.DupMod} = 0),
+       |corpus AS (
+       |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM (
+       |    SELECT * FROM emb0 UNION ALL SELECT * FROM pert)),
+       |cent AS (SELECT vec_id AS centroid_id, emb AS cemb,
+       |  sqrt(${dotSql("emb", "emb")}) AS cnrm
+       |  FROM emb0 WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm),
+       |        6) DESC, c.centroid_id) AS rn
+       |  FROM corpus e CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Oracle for q_knn_ivf (IVF-style probed ANN). */
   val knnIvf: String =
     s"""WITH $embCtes,

@@ -9,7 +9,10 @@ import org.scalatest.Suite
   */
 trait TestSpark extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession =
-    Sessions.builder("4").appName("graft-test").getOrCreate()
+    Sessions.builder("4").appName("graft-test")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh-dir").toString)
+      .getOrCreate()
 
   override def afterAll(): Unit = {
     // session is shared process-wide; don't stop between suites

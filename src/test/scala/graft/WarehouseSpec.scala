@@ -31,6 +31,31 @@ class WarehouseSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    try {
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      // bucketing IS the shuffle, done once at write time — the join plan
+      // must carry no exchange (the 100 TB co-located-join technique)
+      val plan = j.queryExecution.executedPlan.toString
+      plan should not include "Exchange hashpartitioning"
+      j.count() shouldBe lineitem.count()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
