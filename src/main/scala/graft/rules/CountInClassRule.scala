@@ -36,8 +36,28 @@ object CountInClassRule extends Rule[LogicalPlan] {
   * does this for every engine session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, usage: String,
+                 build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (exprs: Seq[Expression]) => build(exprs))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CountInClassRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // SQL-callable registrations of the native expressions
+    e.injectFunction(fn("text_stats",
+      "text_stats(str) - fused single-pass text statistics struct",
+      exprs => graft.functions.TextStats(exprs.head)))
+    e.injectFunction(fn("minhash_sig",
+      "minhash_sig(str) - 16-component MinHash signature (array<long>)",
+      exprs => graft.functions.MinHashSig(exprs.head)))
+    e.injectFunction(fn("count_in_class",
+      "count_in_class(str, chars) - count of code points in the char set",
+      exprs => graft.functions.CountInClass(exprs.head,
+        exprs(1).eval(null).toString)))
   }
 }

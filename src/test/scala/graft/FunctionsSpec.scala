@@ -108,6 +108,19 @@ class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
     viaRule.toSeq shouldBe direct.toSeq
   }
 
+  test("native functions are SQL-callable via the extensions") {
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT text_stats(text).word_count AS wc,
+        |  minhash_sig(lower(text))[0] AS mh0,
+        |  count_in_class(text, '0123456789') AS digits
+        |FROM docs_sql WHERE doc_id = 1""".stripMargin).head()
+    r.getAs[Int]("wc") should be > 0
+    r.getAs[Long]("mh0") should be >= 0L
+    r.getAs[Int]("digits") should be >= 0
+  }
+
   test("rule leaves non-matching shapes alone") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     // different columns on the two sides -> no rewrite
