@@ -115,6 +115,7 @@ object Queries {
     "q_click_and_purchase" -> (Relational.clickAndPurchase _),
     // as-of join (union+window; oracle = DuckDB native ASOF JOIN)
     "q_asof_purchase" -> (Relational.clickLastPurchase _),
+    "q_price_stats" -> (Relational.priceStats _),
     // LLM-data-pipeline: dedup family (north star)
     "q_dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exactDedup(Corpus.withExactDups(s, d))),
@@ -166,6 +167,7 @@ object Queries {
     "q_click_no_purchase" -> Sql.clickNoPurchase,
     "q_click_and_purchase" -> Sql.clickAndPurchase,
     "q_asof_purchase" -> Sql.clickLastPurchase,
+    "q_price_stats" -> Sql.priceStats,
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,

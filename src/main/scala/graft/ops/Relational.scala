@@ -131,6 +131,21 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Exact percentiles + distinct counts per group (portable: both engines
+    * compute exact linear-interpolated quantiles over the sorted values;
+    * approx_percentile/HLL sketches are deliberately not oracle-paired).
+    */
+  def priceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
   /** As-of join over the events stream: each click matched to the user's
     * most recent prior (or simultaneous) purchase. Right side is deduped to
     * unique (user_id, ts) so the as-of pick is deterministic in both

@@ -415,6 +415,18 @@ object Sql {
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
 
+  /** Oracle for q_price_stats (exact interpolated percentiles + distinct
+    * counts).
+    */
+  val priceStats: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+      |  round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for q_asof_purchase: DuckDB's NATIVE ASOF JOIN against our
     * union+window implementation (ties at equal ts match; inner as-of).
     */
