@@ -98,7 +98,7 @@ object Sql {
        |c2 AS (
        |  SELECT *,
        |    CASE WHEN en_matches >= 1 THEN 'en' ELSE 'unknown' END AS language,
-       |    least(${d(1.0)}, round(en_matches * ${d(ConfPerMatch)}, 2))
+       |    least(${d(1.0)}, CAST(round(CAST(en_matches * ${d(ConfPerMatch)} AS DECIMAL(38, 12)), 2) AS DOUBLE))
        |      AS language_confidence,
        |    (${SpamPatterns.indices.map(spamFlag).mkString(" + ")})
        |      AS pattern_matches,
@@ -137,9 +137,9 @@ object Sql {
        |         ELSE CAST(greatest(1, ${classCount("cleaned_text", SentenceClass)})
        |              AS INTEGER) END AS sentence_count,
        |    CASE WHEN $emptyCt OR len(words) = 0 THEN ${d(0.0)}
-       |         ELSE round(
+       |         ELSE CAST(round(CAST(
        |           CAST(list_sum(list_transform(words, w -> $stripLen)) AS BIGINT)
-       |             / len(words), 2) END AS avg_word_length
+       |             / len(words) AS DECIMAL(38, 12)), 2) AS DOUBLE) END AS avg_word_length
        |  FROM c3
        |),
        |c5 AS (
@@ -187,10 +187,10 @@ object Sql {
        |),
        |ann AS (
        |  SELECT *,
-       |    round(completeness_score * ${d(WeightCompleteness)}
+       |    CAST(round(CAST(completeness_score * ${d(WeightCompleteness)}
        |      + validity_score * ${d(WeightValidity)}
        |      + freshness_score * ${d(WeightFreshness)}
-       |      + spam_check_score * ${d(WeightSpamCheck)}, 2)
+       |      + spam_check_score * ${d(WeightSpamCheck)} AS DECIMAL(38, 12)), 2) AS DOUBLE)
        |      AS data_quality_score
        |  FROM c6
        |)""".stripMargin
@@ -272,7 +272,7 @@ object Sql {
     def countIf(c: String) =
       s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
     def avgIf(c: String, v: String) =
-      s"round(avg(CASE WHEN $c THEN $v END), 2)"
+      s"CAST(round(CAST(avg(CASE WHEN $c THEN $v END) AS DECIMAL(38, 12)), 2) AS DOUBLE)"
     val hist = (1 to 5).map(k =>
       s"${countIf(s"accepted AND rating = $k")} AS rating_$k").mkString(",\n  ")
     s"""WITH $annCtes
@@ -303,8 +303,8 @@ object Sql {
     s"""WITH $annCtes
        |SELECT business_id,
        |  CAST(count(*) AS BIGINT) AS n_reviews,
-       |  round(avg(CAST(rating AS INTEGER)), 2) AS avg_rating,
-       |  round(avg(data_quality_score), 2) AS avg_quality,
+       |  CAST(round(CAST(avg(CAST(rating AS INTEGER)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_rating,
+       |  CAST(round(CAST(avg(data_quality_score) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_quality,
        |  min(data_quality_score) AS min_quality,
        |  max(data_quality_score) AS max_quality
        |FROM ann WHERE accepted
@@ -342,14 +342,14 @@ object Sql {
   /** Oracle for q1_pricing (TPC-H Q1 shape). */
   val q1Pricing: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+      |  CAST(round(CAST(sum(l_quantity) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38, 12)), 2) AS DOUBLE)
       |    AS sum_charge,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_extendedprice), 2) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(round(CAST(avg(l_quantity) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_qty,
+      |  CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_price,
+      |  CAST(round(CAST(avg(l_discount) AS DECIMAL(38, 12)), 4) AS DOUBLE) AS avg_disc,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -359,7 +359,7 @@ object Sql {
   val q3Shipping: String =
     """SELECT l_orderkey,
       |  o_orderdate, o_orderpriority,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -381,7 +381,7 @@ object Sql {
   /** Oracle for q_region_revenue (dimension star-join). */
   val regionRevenue: String =
     """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -394,8 +394,8 @@ object Sql {
   val pricingRollup: String =
     """SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
       |  l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  CAST(round(CAST(sum(l_quantity) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_disc_price,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -420,9 +420,9 @@ object Sql {
     */
   val priceStats: String =
     """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
-      |  round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+      |  CAST(round(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS p50_price,
+      |  CAST(round(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS p95_price,
+      |  CAST(round(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS p50_qty,
       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
@@ -434,7 +434,7 @@ object Sql {
     """WITH clicks AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |purchases AS (
-      |  SELECT user_id, ts, round(max(value), 2) AS purchase_value
+      |  SELECT user_id, ts, CAST(round(CAST(max(value) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS purchase_value
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
       |SELECT c.event_id, c.user_id, c.ts, p.purchase_value
       |FROM clicks c ASOF JOIN purchases p
@@ -447,9 +447,9 @@ object Sql {
       |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
       |    AS BIGINT) AS sum_k,
-      |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)
+      |  CAST(round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DECIMAL(38, 12)), 2) AS DOUBLE)
       |    AS avg_k,
-      |  round(sum(value), 2) AS sum_value
+      |  CAST(round(CAST(sum(value) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

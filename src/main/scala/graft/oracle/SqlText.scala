@@ -155,13 +155,13 @@ object SqlText {
   val langId: String = {
     val wc = s"greatest(len(${wordsOf("text")}), 1)"
     val scores = TextAnalysis.StopwordProfiles.map { case (lang, re) =>
-      s"round(len(regexp_extract_all(lower(text), ${s(re)})) / $wc, 4)" +
+      s"CAST(round(CAST(len(regexp_extract_all(lower(text), ${s(re)})) / $wc AS DECIMAL(38, 12)), 4) AS DOUBLE)" +
         s" AS score_$lang"
     }.mkString(",\n  ")
     val zh =
-      s"""round((length(lower(text)) - length(
+      s"""CAST(round(CAST((length(lower(text)) - length(
          |    regexp_replace(lower(text), ${s(TextAnalysis.CjkClass)}, '', 'g')))
-         |    / greatest(length(lower(text)), 1), 4) AS score_zh""".stripMargin
+         |    / greatest(length(lower(text)), 1) AS DECIMAL(38, 12)), 4) AS DOUBLE) AS score_zh""".stripMargin
     val langs = TextAnalysis.StopwordProfiles.map(_._1) :+ "zh"
     val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
     val pred = langs.map(l =>
@@ -189,8 +189,8 @@ object SqlText {
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
        |  CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
-       |  round(avg(ws_tokens), 2) AS avg_ws_tokens,
-       |  round(avg(bpe_tokens), 2) AS avg_bpe_tokens
+       |  CAST(round(CAST(avg(ws_tokens) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_ws_tokens,
+       |  CAST(round(CAST(avg(bpe_tokens) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_bpe_tokens
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle for q_doc_quality. */
@@ -204,11 +204,11 @@ object SqlText {
        |  greatest(length(text), 1) AS lensafe
        |  FROM documents)
        |SELECT doc_id, source, CAST(wc AS INTEGER) AS word_count,
-       |  round(${d(0.4)} * least(${d(1.0)}, wc / ${d(100.0)})
+       |  CAST(round(CAST(${d(0.4)} * least(${d(1.0)}, wc / ${d(100.0)})
        |    + ${d(0.4)} * least(${d(1.0)},
        |        (stops / greatest(wc, 1)) * 5)
        |    + ${d(0.2)} * (${d(1.0)} - least(${d(1.0)},
-       |        (punct / lensafe) * 5)), 3) AS quality
+       |        (punct / lensafe) * 5)) AS DECIMAL(38, 12)), 3) AS DOUBLE) AS quality
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
@@ -233,7 +233,7 @@ object SqlText {
   val knnBrute: String =
     s"""WITH $embCtes,
        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-       |  round(${dotSql("qemb", "e.emb")} / (qnrm * e.nrm), 6) AS cos_sim
+       |  CAST(round(CAST(${dotSql("qemb", "e.emb")} / (qnrm * e.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
        |  FROM emb e CROSS JOIN q WHERE e.vec_id != query_id)
        |SELECT query_id, neighbor_id, cos_sim,
        |  CAST(row_number() OVER (PARTITION BY query_id
@@ -259,12 +259,11 @@ object SqlText {
        |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm),
-       |        6) DESC, c.centroid_id) AS rn
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
        |  FROM corpus e CROSS JOIN cent c) WHERE rn = 1)
        |SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    round(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |    CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
        |  FROM assigned a JOIN assigned b
        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
@@ -278,17 +277,15 @@ object SqlText {
        |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm),
-       |        6) DESC, c.centroid_id) AS rn
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
        |probes AS (SELECT query_id, qemb, qnrm, centroid_id FROM (
        |  SELECT q.query_id, q.qemb, q.qnrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY round(${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm),
-       |        6) DESC, c.centroid_id) AS rn
+       |      ORDER BY CAST(round(CAST(${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
        |  FROM q CROSS JOIN cent c) WHERE rn <= ${EmbedSim.Probes}),
        |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-       |  round(${dotSql("p.qemb", "a.emb")} / (p.qnrm * a.nrm), 6) AS cos_sim
+       |  CAST(round(CAST(${dotSql("p.qemb", "a.emb")} / (p.qnrm * a.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
        |  FROM probes p JOIN assigned a USING (centroid_id)
        |  WHERE a.vec_id != p.query_id)
        |SELECT query_id, neighbor_id, cos_sim,
