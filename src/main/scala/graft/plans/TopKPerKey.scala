@@ -118,6 +118,11 @@ object TopK {
     */
   def perKey(df: DataFrame, keyCols: Seq[String], sortSpec: Seq[Sort],
              k: Int): DataFrame = {
+    // self-register the strategy so the operator works in sessions created
+    // without spark.sql.extensions=graft.rules.GraftExtensions
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKPerKeyStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
     val keys = keyCols.map(c => GraftBridge.expression(df(c)))
     val order = sortSpec.map { s =>
       SortOrder(GraftBridge.expression(df(s.column)),
