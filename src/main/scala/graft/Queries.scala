@@ -137,7 +137,10 @@ object Queries {
     // LLM-data-pipeline: similarity search
     "q_knn_brute" -> (EmbedSim.knnBrute _),
     "q_knn_ivf" -> (EmbedSim.knnIvf _),
-    "q_embed_dups" -> (EmbedSim.embedDups _),
+    "q_embed_dups" -> ((s: SparkSession, d: String) =>
+      EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
+        EmbedSim.dupAssigned(s, d)
+      })),
     // multimodal plumbing (stubbed decode — no SQL oracle, rows-only check)
     "q_media_features" -> ((s: SparkSession, _: String) =>
       Media.featureStats(Media.decodeStub(Media.mediaTable(s, 300))))

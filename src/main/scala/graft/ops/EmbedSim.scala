@@ -82,7 +82,14 @@ object EmbedSim {
     * +0.05 on every dimension (cos ≈ 0.92-0.95 vs a 0.51 background max,
     * so the 0.9 threshold cleanly separates). Mirrored in the oracle.
     */
-  def embedDups(spark: SparkSession, dir: String): DataFrame = {
+  def embedDups(spark: SparkSession, dir: String): DataFrame =
+    embedDupsOf(dupAssigned(spark, dir))
+
+  /** The IVF assignment of the perturbed corpus — the expensive subtree
+    * (|corpus| x |centroids| dot products). Exposed so callers (Queries)
+    * can persist it: the self-join below otherwise computes it twice.
+    */
+  def dupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val perturbed = base.filter(col("vec_id") % DupMod === 0)
@@ -95,12 +102,15 @@ object EmbedSim {
       .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(desc("_cc"), col("centroid_id"))
-    val assigned = corpus.join(broadcast(centroids), lit(true))
+    corpus.join(broadcast(centroids), lit(true))
       .withColumn("_cc",
         cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm")))
       .withColumn("_rn", row_number().over(assignW))
       .filter(col("_rn") === 1)
       .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
+  }
+
+  def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -109,7 +119,6 @@ object EmbedSim {
           col("b.norm")).as("cos_sim"))
       .filter(col("cos_sim") >= DupThreshold)
       .orderBy("vec_a", "vec_b")
-  }
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (vec_id % 50 == 0), then each query scores only the vectors in its 2
