@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to sbt's stdout/stderr with no
+// "[info] "/"[error] " prefixes — the driver parses Bench's one-line JSON
+// metric from stdout, and round 1's metric was lost to the prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,6 +34,28 @@ object Queries {
       df
     })
 
+  /** Materialize every memoized shared subplan up front. Bench calls this
+    * before timing so cache-build cost is its own line item instead of being
+    * attributed to whichever query alphabetically consumes the memo first
+    * (q_jaccard_pairs absorbed the whole signature build in round 1).
+    */
+  def warmup(spark: SparkSession, dir: String): Unit = {
+    docsAnnotated(spark, dir)
+    nearSignatures(spark, dir)
+    memoize(spark, dir, "emb_assigned")(EmbedSim.dupAssigned(spark, dir))
+  }
+
+  /** Unpersist and drop every memo entry — long-lived JVMs (test suites,
+    * repeated Verify/Bench sessions) otherwise accumulate cached plans and
+    * strong session references unboundedly.
+    */
+  def clear(): Unit = {
+    memo.values.forEach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    memo.clear()
+  }
+
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
       Clean.annotate(Reviews.docsAsReviews(Tables.load(spark, dir, "documents")))
@@ -141,7 +163,8 @@ object Queries {
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
       })),
-    // multimodal plumbing (stubbed decode — no SQL oracle, rows-only check)
+    // multimodal plumbing (stubbed decode; output is deterministic by
+    // construction — oracle is the literal expected VALUES)
     "q_media_features" -> ((s: SparkSession, _: String) =>
       Media.featureStats(Media.decodeStub(Media.mediaTable(s, 300))))
   )
@@ -181,6 +204,23 @@ object Queries {
     "q_doc_quality" -> SqlText.docQuality,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
-    "q_embed_dups" -> SqlText.embedDups
+    "q_embed_dups" -> SqlText.embedDups,
+    // q_media_features reads no sf table: its input is the deterministic
+    // synthetic media set (Media.mediaTable(300), payload = repeated MD5 of
+    // the id), so the expected aggregate is a constant — pinned as literals
+    // (independently derived from the generator arithmetic, not pasted from
+    // the Spark output).
+    "q_media_features" ->
+      """SELECT kind,
+        |       n::BIGINT AS n,
+        |       total_bytes::BIGINT AS total_bytes,
+        |       avg_mean_byte::DOUBLE AS avg_mean_byte,
+        |       total_frames::BIGINT AS total_frames
+        |FROM (VALUES
+        |  ('audio', 100, 6384, 127.5913, 3150),
+        |  ('image', 100, 6352, 129.6238, 100),
+        |  ('video', 100, 6416, 128.0956, 3250))
+        |  AS t(kind, n, total_bytes, avg_mean_byte, total_frames)
+        |ORDER BY kind""".stripMargin
   )
 }

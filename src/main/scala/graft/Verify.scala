@@ -29,9 +29,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH `<query>` and `<query>.parquet` keys:
+    // the driver indexes oracles by the result-directory name (which Verify
+    // writes as `<query>.parquet`), while local tooling strips the suffix.
+    // Round 1 emitted only the bare key → all 32 queries scored `no_oracle`.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Queries.clear()
     spark.stop()
   }
 }

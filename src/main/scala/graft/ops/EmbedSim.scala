@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.DotProduct
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label).
@@ -31,12 +32,16 @@ object EmbedSim {
   val CentroidMod = 50 // vec_id % 50 == 0 are the IVF coarse centroids
   val Probes = 2
 
-  private def asDouble(c: Column): Column =
-    transform(c, x => x.cast("double"))
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-order dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product of two double arrays — a native codegen'd
+    * Catalyst expression (one primitive loop). The HOF form
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` is arithmetic-identical
+    * (strict left-to-right fold) but interpreted: it blocked whole-stage
+    * codegen and allocated an intermediate array per (query, candidate)
+    * pair. See [[graft.functions.DotProduct]].
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -100,15 +105,34 @@ object EmbedSim {
     val centroids = base.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
       .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("_cc"), col("centroid_id"))
+    nearestCentroid(corpus, centroids)
+  }
+
+  /** Nearest-centroid assignment as a map-side-combining aggregation.
+    *
+    * The |corpus| x C expanded scores collapse to ONE row per vector via
+    * `groupBy(vec_id).agg(max_by(...))` — partial aggregation reduces each
+    * map partition to one candidate per vector BEFORE the shuffle, so the
+    * exchange carries |corpus| rows. The previous window-argmin
+    * (`row_number().over(Window.partitionBy(vec_id))`) shuffled the full
+    * C-fold expansion: a C-fold shuffle amplification at 100 TB.
+    *
+    * Tie-break matches the window form (and the oracle): highest cosine,
+    * then LOWEST centroid_id — encoded as `max_by` over
+    * `struct(_cc, -centroid_id)` (lexicographic struct ordering).
+    */
+  private def nearestCentroid(corpus: DataFrame, centroids: DataFrame)
+      : DataFrame =
     corpus.join(broadcast(centroids), lit(true))
       .withColumn("_cc",
         cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm")))
-      .withColumn("_rn", row_number().over(assignW))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("emb"), col("norm"), col("centroid_id")),
+        struct(col("_cc"), (-col("centroid_id")).as("_tb"))).as("_best"))
+      .select(col("vec_id"), col("_best.emb").as("emb"),
+        col("_best.norm").as("norm"),
+        col("_best.centroid_id").as("centroid_id"))
 
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
@@ -130,15 +154,10 @@ object EmbedSim {
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"),
         col("norm").as("cnorm"))
 
-    // inverted lists: nearest centroid per vector (broadcast C centroids)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("_cc"), col("centroid_id"))
-    val assigned = all.join(broadcast(centroids), lit(true))
-      .withColumn("_cc",
-        cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm")))
-      .withColumn("_rn", row_number().over(assignW))
-      .filter(col("_rn") === 1)
-      .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
+    // inverted lists: nearest centroid per vector (broadcast C centroids,
+    // map-side-combined argmax — see nearestCentroid)
+    val assigned =
+      nearestCentroid(all.select("vec_id", "emb", "norm"), centroids)
 
     // probe lists: 2 nearest centroids per query
     val queries = all.filter(col("vec_id") % QueryMod === 0)

@@ -83,7 +83,9 @@ object SqlText {
        |  FROM mh CROSS JOIN (SELECT unnest(range(${TextDedup.Bands})) AS b)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM bands a JOIN bands b2
-       |    ON a.band = b2.band AND a.doc_id < b2.doc_id)""".stripMargin
+       |    ON a.band = b2.band AND a.doc_id < b2.doc_id
+       |  WHERE a.band IN (SELECT band FROM bands
+       |    GROUP BY band HAVING count(*) <= ${TextDedup.MaxBucket}))""".stripMargin
   }
 
   /** Oracle for q_minhash_pairs. */

