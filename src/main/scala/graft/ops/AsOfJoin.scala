@@ -25,8 +25,10 @@ object AsOfJoin {
   /** leftTs/rightTs must be the same-named ts columns; right payload
     * columns are suffixed into the output as-is. Inner as-of semantics:
     * left rows with no prior right row are DROPPED (matching DuckDB's
-    * default ASOF JOIN); use the returned null marker before filtering for
-    * the left-outer variant.
+    * default ASOF JOIN, which matches on right-ROW existence). With
+    * `inner = false` every left row survives and a `_matched` boolean marks
+    * whether a prior right row existed (its payload fields may themselves
+    * be null).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String], inner: Boolean = true): DataFrame = {
@@ -43,15 +45,21 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"_asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
+    // ALL payloads ride in ONE struct that is non-null for every right row,
+    // so last(ignoreNulls) carries the most recent right ROW — a right row
+    // whose payload fields are null still matches (and contributes its
+    // nulls), instead of per-column last() leaking an older row's values
+    // forward and the inner filter dropping the row entirely.
+    val carried = unioned.withColumn("_asof",
+      last(when(col("_side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     val joined = carried.filter(col("_side") === 1)
       .drop("_side").drop(payload: _*)
-    val renamed = payload.foldLeft(joined) { (df, p) =>
-      df.withColumnRenamed(s"_asof_$p", p)
+    val withPayload = payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, col("_asof").getField(p))
     }
-    if (inner) renamed.filter(payload.map(p => col(p).isNotNull).reduce(_ && _))
-    else renamed
+    if (inner) withPayload.filter(col("_asof").isNotNull).drop("_asof")
+    else withPayload.withColumn("_matched", col("_asof").isNotNull)
+      .drop("_asof")
   }
 }

@@ -80,14 +80,15 @@ object Clean {
     val l1 = l0.withColumns(Map(
       "_text_missing" -> (text.isNull || col("_raw_len") === 0),
       "_rating_missing" -> (rating.isNull || rating === 0), // Python truthiness
-      "_en_matches" -> when(text.isNull || col("_raw_len") === 0, lit(0))
-        .otherwise(regexp_count(col("_lc"), lit(EnStopwords))),
       "_lcs" -> graft.functions.TextStats(col("_lc")),
       "cleaned_text" -> when(col("_raw_len") > TextMaxLength,
         substring(text, 1, TextMaxLength)).otherwise(text)
-    ) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
+    ) ++ (("en" +: Language.OtherLangs).map { l =>
+      s"_${l}_matches" -> Language.matchesFor(l, text)
+    }) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
       s"_spam_p$i" -> col("_lc").rlike(p)
     })
+    def langM(l: String) = col(s"_${l}_matches")
 
     // L2: derived from L1 columns; one fused scan of cleaned_text
     val l2 = l1.withColumns(Map(
@@ -95,10 +96,13 @@ object Clean {
         SpamPatterns.indices
           .map(i => when(spamFlag(i), lit(1)).otherwise(lit(0)))
           .reduce(_ + _),
-      "language" ->
-        when(col("_en_matches") >= 1, lit("en")).otherwise(lit("unknown")),
-      "language_confidence" ->
-        least(lit(1.0), round(col("_en_matches") * lit(ConfPerMatch), 2)),
+      // multi-language detection: the en gate (and thus the accepted set
+      // and en confidences) is unchanged; non-en docs get their argmax
+      // profile instead of a flat 'unknown' (see Language)
+      "language" -> Language.languageFrom(langM("en"), langM("es"),
+        langM("de"), langM("fr"), langM("zh")),
+      "language_confidence" -> Language.confidenceFrom(langM("en"),
+        langM("es"), langM("de"), langM("fr"), langM("zh")),
       "_cts" -> graft.functions.TextStats(col("cleaned_text")),
       "_stripped_empty" -> (length(trim(col("cleaned_text"))) === 0)))
 

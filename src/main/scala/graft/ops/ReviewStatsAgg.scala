@@ -45,8 +45,11 @@ object ReviewStatsAgg {
           b.qualitySum += a.data_quality_score
           a.rating.foreach { r =>
             b.ratingSum += r
+            // bucket only integral ratings — Stats.hourlyStats counts
+            // `rating === k` exact equality, so a 2.5 must not land in
+            // rating_2 (truncation would diverge from the column form)
             val k = r.toInt
-            if (k >= 1 && k <= 5) b.hist(k - 1) += 1
+            if (k >= 1 && k <= 5 && r == k.toDouble) b.hist(k - 1) += 1
           }
           b.wcSum += a.word_count
           b.scSum += a.sentence_count

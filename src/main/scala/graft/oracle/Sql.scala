@@ -41,6 +41,21 @@ object Sql {
   def reMatch(e: String, pattern: String): String =
     s"regexp_matches($e, ${s(pattern)})"
 
+  /** Mirror of Language.matchesFor for the non-en profiles: es/de/fr
+    * stopword counts + zh CJK codepoint count, 0 on empty text.
+    */
+  private def langMatchCols(emptyT: String): String = {
+    val profiles = graft.ops.TextAnalysis.StopwordProfiles.toMap
+    val nonEn = Seq("es", "de", "fr").map { l =>
+      s"CASE WHEN $emptyT THEN 0 ELSE ${reCount("lower(text)", profiles(l))} END" +
+        s" AS ${l}_matches"
+    }
+    val zh = s"CASE WHEN $emptyT THEN 0 " +
+      s"ELSE ${classCount("lower(text)", graft.ops.TextAnalysis.CjkClass)} END" +
+      " AS zh_matches"
+    (nonEn :+ zh).mkString(",\n    ")
+  }
+
   private def spamFlag(i: Int): String =
     s"(CASE WHEN ${reMatch("text_lc", SpamPatterns(i))} THEN 1 ELSE 0 END)"
 
@@ -92,13 +107,25 @@ object Sql {
        |    $emptyT AS text_missing,
        |    (rating IS NULL OR rating = 0) AS rating_missing,
        |    CASE WHEN $emptyT THEN 0
-       |         ELSE ${reCount("lower(text)", EnStopwords)} END AS en_matches
+       |         ELSE ${reCount("lower(text)", EnStopwords)} END AS en_matches,
+       |    ${langMatchCols(emptyT)}
        |  FROM raw
        |),
        |c2 AS (
        |  SELECT *,
-       |    CASE WHEN en_matches >= 1 THEN 'en' ELSE 'unknown' END AS language,
-       |    least(${d(1.0)}, CAST(round(CAST(en_matches * ${d(ConfPerMatch)} AS DECIMAL(38, 12)), 2) AS DOUBLE))
+       |    CASE WHEN en_matches >= 1 THEN 'en'
+       |         WHEN greatest(es_matches, de_matches, fr_matches, zh_matches) = 0
+       |           THEN 'unknown'
+       |         WHEN es_matches >= de_matches AND es_matches >= fr_matches
+       |           AND es_matches >= zh_matches THEN 'es'
+       |         WHEN de_matches >= fr_matches AND de_matches >= zh_matches
+       |           THEN 'de'
+       |         WHEN fr_matches >= zh_matches THEN 'fr'
+       |         ELSE 'zh' END AS language,
+       |    least(${d(1.0)}, CAST(round(CAST(
+       |      (CASE WHEN en_matches >= 1 THEN en_matches
+       |            ELSE greatest(es_matches, de_matches, fr_matches, zh_matches) END)
+       |      * ${d(ConfPerMatch)} AS DECIMAL(38, 12)), 2) AS DOUBLE))
        |      AS language_confidence,
        |    (${SpamPatterns.indices.map(spamFlag).mkString(" + ")})
        |      AS pattern_matches,

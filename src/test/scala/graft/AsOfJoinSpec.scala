@@ -43,6 +43,25 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with TestSpark {
     out.head.isNullAt(1) shouldBe true
   }
 
+  test("a matched right row with NULL payload wins over older non-nulls") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "L")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(10.0)),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Double])) // most recent
+      .toDF("user_id", "ts", "pv")
+    // ASOF matches on right-ROW existence (DuckDB semantics): the 11:00 row
+    // matches and contributes its NULL — the 10:00 value must not leak
+    // through, and the row must not be dropped by the inner filter
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("pv")).collect()
+    out.length shouldBe 1
+    assert(out.head.isNullAt(out.head.fieldIndex("pv")))
+    // left-outer distinguishes matched-with-null from unmatched
+    val outer = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("pv"),
+      inner = false).collect()
+    outer.head.getAs[Boolean]("_matched") shouldBe true
+  }
+
   test("plans one shuffle (window) — no cross/range join blowup") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions.col

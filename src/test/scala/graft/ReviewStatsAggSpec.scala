@@ -10,6 +10,25 @@ import graft.ops.{Clean, Reviews, ReviewStatsAgg, Stats}
   */
 class ReviewStatsAggSpec extends AnyFunSuite with Matchers with TestSpark {
 
+  test("non-integral accepted rating: no histogram bucket, both forms agree") {
+    import spark.implicits._
+    import graft.schema.RawReview
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def raw(id: String, rating: Double) = RawReview(id, "b1", "u1",
+      Some(rating), "this is a perfectly fine review of the place", ts,
+      Some(1), Some(0), Some(0), "test")
+    val ann = Clean.annotate(Seq(raw("r1", 2.5), raw("r2", 4.0)).toDF())
+    val df = Stats.hourlyStats(ann).collect()
+    df.length shouldBe 1
+    // the column form counts exact equality: 2.5 lands in NO bucket
+    (1 to 5).map(k => df.head.getAs[Long](s"rating_$k")) shouldBe
+      Seq(0L, 0L, 0L, 1L, 0L)
+    val agg = ReviewStatsAgg.hourlyStats(ann).collect().head
+    Seq(agg.rating_1, agg.rating_2, agg.rating_3, agg.rating_4,
+      agg.rating_5) shouldBe Seq(0L, 0L, 0L, 1L, 0L)
+    agg.avg_rating shouldBe Some(3.25) // but it still counts toward the avg
+  }
+
   test("typed Aggregator equals the DataFrame hourly stats") {
     val ann = Clean.annotate(Reviews.docsAsReviews(
       Tables.load(spark, "/root/testdata/sf0.001", "documents")))

@@ -65,6 +65,28 @@ class SourcesSpec extends AnyFunSuite with Matchers with TestSpark {
     r.getAs[String]("value") should include("\"review_id\":\"r1\"")
   }
 
+  test("kafka serde round-trip: asKafkaRecords -> from_json is identity") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import spark.implicits._
+    import graft.schema.RawReview
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // includes nulls (to_json omits them; from_json must restore them) and
+    // text that stresses JSON escaping
+    val rows = Seq(
+      RawReview("r1", "b1", "u1", Some(4.0),
+        "quotes \" backslash \\ newline \n tab \t unicode é", ts,
+        Some(1), Some(0), Some(2), "test"),
+      RawReview("r2", "b2", "u2", None, "plain", ts, None, None, None, "test"))
+    val df = rows.toDF()
+    val recs = Sources.asKafkaRecords(df)
+    val back = recs.select(from_json(col("value"), df.schema).as("r"))
+      .select("r.*")
+    back.schema shouldBe df.schema
+    back.collect() should contain theSameElementsAs df.collect()
+    recs.select("key").collect().map(_.getString(0)).sorted shouldBe
+      Array("b1", "b2")
+  }
+
   test("streaming replay reads the same schema with per-trigger throttle") {
     val dir = writeJsonl(good, badDate)
     val stream = Sources.replayStream(spark, dir)
