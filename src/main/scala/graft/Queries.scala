@@ -163,6 +163,9 @@ object Queries {
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
       })),
+    // the LSH-bucketed near-dup scale path (random hyperplanes; same
+    // corpus + threshold as q_embed_dups, different candidate generation)
+    "q_embed_dups_lsh" -> (EmbedLsh.embedDupsLsh _),
     // multimodal plumbing (stubbed decode; output is deterministic by
     // construction — oracle is the literal expected VALUES)
     "q_media_features" -> ((s: SparkSession, _: String) =>
@@ -205,6 +208,7 @@ object Queries {
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
     "q_embed_dups" -> SqlText.embedDups,
+    "q_embed_dups_lsh" -> SqlText.embedDupsLsh,
     // q_media_features reads no sf table: its input is the deterministic
     // synthetic media set (Media.mediaTable(300), payload = repeated MD5 of
     // the id), so the expected aggregate is a constant — pinned as literals

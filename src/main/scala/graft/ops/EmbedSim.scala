@@ -97,15 +97,26 @@ object EmbedSim {
   def dupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val perturbed = base.filter(col("vec_id") % DupMod === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("emb"), x => x + lit(0.05)).as("emb"))
-    val corpus = base.unionAll(perturbed)
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
     val centroids = base.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
       .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
-    nearestCentroid(corpus, centroids)
+    nearestCentroid(dupCorpus(spark, dir), centroids)
+  }
+
+  /** The deterministically-perturbed near-dup corpus shared by the IVF
+    * ([[embedDups]]) and LSH ([[EmbedLsh.embedDupsLsh]]) near-dup paths:
+    * base embeddings plus, for every (vec_id % 25 == 0) vector, a copy
+    * under vec_id + 100000 with +0.05 on every dimension, L2 norms
+    * precomputed. Columns: vec_id, emb, norm.
+    */
+  def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val perturbed = base.filter(col("vec_id") % DupMod === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.05)).as("emb"))
+    base.unionAll(perturbed)
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
   }
 
   /** Nearest-centroid assignment as a map-side-combining aggregation.

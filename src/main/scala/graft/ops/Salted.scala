@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * partitions; the right side grows by S× (bounded — it's the smaller
   * side). Result set is identical to the unsalted join (proved in
   * SkewSpec).
+  *
+  * When to reach for this instead of AQE: AQE's skew split
+  * (`spark.sql.adaptive.skewJoin.enabled`) only rewrites shuffled
+  * sort-merge/hash JOINS after a shuffle has materialized, so it cannot
+  * help when AQE is disabled, when the skewed stage is an AGGREGATION on
+  * the hot key, or when a single key exceeds
+  * `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes` inside
+  * one map output that AQE cannot split further (identical join keys are
+  * never separable by partition splitting — salting changes the key
+  * itself, which AQE by design never does).
   */
 object Salted {
 

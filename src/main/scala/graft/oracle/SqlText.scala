@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.ops.{TextAnalysis, TextDedup, EmbedSim}
+import graft.ops.{TextAnalysis, TextDedup, EmbedLsh, EmbedSim}
 
 /** DuckDB oracle SQL for the LLM-data-pipeline operators (dedup family,
   * similarity search, text analysis). Mirrors graft.ops.{TextDedup,
@@ -270,6 +270,49 @@ object SqlText {
        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Oracle for q_embed_dups_lsh (random-hyperplane LSH near-dup pairs over
+    * the same perturbed corpus). The hyperplanes are the SAME Rademacher
+    * arrays as EmbedLsh.hyperplanes, inlined as DOUBLE[] literals — exact
+    * +-1.0 values, so the sign dot products are bit-identical across
+    * engines. Bucket = band * 2^W + in-band sign-bit key; buckets above the
+    * cap are excluded (mirroring the Spark-side drop); pairs are DISTINCT
+    * over bands, then exact-cosine verified.
+    */
+  val embedDupsLsh: String = {
+    val w = EmbedLsh.BandBits
+    val planeRows = EmbedLsh.hyperplanes.zipWithIndex.map { case (h, p) =>
+      val arr = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(${p / w}, ${1 << (p % w)}, CAST($arr AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(emb, x -> x + ${d(0.05)}) AS emb
+       |  FROM emb0 WHERE vec_id % ${EmbedSim.DupMod} = 0),
+       |corpus AS (
+       |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM (
+       |    SELECT * FROM emb0 UNION ALL SELECT * FROM pert)),
+       |planes(band, twoj, h) AS (VALUES
+       |    $planeRows),
+       |sigs AS (SELECT c.vec_id,
+       |    pl.band * ${1 << w} + sum(CASE WHEN ${dotSql("c.emb", "pl.h")} >= 0
+       |      THEN pl.twoj ELSE 0 END) AS bucket
+       |  FROM corpus c CROSS JOIN planes pl GROUP BY c.vec_id, pl.band),
+       |kept AS (SELECT bucket FROM sigs GROUP BY bucket
+       |  HAVING count(*) <= ${EmbedLsh.MaxBucket}),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |  JOIN kept k ON k.bucket = a.bucket)
+       |SELECT * FROM (
+       |  SELECT vec_a, vec_b,
+       |    CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
+       |  FROM cand JOIN corpus a ON a.vec_id = vec_a
+       |  JOIN corpus b ON b.vec_id = vec_b)
+       |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** Oracle for q_knn_ivf (IVF-style probed ANN). */
   val knnIvf: String =

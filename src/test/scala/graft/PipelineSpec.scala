@@ -8,12 +8,17 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.ops.{Clean, Dedup}
 import graft.schema.RawReview
-import graft.streaming.{Pipeline, Streams, UpsertSink}
+import graft.streaming.{Monitor, Pipeline, Streams, UpsertSink}
 
 /** The full reference topology end-to-end: replayed raw reviews ->
   * dedup -> clean -> routed cleaned/issues -> idempotent warehouse.
   */
-class PipelineSpec extends AnyFunSuite with Matchers with TestSpark {
+class PipelineSpec extends AnyFunSuite with Matchers
+    with org.scalatest.concurrent.Eventually with TestSpark {
+
+  import org.scalatest.time.{Seconds, Span}
+  implicit override val patienceConfig: PatienceConfig =
+    PatienceConfig(timeout = Span(15, Seconds))
 
   private def ts(s: String) = Timestamp.valueOf(s)
   private def raw(id: String, date: String, text: String): RawReview =
@@ -28,6 +33,7 @@ class PipelineSpec extends AnyFunSuite with Matchers with TestSpark {
       org.apache.spark.sql.Row]()
     val in = MemoryStream[RawReview]
     val checkpoint = Files.createTempDirectory("graft-ckpt").toString
+    val monitor = Monitor.attach(spark)
     val q = new Pipeline(sink, issues).start(in.toDF(), checkpoint)
     try {
       in.addData(
@@ -47,7 +53,16 @@ class PipelineSpec extends AnyFunSuite with Matchers with TestSpark {
         "this place was absolutely great for the whole family"))
       q.processAllAvailable()
       sink.size shouldBe 2
-    } finally q.stop()
+      // T8 observability: the listener saw every micro-batch and input row
+      // (5 raw records across the two addData rounds), without touching
+      // the data path. Listener delivery is async — wait for the bus.
+      eventually(monitor.rows.get() shouldBe 5L)
+      monitor.batches.get() should be >= 2L
+      monitor.lastProgressJson.get() should include("numInputRows")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(monitor)
+    }
   }
 
   test("dedup-dropped records become duplicate issues (batch diff)") {
