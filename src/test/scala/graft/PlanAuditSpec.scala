@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Registry-wide plan audit (the 100-TB safety net): pins the shuffle
+  * budget and join strategy of every driver query so a plan regression — a
+  * lost broadcast, a window that re-partitions, an accidental cartesian —
+  * fails here instead of surfacing as a 100x slowdown at scale.
+  *
+  * Budgets are ceilings measured at sf0.001 (see `graft.PlanAudit` to
+  * re-tabulate). A query BELOW its ceiling is fine (AQE may elide an
+  * exchange); above means a new data movement was introduced.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Max shuffle-Exchange count per query (measured + headroom 0). */
+  private val shuffleBudget = Map(
+    "q1_pricing" -> 2, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
+    "q_business_stats" -> 2, "q_clean_docs" -> 1,
+    "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
+    "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
+    "q_dup_events" -> 2, "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
+    "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
+    "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
+    "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
+    "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
+    "q_quality_issues" -> 1, "q_recent_reviews" -> 0,
+    "q_region_revenue" -> 2, "q_simhash" -> 1, "q_token_stats" -> 2,
+    "q_top_orders" -> 2, "q_top_quality" -> 0, "q_topk_custom" -> 2)
+
+  /** Queries allowed a BroadcastNestedLoopJoin: the deliberate bounded
+    * products only (brute-force KNN baseline; C-centroid IVF assignment).
+    */
+  private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups")
+
+  /** Queries whose parquet scan must carry pushed-down filters. */
+  private val mustPush = Set("q1_pricing", "q3_shipping", "q_asof_purchase",
+    "q_region_revenue", "q_click_and_purchase", "q_click_no_purchase",
+    "q_knn_brute", "q_knn_ivf", "q_embed_dups", "q_embed_dups_lsh",
+    "q_minhash_pairs", "q_jaccard_pairs", "q_dedup_exact")
+
+  /** Broadcast-join floor: star joins must broadcast their dims. */
+  private val mustBroadcast = Set("q3_shipping", "q_region_revenue",
+    "q_click_and_purchase", "q_click_no_purchase")
+
+  test("every registry query stays within its shuffle budget, " +
+      "with no cartesian products and only sanctioned BNL joins") {
+    val audits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> PlanAudit.audit(fn(spark, dir))
+    }
+    audits.foreach { case (name, a) =>
+      withClue(s"$name: ") {
+        shuffleBudget.get(name).foreach(b =>
+          a.shuffles should be <= b)
+        a.cartesian shouldBe 0
+        if (!bnljAllowed(name)) a.bnlj shouldBe 0
+        if (mustPush(name)) a.pushed shouldBe true
+        if (mustBroadcast(name)) a.bcast should be >= 1
+      }
+    }
+    // every registry query is budgeted — a new query must add its row
+    audits.map(_._1).toSet shouldBe shuffleBudget.keySet
+  }
+}
