@@ -39,4 +39,19 @@ object Monitor {
   val RocksDbConf: (String, String) =
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Full RocksDB scale tuning. `RocksDbConf` alone leaves snapshot
+    * checkpointing on: every micro-batch commit uploads the ENTIRE state
+    * store to the checkpoint, so batch time grows with TOTAL accumulated
+    * state (measured: same-size 100k-row batches went 17s -> 58s as dedup
+    * state doubled). Changelog checkpointing writes only the batch's DELTA
+    * (snapshots happen async at maintenance intervals) — the only commit
+    * shape that survives an unbounded stream. Mirrors the reference's
+    * incremental RocksDB writes (Faust's store commits per-message, not
+    * per-table-dump).
+    */
+  val RocksDbScaleConf: Map[String, String] = Map(
+    RocksDbConf,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 }
