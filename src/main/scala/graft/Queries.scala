@@ -40,9 +40,24 @@ object Queries {
     * (q_jaccard_pairs absorbed the whole signature build in round 1).
     */
   def warmup(spark: SparkSession, dir: String): Unit = {
-    docsAnnotated(spark, dir)
-    nearSignatures(spark, dir)
-    memoize(spark, dir, "emb_assigned")(EmbedSim.dupAssigned(spark, dir))
+    // the three subplans are independent and none saturates local[32] on
+    // its own (few input partitions each) — build them concurrently so
+    // warmup wall time is the max, not the sum
+    val builds = Seq[() => Unit](
+      () => { docsAnnotated(spark, dir); () },
+      () => { nearSignatures(spark, dir); () },
+      () => {
+        memoize(spark, dir, "emb_assigned")(EmbedSim.dupAssigned(spark, dir))
+        ()
+      })
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = builds.map { b =>
+      val t = new Thread(() =>
+        try b() catch { case e: Throwable => failure.compareAndSet(null, e) })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (failure.get != null) throw failure.get
   }
 
   /** Unpersist and drop every memo entry — long-lived JVMs (test suites,

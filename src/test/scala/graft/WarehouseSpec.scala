@@ -87,10 +87,15 @@ class WarehouseSpec extends AnyFunSuite with Matchers with TestSpark {
     try {
       in.addData(1, 2, 3)
       q.processAllAvailable()
-      // listener events arrive via an async bus — wait for delivery
+      // listener events arrive via an async bus with BOUNDED queues — under
+      // full-suite load an individual event can be dropped outright, so
+      // keep feeding batches until delivery instead of waiting on one event
       val deadline = System.currentTimeMillis() + 30000
-      while (m.rows.get() < 3 && System.currentTimeMillis() < deadline)
-        Thread.sleep(50)
+      while (m.rows.get() < 3 && System.currentTimeMillis() < deadline) {
+        in.addData(4)
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
       // >= : the async listener bus may also deliver a late progress event
       // from a previously-stopped query in this shared session
       m.rows.get() should be >= 3L
