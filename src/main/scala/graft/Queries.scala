@@ -160,6 +160,11 @@ object Queries {
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+    // pairs -> transitive-closure clusters -> canonical rep (iterative
+    // min-label propagation; oracle = recursive CTE)
+    "q_dedup_clusters" -> ((s: SparkSession, d: String) =>
+      TextDedup.dedupClusters(Corpus.withNearDups(s, d),
+        TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
     "q_simhash" -> ((s: SparkSession, d: String) =>
       TextDedup.simhash(Tables.load(s, d, "documents"))),
     "q_fingerprints" -> ((s: SparkSession, d: String) =>
@@ -215,6 +220,7 @@ object Queries {
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
+    "q_dedup_clusters" -> SqlText.dedupClusters,
     "q_simhash" -> SqlText.simhash,
     "q_fingerprints" -> SqlText.fingerprints,
     "q_lang_id" -> SqlText.langId,

@@ -136,6 +136,77 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected-component dedup clusters: near-dup PAIRS are only half a
+    * dedup pipeline — keeping one representative per duplicate CLUSTER
+    * needs the transitive closure (a~b, b~c => {a,b,c} share one
+    * canonical), which pairwise joins cannot express.
+    *
+    * Spark-first iterative min-label propagation (the Pregel pattern):
+    * every node starts labeled with its own doc_id; each round a node
+    * takes the min of its label and its neighbors' labels; fixpoint =
+    * connected components, labeled by their minimum doc_id. Rounds needed
+    * = component diameter — near-dup clusters are shallow (near-cliques
+    * from LSH banding), so convergence is fast; for adversarially long
+    * chains at 100 TB the alternating large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * converges in O(log n) rounds with the same per-round shape.
+    *
+    * Scale shape per round: one shuffle join (edges x labels on dst), one
+    * partial-aggregated groupBy(src) min, one join back to labels — all
+    * key-partitioned, nothing collected to the driver. Convergence is
+    * detected from sum(label), which strictly decreases until fixpoint
+    * (labels only ever decrease), so the per-round action is a cheap
+    * aggregate, not a full-frame compare. Each round's labels are
+    * persisted and the previous round unpersisted; for very deep graphs
+    * production code would checkpoint every ~10 rounds to truncate
+    * lineage.
+    *
+    * Output: (doc_id, cluster_rep, cluster_size, is_canonical) for EVERY
+    * corpus doc (non-paired docs are their own singleton cluster).
+    */
+  def dedupClusters(corpus: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    def sumOf(df: DataFrame): Long = {
+      val r = df.agg(sum(col("rep"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var labels = corpus.select(col("doc_id"), col("doc_id").as("rep"))
+      .persist()
+    var labelSum = sumOf(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("rep")).as("_nrep"))
+      val next = labels
+        .join(prop.select(col("src").as("doc_id"), col("_nrep")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("_nrep"), col("rep"))).as("rep"))
+        .persist()
+      val nextSum = sumOf(next)
+      converged = nextSum == labelSum
+      labels.unpersist(blocking = false)
+      labels = next
+      labelSum = nextSum
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    val byRep = Window.partitionBy(col("rep"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byRep).cast("long"))
+      .select(col("doc_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("rep")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 56
 
   /** 56-bit SimHash fingerprint per doc as a '0'/'1' string (bit b set iff

@@ -116,6 +116,38 @@ object SqlText {
        |WHERE jaccard >= ${d(0.5)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle for q_dedup_clusters: connected components over the
+    * jaccard-verified near-dup pairs, labeled by minimum doc_id. The
+    * recursive CTE enumerates every (node, reachable-node) pair — the
+    * transitive closure min-label propagation converges to — and
+    * `min(r) GROUP BY id` picks the canonical representative; UNION (not
+    * ALL) dedups rows, which is what terminates the recursion.
+    */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $signatureCtes,
+       |jp AS (SELECT doc_a, doc_b FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |      AS jaccard
+       |  FROM pairs p
+       |  JOIN sh sa ON p.doc_a = sa.doc_id
+       |  JOIN sh sb ON p.doc_b = sb.doc_id)
+       |  WHERE jaccard >= ${d(0.5)}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
+       |rep AS (SELECT id AS doc_id, min(r) AS cluster_rep
+       |  FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_rep,
+       |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+       |    AS cluster_size,
+       |  doc_id = cluster_rep AS is_canonical
+       |FROM rep ORDER BY doc_id""".stripMargin
+
   /** Oracle for q_simhash (56-bit simhash bit-string per doc). */
   val simhash: String =
     s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.TextDedup
+
+/** Connected-component dedup clusters: transitive closure over near-dup
+  * pairs via iterative min-label propagation. The chain fixture needs >1
+  * propagation round (min label must travel 2 hops), so it exercises the
+  * loop, not just the first join.
+  */
+class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private def corpusOf(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("doc_id").selectExpr("doc_id", "'t' AS text", "'s' AS source")
+  }
+
+  private def pairsOf(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("doc_a", "doc_b")
+  }
+
+  test("chain merges into one cluster labeled by its min; " +
+      "isolated docs stay singletons") {
+    // 1-2, 2-3, 3-4 is a 3-hop chain: node 4 learns label 1 only after
+    // multiple rounds. 7-8 is a separate pair; 9 is isolated.
+    val out = TextDedup.dedupClusters(
+      corpusOf(1L, 2L, 3L, 4L, 7L, 8L, 9L),
+      pairsOf((1L, 2L), (2L, 3L), (3L, 4L))
+        .unionAll(pairsOf((7L, 8L))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    out shouldBe Array(
+      (1L, 1L, 4L, true), (2L, 1L, 4L, false), (3L, 1L, 4L, false),
+      (4L, 1L, 4L, false),
+      (7L, 7L, 2L, true), (8L, 7L, 2L, false),
+      (9L, 9L, 1L, true))
+  }
+
+  test("no pairs: every doc is its own canonical singleton") {
+    val out = TextDedup.dedupClusters(corpusOf(5L, 6L), pairsOf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    out shouldBe Array((5L, 5L, 1L, true), (6L, 6L, 1L, true))
+  }
+
+  test("maxRounds caps the iteration for adversarially deep chains") {
+    // a 5-hop path with maxRounds = 1: label 10 can only travel one hop,
+    // so the far end is NOT yet labeled 10 — proves the cap binds and the
+    // operator still returns a consistent (partial) labeling
+    val out = TextDedup.dedupClusters(
+      corpusOf(10L, 11L, 12L, 13L, 14L, 15L),
+      pairsOf((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)),
+      maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.toMap.apply(15L) should be > 10L
+    // and with enough rounds the same graph fully converges
+    val full = TextDedup.dedupClusters(
+      corpusOf(10L, 11L, 12L, 13L, 14L, 15L),
+      pairsOf((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)))
+      .collect().map(r => r.getLong(1)).distinct
+    full shouldBe Array(10L)
+  }
+
+  test("matches the clusters implied by the jaccard pairs on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.ops.Corpus.withNearDups(spark, dir)
+    val pairs = TextDedup.jaccardPairs(corpus)
+    val out = TextDedup.dedupClusters(corpus, pairs)
+    val rows = out.collect()
+    // every corpus doc labeled exactly once
+    rows.length shouldBe corpus.count()
+    // every verified pair ends up in the same cluster
+    val rep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select("doc_a", "doc_b").collect().foreach { p =>
+      rep(p.getLong(0)) shouldBe rep(p.getLong(1))
+    }
+    // canonical = the minimum of its own cluster
+    rows.filter(_.getBoolean(3)).foreach { r =>
+      r.getLong(1) shouldBe r.getLong(0)
+    }
+  }
+}

@@ -16,6 +16,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Iterative operators: the returned frame's lineage embeds EVERY
+    * propagation round (each with the pair pipeline in its history), so a
+    * static whole-plan Exchange count is meaningless — what is bounded is
+    * the per-round shuffle shape (3 key-partitioned exchanges/round, see
+    * TextDedup.dedupClusters). Still audited for cartesian/BNLJ.
+    */
+  private val iterativeExempt = Set("q_dedup_clusters")
+
   /** Max shuffle-Exchange count per query (measured + headroom 0). */
   private val shuffleBudget = Map(
     "q1_pricing" -> 2, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
@@ -62,6 +70,6 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
       }
     }
     // every registry query is budgeted — a new query must add its row
-    audits.map(_._1).toSet shouldBe shuffleBudget.keySet
+    audits.map(_._1).toSet shouldBe (shuffleBudget.keySet ++ iterativeExempt)
   }
 }
