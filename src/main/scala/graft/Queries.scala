@@ -169,6 +169,13 @@ object Queries {
       TextDedup.simhash(Tables.load(s, d, "documents"))),
     "q_fingerprints" -> ((s: SparkSession, d: String) =>
       TextDedup.fingerprints(Tables.load(s, d, "documents"))),
+    // LLM-data-pipeline: deterministic selection (split / mix / sample)
+    "q_doc_split" -> ((s: SparkSession, d: String) =>
+      Sampling.docSplit(Tables.load(s, d, "documents"))),
+    "q_corpus_mix" -> ((s: SparkSession, d: String) =>
+      Sampling.corpusMix(Tables.load(s, d, "documents"))),
+    "q_mixed_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.mixedSample(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
@@ -223,6 +230,9 @@ object Queries {
     "q_dedup_clusters" -> SqlText.dedupClusters,
     "q_simhash" -> SqlText.simhash,
     "q_fingerprints" -> SqlText.fingerprints,
+    "q_doc_split" -> SqlText.docSplit,
+    "q_corpus_mix" -> SqlText.corpusMix,
+    "q_mixed_sample" -> SqlText.mixedSample,
     "q_lang_id" -> SqlText.langId,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,

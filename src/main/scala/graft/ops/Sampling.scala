@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash.words
+
+/** Deterministic sampling, splitting, and budgeted corpus mixing — the
+  * selection layer of a training-data pipeline. Everything is a pure
+  * function of (doc_id, salt): re-running any stage on any cluster yields
+  * the same split/sample, which is what makes ablations and incremental
+  * re-curation reproducible. No RNG, no `rand()` (non-deterministic across
+  * retries/partitionings), no driver-side state.
+  *
+  * Scale shape: split/sample assignment is a shuffle-free projection
+  * (md5 + modulo per row); the mix allocation aggregates one tiny
+  * per-source frame that broadcasts back onto the corpus — the corpus
+  * itself is never shuffled.
+  */
+object Sampling {
+
+  val SplitSalt = "split:v1:"
+  val MixSalt = "mix:v1:"
+  val TrainPct = 90
+  val ValPct = 5 // test = the remaining 5
+
+  /** Token budget for the default corpus mix (uniform per-source targets —
+    * up-weighting rare sources and down-sampling dominant ones is the
+    * standard mixing move; weights would multiply in here).
+    */
+  val MixBudgetTokens = 10000.0
+
+  /** Stable 32-bit integer from md5(salt || doc_id) — the deterministic
+    * "random" driving splits and samples. First 8 hex chars, so always
+    * non-negative and identical to the oracle's
+    * `('0x' || substr(md5(...), 1, 8))::BIGINT`.
+    */
+  private def h32(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Deterministic train/val/test split: bucket = h32 % 100, train < 90,
+    * val < 95, test otherwise. Stable under reruns, re-partitioning, and
+    * corpus growth (a doc's split never changes when other docs arrive —
+    * unlike `rand()` or ntile splits).
+    */
+  def docSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", (h32(SplitSalt, col("doc_id")) % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, lit("train"))
+          .when(col("bucket") < TrainPct + ValPct, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** Per-source mix allocation under a whitespace-token budget: each
+    * source gets an equal share of the budget, and `sample_frac` is the
+    * fraction of that source's tokens to keep (capped at 1). The frac is
+    * computed in plain IEEE double arithmetic (division + least) so the
+    * sampling filter below is bit-identical in Spark and the oracle;
+    * it is rounded to 6dp for DISPLAY only.
+    */
+  def corpusMix(docs: DataFrame,
+      budget: Double = MixBudgetTokens): DataFrame =
+    mixAllocation(docs, budget)
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("target_tokens"), 2).as("target_tokens"),
+        round(col("sample_frac"), 6).as("sample_frac"))
+      .orderBy("source")
+
+  private def mixAllocation(docs: DataFrame, budget: Double): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(words(col("text"))).as("_ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ws")).cast("long").as("total_tokens"))
+    val nSources = perSource.select(count(lit(1)).as("_n"))
+    perSource.crossJoin(broadcast(nSources))
+      .withColumn("target_tokens", lit(budget) / col("_n"))
+      .withColumn("sample_frac",
+        least(lit(1.0), col("target_tokens") / col("total_tokens")))
+      .drop("_n")
+  }
+
+  /** The budgeted mixed sample itself: a doc is kept iff its per-source
+    * deterministic fraction h32(mix)/10000 falls below the source's
+    * allocation fraction. The tiny allocation frame broadcasts onto the
+    * corpus — selection is one corpus scan, no corpus shuffle.
+    */
+  def mixedSample(docs: DataFrame,
+      budget: Double = MixBudgetTokens): DataFrame = {
+    val alloc = mixAllocation(docs, budget)
+      .select(col("source"), col("sample_frac"))
+    docs.join(broadcast(alloc), Seq("source"))
+      .filter((h32(MixSalt, col("doc_id")) % 10000) / lit(10000.0) <
+        col("sample_frac"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+}

@@ -148,6 +148,64 @@ object SqlText {
        |  doc_id = cluster_rep AS is_canonical
        |FROM rep ORDER BY doc_id""".stripMargin
 
+  /** h32 sampling hash (graft.ops.Sampling.h32) in DuckDB. */
+  def h32(salt: String, id: String): String =
+    s"('0x' || substr(md5(${s(salt)} || CAST($id AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** Oracle for q_doc_split (deterministic 90/5/5 md5-mod split). */
+  val docSplit: String = {
+    val tr = graft.ops.Sampling.TrainPct
+    val va = tr + graft.ops.Sampling.ValPct
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(${h32(graft.ops.Sampling.SplitSalt, "doc_id")} % 100 AS INT)
+       |    AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < $tr THEN 'train'
+       |       WHEN bucket < $va THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTEs of the corpus-mix pair: per-source token totals and the
+    * IEEE-double allocation fraction (unrounded — the SAMPLE filter
+    * compares raw doubles; display rounding happens only in q_corpus_mix).
+    */
+  private val mixCtes: String = {
+    val budget = d(graft.ops.Sampling.MixBudgetTokens)
+    s"""t AS (SELECT doc_id, source, len(${wordsOf("text")}) AS ws
+       |  FROM documents),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS total_tokens FROM t GROUP BY 1),
+       |k AS (SELECT count(*) AS _n FROM agg),
+       |f AS (SELECT source, n_docs, total_tokens,
+       |  $budget / _n AS target_tokens,
+       |  least(${d(1.0)}, ($budget / _n) / total_tokens) AS sample_frac
+       |  FROM agg, k)""".stripMargin
+  }
+
+  /** Oracle for q_corpus_mix (per-source budget allocation). */
+  val corpusMix: String =
+    s"""WITH $mixCtes
+       |SELECT source, n_docs, total_tokens,
+       |  CAST(round(CAST(target_tokens AS DECIMAL(38, 12)), 2) AS DOUBLE)
+       |    AS target_tokens,
+       |  CAST(round(CAST(sample_frac AS DECIMAL(38, 12)), 6) AS DOUBLE)
+       |    AS sample_frac
+       |FROM f ORDER BY source""".stripMargin
+
+  /** Oracle for q_mixed_sample (budgeted deterministic per-source sample;
+    * the filter compares the SAME IEEE doubles Spark computes, so the kept
+    * set is bit-identical).
+    */
+  val mixedSample: String =
+    s"""WITH $mixCtes
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN f USING (source)
+       |WHERE (${h32(graft.ops.Sampling.MixSalt, "d.doc_id")} % 10000)
+       |    / ${d(10000.0)} < sample_frac
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle for q_simhash (56-bit simhash bit-string per doc). */
   val simhash: String =
     s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words

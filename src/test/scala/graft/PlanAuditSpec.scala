@@ -29,7 +29,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q1_pricing" -> 2, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
     "q_business_stats" -> 2, "q_clean_docs" -> 1,
     "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
+    "q_corpus_mix" -> 4,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
+    "q_doc_split" -> 1, "q_mixed_sample" -> 4,
     "q_dup_events" -> 2, "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
@@ -42,7 +44,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
   /** Queries allowed a BroadcastNestedLoopJoin: the deliberate bounded
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
-  private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups")
+  private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups",
+    // single-row broadcast cross join (n_sources onto the 20-row
+    // per-source allocation frame) — bounded by construction
+    "q_corpus_mix", "q_mixed_sample")
 
   /** Queries whose parquet scan must carry pushed-down filters. */
   private val mustPush = Set("q1_pricing", "q3_shipping", "q_asof_purchase",
