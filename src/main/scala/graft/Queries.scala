@@ -176,6 +176,8 @@ object Queries {
       Sampling.corpusMix(Tables.load(s, d, "documents"))),
     "q_mixed_sample" -> ((s: SparkSession, d: String) =>
       Sampling.mixedSample(Tables.load(s, d, "documents"))),
+    "q_seq_pack" -> ((s: SparkSession, d: String) =>
+      Packing.seqPack(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
@@ -233,6 +235,7 @@ object Queries {
     "q_doc_split" -> SqlText.docSplit,
     "q_corpus_mix" -> SqlText.corpusMix,
     "q_mixed_sample" -> SqlText.mixedSample,
+    "q_seq_pack" -> SqlText.seqPack,
     "q_lang_id" -> SqlText.langId,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,

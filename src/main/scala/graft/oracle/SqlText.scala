@@ -206,6 +206,26 @@ object SqlText {
        |    / ${d(10000.0)} < sample_frac
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_seq_pack (per-source concat-and-chop packing at
+    * SeqLen-token boundaries; running sum excludes the current row).
+    */
+  val seqPack: String = {
+    val L = graft.ops.Packing.SeqLen
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(${wordsOf("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS start_tok FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(floor(start_tok / $L) AS BIGINT) AS seq_first,
+       |  CAST(floor((start_tok + greatest(n_tokens - 1, 0)) / $L) AS BIGINT)
+       |    AS seq_last
+       |FROM c ORDER BY source, doc_id""".stripMargin
+  }
+
   /** Oracle for q_simhash (56-bit simhash bit-string per doc). */
   val simhash: String =
     s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Packing
+
+/** Sequence packing: per-source contiguity and boundary arithmetic. */
+class PackingSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  test("token stream is contiguous per source and chop boundaries hold") {
+    val out = Packing.seqPack(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents")).collect()
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      // rows arrive ordered by doc_id within source; starts are contiguous
+      var expectedStart = 0L
+      rows.foreach { r =>
+        r.getLong(3) shouldBe expectedStart
+        expectedStart += r.getLong(2)
+        // a doc occupies exactly the sequences its token interval overlaps
+        r.getLong(4) shouldBe r.getLong(3) / Packing.SeqLen
+        r.getLong(5) shouldBe
+          (r.getLong(3) + math.max(r.getLong(2) - 1, 0)) / Packing.SeqLen
+        r.getLong(4) should be <= r.getLong(5)
+      }
+    }
+  }
+
+  test("a custom seq length changes the chop, not the stream") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "one two three"), (2L, "a", "four five"),
+      (3L, "a", "six"))
+      .toDF("doc_id", "source", "text")
+    val out = Packing.seqPack(docs, seqLen = 4)
+      .select("doc_id", "n_tokens", "start_tok", "seq_first", "seq_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc1 tokens [0,3) -> seq 0; doc2 [3,5) -> seqs 0-1; doc3 [5,6) -> 1
+    out shouldBe Array((1L, 3L, 0L, 0L, 0L), (2L, 2L, 3L, 0L, 1L),
+      (3L, 1L, 5L, 1L, 1L))
+  }
+}
