@@ -178,6 +178,13 @@ object Queries {
       Sampling.mixedSample(Tables.load(s, d, "documents"))),
     "q_seq_pack" -> ((s: SparkSession, d: String) =>
       Packing.seqPack(Tables.load(s, d, "documents"))),
+    // train/eval decontamination: benchmark = doc_id % 97 == 0 stand-in
+    "q_decontaminate" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      TextDedup.decontaminate(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        k = TextDedup.ContamGramSynthetic)
+    }),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
@@ -236,6 +243,7 @@ object Queries {
     "q_corpus_mix" -> SqlText.corpusMix,
     "q_mixed_sample" -> SqlText.mixedSample,
     "q_seq_pack" -> SqlText.seqPack,
+    "q_decontaminate" -> SqlText.decontaminate,
     "q_lang_id" -> SqlText.langId,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,

@@ -136,6 +136,46 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Default decontamination gram length — production pipelines use 8-13
+    * word grams (long enough that a match means real overlap, not idiom).
+    */
+  val ContamGram = 8
+
+  /** Gram length for the registry query: the synthetic corpus shares
+    * almost no >= 5-word grams across docs, so the q_decontaminate query
+    * uses 3-grams to exercise a non-trivial match set (171 docs at
+    * sf0.01); production calls keep the 8-gram default.
+    */
+  val ContamGramSynthetic = 3
+
+  /** Train/eval decontamination: flag corpus documents sharing >= 1 word
+    * k-gram with a benchmark (evaluation) set — the standard guard against
+    * test-set leakage into training data. Benchmark docs are excluded from
+    * the output (they trivially match themselves).
+    *
+    * Scale shape: the benchmark gram set (eval suites — thousands of docs)
+    * is tiny next to a 100 TB corpus, so it BROADCASTS onto a single
+    * corpus scan: no corpus shuffle, just the per-doc group-count of
+    * matched grams. Were the benchmark ever too big to broadcast, removing
+    * the hint degrades gracefully to a shuffle join on the gram hash.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      k: Int = ContamGram): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("_words", words(col("text")))
+      .filter(size(col("_words")) >= k)
+      .select(col("doc_id"),
+        explode(shingles(col("_words"), k)).as("gram"))
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    val benchIds = benchmark.select(col("doc_id").as("_bid"))
+    grams(docs)
+      .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti")
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   /** Connected-component dedup clusters: near-dup PAIRS are only half a
     * dedup pipeline — keeping one representative per duplicate CLUSTER
     * needs the transitive closure (a~b, b~c => {a,b,c} share one

@@ -206,6 +206,26 @@ object SqlText {
        |    / ${d(10000.0)} < sample_frac
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_decontaminate (corpus docs sharing >= 1 word k-gram
+    * with the benchmark subset doc_id % 97 == 0, benchmark excluded).
+    */
+  val decontaminate: String = {
+    val k = TextDedup.ContamGramSynthetic
+    s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(words) - ${k - 1}),
+       |      i -> list_aggregate(list_slice(words, i + 1, i + $k),
+       |             'string_agg', ' ')))) AS gram
+       |  FROM docs WHERE len(words) >= $k),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+       |SELECT g.doc_id,
+       |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+       |FROM g JOIN bench USING (gram)
+       |WHERE g.doc_id % 97 != 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Oracle for q_seq_pack (per-source concat-and-chop packing at
     * SeqLen-token boundaries; running sum excludes the current row).
     */

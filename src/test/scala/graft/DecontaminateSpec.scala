@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.TextDedup
+
+/** Train/eval decontamination: k-gram overlap flagging with benchmark
+  * self-matches excluded.
+  */
+class DecontaminateSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("flags exactly the docs sharing a k-gram; benchmark excluded; " +
+      "short docs cannot match") {
+    val corpus = df(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a quick brown fox ran away yesterday evening",       // shares "quick brown fox"
+      3L -> "completely different words here entirely",
+      4L -> "quick brown",                                        // < k words
+      9L -> "the quick brown fox jumps over the lazy dog")        // benchmark doc
+    val out = TextDedup.decontaminate(
+      corpus, corpus.filter(col("doc_id") === 9L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 shares all 7 of doc 9's 3-grams; doc 2 shares "quick brown fox"
+    out shouldBe Array((1L, 7L), (2L, 1L))
+  }
+
+  test("8-gram default: only long overlaps match") {
+    val shared = "one two three four five six seven eight nine"
+    val corpus = df(
+      1L -> s"prefix words $shared suffix words",
+      2L -> "nothing in common with the benchmark document at all really",
+      9L -> shared)
+    val out = TextDedup.decontaminate(
+      corpus, corpus.filter(col("doc_id") === 9L))
+      .collect().map(_.getLong(0))
+    out shouldBe Array(1L)
+  }
+
+  test("sf0.01 testdata: 171 contaminated docs vs the %97 benchmark") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val out = TextDedup.decontaminate(docs,
+      docs.filter(col("doc_id") % 97 === 0),
+      k = TextDedup.ContamGramSynthetic)
+    out.count() shouldBe 171L
+    // no benchmark doc in the output
+    out.filter(col("doc_id") % 97 === 0).count() shouldBe 0L
+  }
+}
