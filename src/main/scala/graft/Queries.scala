@@ -192,6 +192,8 @@ object Queries {
       TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     "q_doc_quality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.docQuality(Tables.load(s, d, "documents"))),
+    "q_repetition" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: similarity search
     "q_knn_brute" -> (EmbedSim.knnBrute _),
     "q_knn_ivf" -> (EmbedSim.knnIvf _),
@@ -247,6 +249,7 @@ object Queries {
     "q_lang_id" -> SqlText.langId,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
+    "q_repetition" -> SqlText.repetition,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
     "q_embed_dups" -> SqlText.embedDups,

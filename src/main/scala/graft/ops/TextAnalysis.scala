@@ -99,4 +99,46 @@ object TextAnalysis {
       wc.as("word_count"), q.as("quality"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style intra-document repetition signals (boilerplate and
+    * looped-generation detectors):
+    *  - `dup_word_frac`: 1 − distinct_words / words (0 for empty docs);
+    *  - `top_bigram_frac`: the share of bigram slots taken by the most
+    *    frequent bigram (0 for docs under 2 words).
+    *
+    * Both are PER-ROW folds over the token array (sort the bigrams, take
+    * the longest equal run), not an explode + groupBy: exploding grams
+    * shuffles ~word_count× the corpus to compute a per-doc scalar. The
+    * fold is an interpreted higher-order function, but it touches only
+    * the row's own ~10²-element array — bounded CPU with zero data
+    * movement, the right trade at any scale.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val wc = size(w)
+    val dupWord = when(wc > 0,
+      lit(1.0) - size(array_distinct(w)).cast("double") / wc)
+      .otherwise(lit(0.0))
+    // bigrams WITH duplicates (TextHash.shingles dedups, which is exactly
+    // what a frequency count must not do)
+    val bigrams = transform(sequence(lit(0), wc - 2),
+      i => concat_ws(" ", slice(w, i + lit(1), lit(2))))
+    // longest equal run in the sorted bigram list = max bigram count
+    val runInit = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best"))
+    val maxCount = aggregate(array_sort(bigrams), runInit,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topBigram = when(wc >= 2,
+      maxCount.cast("double") / (wc - 1)).otherwise(lit(0.0))
+    docs.select(col("doc_id"), wc.as("word_count"),
+      round(dupWord, 6).as("dup_word_frac"),
+      round(topBigram, 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -206,6 +206,33 @@ object SqlText {
        |    / ${d(10000.0)} < sample_frac
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_repetition (Gopher-style intra-doc repetition signals).
+    * The oracle computes max-bigram-count by unnest + GROUP BY — the
+    * technique differs from Spark's per-row fold, the values must not.
+    */
+  val repetition: String =
+    s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |b AS (SELECT doc_id, len(words) AS wc,
+       |  CASE WHEN len(words) > 0 THEN ${d(1.0)} -
+       |    CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+       |    ELSE ${d(0.0)} END AS dwf
+       |  FROM d),
+       |g AS (SELECT doc_id, unnest(list_transform(range(len(words) - 1),
+       |    i -> list_aggregate(list_slice(words, i + 1, i + 2),
+       |           'string_agg', ' '))) AS gram
+       |  FROM d WHERE len(words) >= 2),
+       |m AS (SELECT doc_id, max(cnt) AS maxc FROM
+       |  (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT b.doc_id, CAST(wc AS INT) AS word_count,
+       |  CAST(round(CAST(dwf AS DECIMAL(38, 12)), 6) AS DOUBLE)
+       |    AS dup_word_frac,
+       |  CAST(round(CAST(CASE WHEN wc >= 2
+       |      THEN CAST(maxc AS DOUBLE) / (wc - 1) ELSE ${d(0.0)} END
+       |    AS DECIMAL(38, 12)), 6) AS DOUBLE) AS top_bigram_frac
+       |FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Oracle for q_decontaminate (corpus docs sharing >= 1 word k-gram
     * with the benchmark subset doc_id % 97 == 0, benchmark excluded).
     */

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.TextAnalysis
+
+/** Gopher-style repetition signals: exact fractions on crafted docs. */
+class RepetitionSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private def rows(rs: (Long, String)*) = {
+    import spark.implicits._
+    TextAnalysis.repetition(rs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+  }
+
+  test("looped generation scores high; varied text scores low") {
+    val m = rows(
+      1L -> "buy now buy now buy now buy now",       // 8 words, 4 distinct... 2
+      2L -> "every word here is completely different",
+      3L -> "",                                       // empty: all zeros
+      4L -> "single")                                 // one word: no bigrams
+    // doc 1: words=8, distinct=2 -> dup 0.75; bigrams: "buy now" x4,
+    // "now buy" x3 of 7 slots -> top = 4/7
+    m(1L) shouldBe ((8, 0.75, math.rint(4.0 / 7 * 1e6) / 1e6))
+    m(2L)._2 shouldBe 0.0
+    m(3L) shouldBe ((0, 0.0, 0.0))
+    m(4L) shouldBe ((1, 0.0, 0.0))
+  }
+}
