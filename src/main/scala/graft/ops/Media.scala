@@ -84,6 +84,41 @@ object Media {
   private def frameCount(m: MediaRecord): Int =
     if (m.kind == "image") 1 else math.max(1, m.duration_ms / 500)
 
+  /** Resize: fit within `maxDim` preserving aspect ratio. The dimension
+    * arithmetic (the metadata half of a resize) is real; the pixel half is
+    * the codec's and follows the same stub-behind-a-signature pattern as
+    * [[decodeStub]] — a production resize swaps `fakeResize` for the codec
+    * call, keeping the partition-batched shape. Records already within
+    * bounds pass through untouched (payload identity, no re-encode).
+    */
+  def resizeStub(media: Dataset[MediaRecord],
+      maxDim: Int = 256): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec/scaler init would go here
+      it.map { m =>
+        val big = math.max(m.width, m.height)
+        if (big <= maxDim) m
+        else {
+          // floor semantics, min 1px — matches every mainstream scaler
+          val w = math.max(1, m.width * maxDim / big)
+          val h = math.max(1, m.height * maxDim / big)
+          m.copy(width = w, height = h,
+            payload = fakeResize(m.payload, w, h))
+        }
+      }
+    }
+  }
+
+  /** STUB — replace with the real scaler. Deterministic: the "re-encoded"
+    * payload length scales with the target pixel count so downstream
+    * byte-level features keep behaving like a real re-encode.
+    */
+  private def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(16, math.min(payload.length, (w * h) / 64))
+    java.util.Arrays.copyOf(payload, n)
+  }
+
   /** Per-kind feature aggregation — only scalar features shuffle, never the
     * payload.
     */

@@ -25,6 +25,33 @@ class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("resize fits within maxDim preserving aspect; small media " +
+      "pass through untouched") {
+    val in = Media.mediaTable(spark, 80)
+    val out = Media.resizeStub(in, maxDim = 128).collect()
+      .map(m => m.media_id -> m).toMap
+    in.collect().foreach { m =>
+      val r = out(m.media_id)
+      val big = math.max(m.width, m.height)
+      if (big <= 128) {
+        r.width shouldBe m.width
+        r.height shouldBe m.height
+        r.payload.toSeq shouldBe m.payload.toSeq // identity, no re-encode
+      } else {
+        math.max(r.width, r.height) should be <= 128
+        // aspect preserved via exact floor scaling
+        r.width shouldBe math.max(1, m.width * 128 / big)
+        r.height shouldBe math.max(1, m.height * 128 / big)
+        r.payload.length should be <= m.payload.length
+      }
+      // metadata untouched by the scaler
+      r.kind shouldBe m.kind
+      r.duration_ms shouldBe m.duration_ms
+    }
+    // resized output feeds the same decode plumbing unchanged
+    Media.decodeStub(Media.resizeStub(in, 128)).count() shouldBe 80
+  }
+
   test("feature stats aggregate per kind without shuffling payloads") {
     val stats = Media.featureStats(Media.decodeStub(Media.mediaTable(spark, 99)))
     val rows = stats.collect()
