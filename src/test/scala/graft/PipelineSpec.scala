@@ -65,6 +65,45 @@ class PipelineSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("restart from checkpoint: offsets resume and dedup state survives " +
+      "(T1/T7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = new UpsertSink("review_id")
+    val issues = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val in = MemoryStream[RawReview]
+    val checkpoint = Files.createTempDirectory("graft-restart").toString
+    val pipe = new Pipeline(sink, issues)
+    val originalText = "this place was absolutely great for the whole family"
+    val q1 = pipe.start(in.toDF(), checkpoint)
+    try {
+      in.addData(
+        raw("s1", "2024-01-01 10:00:00", originalText),
+        raw("s2", "2024-01-01 10:05:00",
+          "a wonderful spot with the best service in town"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    sink.size shouldBe 2
+
+    // second incarnation, SAME checkpoint: offsets + state store restored
+    val q2 = pipe.start(in.toDF(), checkpoint)
+    try {
+      // a late duplicate of s1 with DIFFERENT text: only the RESTORED
+      // dedup state can drop it — if state were lost, it would pass dedup
+      // and the idempotent upsert would overwrite s1's text
+      in.addData(
+        raw("s1", "2024-01-01 10:00:00", s"$originalText but changed"),
+        raw("s3", "2024-01-01 10:10:00",
+          "the food was fine and the service was quick and friendly"))
+      q2.processAllAvailable()
+      sink.size shouldBe 3 // s3 arrives; the s1 duplicate does not grow it
+      val s1Text = sink.store.get("s1").getAs[String]("text")
+      s1Text should include(originalText)
+      s1Text should not include "but changed"
+    } finally q2.stop()
+  }
+
   test("dedup-dropped records become duplicate issues (batch diff)") {
     import spark.implicits._
     val batch = Seq(
