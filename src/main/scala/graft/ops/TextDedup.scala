@@ -197,13 +197,17 @@ object TextDedup {
     * detected from sum(label), which strictly decreases until fixpoint
     * (labels only ever decrease), so the per-round action is a cheap
     * aggregate, not a full-frame compare. Each round's labels are
-    * persisted and the previous round unpersisted; for very deep graphs
-    * production code would checkpoint every ~10 rounds to truncate
-    * lineage.
+    * persisted and the previous round unpersisted, and every
+    * [[ClusterCheckpointEvery]] rounds the labels are localCheckpoint'ed:
+    * without lineage truncation each round's plan embeds every previous
+    * round, so planning cost COMPOUNDS on long-diameter graphs (measured:
+    * a ~15-round random chain went from seconds to minutes per round).
     *
     * Output: (doc_id, cluster_rep, cluster_size, is_canonical) for EVERY
     * corpus doc (non-paired docs are their own singleton cluster).
     */
+  val ClusterCheckpointEvery = 5
+
   def dedupClusters(corpus: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs
@@ -224,12 +228,17 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
         .groupBy(col("src"))
         .agg(min(col("rep")).as("_nrep"))
-      val next = labels
+      val next0 = labels
         .join(prop.select(col("src").as("doc_id"), col("_nrep")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("_nrep"), col("rep"))).as("rep"))
-        .persist()
+      // truncate lineage periodically: each round otherwise re-plans every
+      // previous round's joins, compounding on long-diameter graphs
+      val next =
+        if ((round + 1) % ClusterCheckpointEvery == 0)
+          next0.localCheckpoint(true)
+        else next0.persist()
       val nextSum = sumOf(next)
       converged = nextSum == labelSum
       labels.unpersist(blocking = false)

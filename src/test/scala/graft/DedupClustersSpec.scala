@@ -65,6 +65,41 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     full shouldBe Array(10L)
   }
 
+  test("random graphs match a driver-side union-find reference") {
+    val rnd = new scala.util.Random(20260812L)
+    // trial 0 is a deterministic 12-node path: diameter 11 forces >5
+    // rounds, exercising the periodic localCheckpoint lineage truncation
+    val trials: Seq[(Int, Seq[(Long, Long)])] =
+      (12, (1L until 12L).map(i => (i, i + 1))) +:
+        Seq.fill(2) {
+          val n = 8 + rnd.nextInt(18)
+          (n, Seq.fill(rnd.nextInt(n + 1))(
+            (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+            .filter { case (a, b) => a != b }
+            .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+            .distinct)
+        }
+    trials.zipWithIndex.foreach { case ((n, edges), trial) =>
+      val nodes = (1L to n.toLong)
+      // reference: plain union-find with min-root bookkeeping
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(i => i -> find(i)).toMap
+      val got = TextDedup.dedupClusters(corpusOf(nodes: _*),
+        pairsOf(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (n=$n, e=${edges.length}): ") {
+        got shouldBe expected
+      }
+    }
+  }
+
   test("matches the clusters implied by the jaccard pairs on testdata") {
     val dir = "/root/testdata/sf0.001"
     val corpus = graft.ops.Corpus.withNearDups(spark, dir)
