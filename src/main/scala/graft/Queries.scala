@@ -194,6 +194,8 @@ object Queries {
       TextAnalysis.docQuality(Tables.load(s, d, "documents"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
+    "q_vocab" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocab(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: similarity search
     "q_knn_brute" -> (EmbedSim.knnBrute _),
     "q_knn_ivf" -> (EmbedSim.knnIvf _),
@@ -250,6 +252,7 @@ object Queries {
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
     "q_repetition" -> SqlText.repetition,
+    "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
     "q_embed_dups" -> SqlText.embedDups,

@@ -100,6 +100,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary analysis — the frequency table a tokenizer-training
+    * (BPE) or TF-IDF stage starts from: global top-k words by total count
+    * with document frequency and idf = ln(N / doc_freq).
+    *
+    * Scale shape: one token explode feeding a partially-aggregated
+    * groupBy(word) (map-side combine collapses each partition's token
+    * stream before the shuffle); the single-row corpus count broadcasts;
+    * top-k is orderBy+limit = TakeOrderedAndProject (per-partition heaps,
+    * never a full sort).
+    */
+  def vocab(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    tok.groupBy("word")
+      .agg(count(lit(1)).as("total_count"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("_n") / col("doc_freq")), 6))
+      .select(col("word"), col("total_count"), col("doc_freq"), col("idf"))
+      .orderBy(desc("total_count"), col("word"))
+      .limit(topK)
+  }
+
   /** Gopher-style intra-document repetition signals (boilerplate and
     * looped-generation detectors):
     *  - `dup_word_frac`: 1 − distinct_words / words (0 for empty docs);

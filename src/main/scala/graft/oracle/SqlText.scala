@@ -206,6 +206,19 @@ object SqlText {
        |    / ${d(10000.0)} < sample_frac
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_vocab (global top-100 words with doc freq and idf). */
+  val vocab: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${wordsOf("text")}) AS word
+       |  FROM documents),
+       |n AS (SELECT count(*) AS _n FROM documents),
+       |a AS (SELECT word, CAST(count(*) AS BIGINT) AS total_count,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |  FROM t GROUP BY 1)
+       |SELECT word, total_count, doc_freq,
+       |  CAST(round(CAST(ln(_n / doc_freq) AS DECIMAL(38, 12)), 6)
+       |    AS DOUBLE) AS idf
+       |FROM a, n ORDER BY total_count DESC, word LIMIT 100""".stripMargin
+
   /** Oracle for q_repetition (Gopher-style intra-doc repetition signals).
     * The oracle computes max-bigram-count by unnest + GROUP BY — the
     * technique differs from Spark's per-row fold, the values must not.

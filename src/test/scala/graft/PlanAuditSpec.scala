@@ -42,15 +42,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_region_revenue" -> 2, "q_repetition" -> 1, "q_seq_pack" -> 2,
     "q_simhash" -> 1,
     "q_token_stats" -> 2,
-    "q_top_orders" -> 2, "q_top_quality" -> 0, "q_topk_custom" -> 2)
+    "q_top_orders" -> 2, "q_top_quality" -> 0, "q_topk_custom" -> 2,
+    "q_vocab" -> 3)
 
   /** Queries allowed a BroadcastNestedLoopJoin: the deliberate bounded
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
   private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups",
-    // single-row broadcast cross join (n_sources onto the 20-row
-    // per-source allocation frame) — bounded by construction
-    "q_corpus_mix", "q_mixed_sample")
+    // single-row broadcast cross join (n_sources / n_docs onto a tiny
+    // aggregate frame) — bounded by construction
+    "q_corpus_mix", "q_mixed_sample", "q_vocab")
 
   /** Queries whose parquet scan must carry pushed-down filters. */
   private val mustPush = Set("q1_pricing", "q3_shipping", "q_asof_purchase",
