@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.sources.Sources
-import graft.streaming.{Pipeline, UpsertSink}
+import graft.streaming.{BatchSink, JdbcUpsertSink, ParquetSink, Pipeline, UpsertSink}
 
 /** Streaming-topology throughput benchmark: drives the full E1->E2->E3
   * pipeline (JSONL replay -> schema map -> dedup -> quality annotate ->
@@ -115,12 +115,34 @@ object StreamBench {
       Files.move(p, watch.resolve(p.getFileName),
         StandardCopyOption.ATOMIC_MOVE)
 
-    val sink = new UpsertSink("review_id")
-    val issues = new java.util.concurrent.ConcurrentLinkedQueue[
-      org.apache.spark.sql.Row]()
+    // Warehouse sink: in-memory keyed upsert (partition path) by default;
+    // STREAM_BENCH_SINK=jdbc drives the real JDBC upsert path against an
+    // embedded in-memory Derby instead. Issues always go to a DISTRIBUTED
+    // parquet append sink (no driver queue — the round-2 anti-pattern).
+    val jdbcMode = sys.env.get("STREAM_BENCH_SINK").contains("jdbc")
+    val jdbcUrl = "jdbc:derby:memory:streambench;create=true"
+    val memSink = new UpsertSink("review_id")
+    val sink: BatchSink = if (jdbcMode) {
+      val c = java.sql.DriverManager.getConnection(jdbcUrl)
+      try c.createStatement().execute(
+        """CREATE TABLE cleaned_reviews (
+          |  review_id VARCHAR(32) PRIMARY KEY,
+          |  rating INT,
+          |  data_quality_score DOUBLE)""".stripMargin)
+      finally c.close()
+      val jdbc = new JdbcUpsertSink(jdbcUrl, "cleaned_reviews", "review_id",
+        updateCols = Seq("data_quality_score"))
+      new BatchSink {
+        def write(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+          jdbc.write(
+            df.selectExpr("review_id", "rating", "data_quality_score"), id)
+      }
+    } else memSink
+    val issueDir = base.resolve("issues").toString
     val raw = Sources.asRawReviews(
       Sources.replayStream(spark, watch.toString), source = "bench")
-    val q = new Pipeline(sink, issues).start(raw, checkpoint)
+    val q = new Pipeline(sink, new ParquetSink(issueDir, maxFiles = 8))
+      .start(raw, checkpoint)
 
     // warm the topology (JIT + codegen) before timing
     release(stage.resolve("warmup.json"))
@@ -140,10 +162,24 @@ object StreamBench {
 
     val total = nBatches * batchSize
     val rps = total / sec
+    // post-timing accounting reads (not part of the measured window)
+    val upserted =
+      if (jdbcMode) {
+        val c = java.sql.DriverManager.getConnection(jdbcUrl)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT count(*) FROM cleaned_reviews")
+          rs.next(); rs.getInt(1)
+        } finally c.close()
+      } else memSink.size
+    val issueCount =
+      try spark.read.parquet(issueDir).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val line = s"""{"metric":"stream_throughput","value":$rps,""" +
       s""""unit":"records/sec","records":$total,"batches":$nBatches,""" +
-      s""""seconds":$sec,"upserted":${sink.size},""" +
-      s""""issues":${issues.size},""" +
+      s""""seconds":$sec,"upserted":$upserted,""" +
+      s""""sink":"${if (jdbcMode) "jdbc" else "memory"}",""" +
+      s""""issues":$issueCount,""" +
       s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
       s""""reference_configured_max":1000}"""
     Files.writeString(Paths.get("stream_bench_out.json"), line)

@@ -40,7 +40,9 @@ final class JdbcUpsertSink(
     table: String,
     keyCol: String,
     updateCols: Seq[String],
-    batchSize: Int = 100) extends Serializable {
+    batchSize: Int = 100) extends BatchSink {
+
+  def write(df: DataFrame, batchId: Long): Unit = upsertBatch(df, batchId)
 
   def upsertBatch(df: DataFrame, batchId: Long): Unit = {
     val schema = df.schema

@@ -84,6 +84,71 @@ object Streams {
     }
   }
 
+  /** Streaming dedup that TAGS duplicates instead of dropping them: output
+    * is the input schema plus a boolean `_dup` column. Same state semantics
+    * as [[dedup]] (keys held until the event-time watermark passes the key's
+    * event time + delay), but the duplicates stay visible downstream — which
+    * is what the reference's agent needs to emit a `duplicate` issue per
+    * dropped record (faust_app.py:113-124: the table hit doesn't just skip,
+    * it produces to the quality_issues topic). `dropDuplicatesWithinWatermark`
+    * can't do that (drops are silent), hence flatMapGroupsWithState keyed by
+    * the composite (review_id, date) with an event-time timeout.
+    *
+    * State is one boolean per in-flight key — identical footprint to the
+    * built-in dedup operator; eviction via watermark timeout, checkpointed
+    * and restart-safe like any stateful op (T1).
+    */
+  def dedupTagged(raw: DataFrame, delay: String = "2 hours")
+      : org.apache.spark.sql.Dataset[Row] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val delayMs = parseDelayMs(delay)
+    val withWm = raw.withWatermark("date", delay)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      raw.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_dup", org.apache.spark.sql.types.BooleanType, nullable = false))
+    implicit val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    implicit val boolEnc = Encoders.scalaBoolean
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    def tag(r: Row, dup: Boolean): Row = Row.fromSeq(r.toSeq :+ dup)
+    withWm.groupByKey { r: Row =>
+      (r.getAs[String]("review_id"),
+        String.valueOf(r.getAs[java.sql.Timestamp]("date")))
+    }.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (_: (String, String), rows: Iterator[Row], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          // rows per (review_id, date) key per micro-batch: tiny by contract
+          val buf = rows.toVector
+          val seen = state.exists
+          state.update(true)
+          val evMs = buf.head.getAs[java.sql.Timestamp]("date").getTime
+          // timeout when the watermark passes eventTime+delay; must stay
+          // strictly ahead of the current watermark to be settable
+          state.setTimeoutTimestamp(
+            math.max(evMs + delayMs, state.getCurrentWatermarkMs() + 1))
+          if (seen) buf.iterator.map(tag(_, dup = true))
+          else buf.iterator.zipWithIndex.map { case (r, i) => tag(r, i > 0) }
+        }
+    }
+  }
+
+  private def parseDelayMs(delay: String): Long = {
+    val Array(n, unit) = delay.trim.split("\\s+")
+    val base = unit.toLowerCase match {
+      case u if u.startsWith("hour") => 3600000L
+      case u if u.startsWith("min") => 60000L
+      case u if u.startsWith("sec") => 1000L
+      case u if u.startsWith("milli") => 1L
+      case u => throw new IllegalArgumentException(s"unsupported unit: $u")
+    }
+    n.toLong * base
+  }
+
   /** Hourly windowed ReviewStats in update mode (A1/A3). */
   def hourlyStats(annotated: DataFrame, delay: String = "2 hours"): DataFrame =
     annotated

@@ -7,32 +7,43 @@ import org.apache.spark.sql.{DataFrame, Row}
   * the reference's `INSERT ... ON CONFLICT (review_id) DO UPDATE`
   * (postgres_sink.py:85-117): at-least-once delivery + keyed idempotence =
   * effective exactly-once (SURVEY T1). The store here is an in-JVM map (the
-  * tests' "warehouse"); a JDBC variant is the same collect-free pattern with
-  * `df.foreachPartition` + batched PreparedStatement upserts.
+  * tests' "warehouse"); the JDBC counterpart with the same [[BatchSink]]
+  * face is [[JdbcUpsertSink]].
   *
-  * NOTE collect() is acceptable ONLY because micro-batches are sink-bounded
-  * (100 rows/10 s in the reference); the partition-wise path below
-  * (`upsertPartitions`) is the 100-TB-safe form.
+  * `write` goes through the partition-wise executor-side path — the same
+  * 100-TB-safe shape as the JDBC sink. Tasks reach the store through a
+  * per-JVM registry keyed by sink id (closure-capturing the map itself
+  * would hand each task a serialized COPY): in local mode driver and
+  * executors share the JVM so the double observes every write; on a real
+  * cluster this double is meaningless by design — use [[JdbcUpsertSink]].
   */
-final class UpsertSink(keyCol: String) extends Serializable {
-  val store = new ConcurrentHashMap[String, Row]()
+final class UpsertSink(keyCol: String) extends BatchSink {
+  private val id = java.util.UUID.randomUUID().toString
 
-  def upsertBatch(df: DataFrame, batchId: Long): Unit = {
-    val keyIdx = df.schema.fieldIndex(keyCol)
-    df.collect().foreach(r => store.put(r.getString(keyIdx), r))
-  }
+  def store: ConcurrentHashMap[String, Row] = UpsertSink.storeFor(id)
+
+  def write(df: DataFrame, batchId: Long): Unit = upsertPartitions(df, batchId)
 
   /** Distributed form: upsert executor-side, partition by partition (no
-    * driver materialization). The local map only works single-JVM; on a
-    * cluster the same closure holds a JDBC connection per partition.
+    * driver materialization) — on a cluster the same closure shape holds a
+    * JDBC connection per partition instead of the registry lookup.
     */
   def upsertPartitions(df: DataFrame, batchId: Long): Unit = {
     val keyIdx = df.schema.fieldIndex(keyCol)
-    val s = store
+    val sinkId = id
     df.foreachPartition { rows: Iterator[Row] =>
+      val s = UpsertSink.storeFor(sinkId)
       rows.foreach(r => s.put(r.getString(keyIdx), r))
     }
   }
 
   def size: Int = store.size()
+}
+
+object UpsertSink {
+  private val stores =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Row]]()
+
+  private def storeFor(id: String): ConcurrentHashMap[String, Row] =
+    stores.computeIfAbsent(id, _ => new ConcurrentHashMap[String, Row]())
 }

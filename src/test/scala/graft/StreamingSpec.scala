@@ -111,7 +111,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with TestSpark {
     val q = Streams.annotate(in.toDF()).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         Streams.routeBatch(batch)(
-          cleaned => cleanedSink.upsertBatch(cleaned, id),
+          cleaned => cleanedSink.write(cleaned, id),
           issues => issuesSeen.addAndGet(issues.count()))
       }.start()
     try {
