@@ -14,10 +14,24 @@ import TextHash.words
   * packing-with-concatenation scheme — documents may cross sequence
   * boundaries; attention masking at training time handles the joins).
   *
-  * Packing is PER SOURCE (= per shard): a single global running sum would
-  * serialize the whole corpus through one partition at 100 TB, while
-  * per-shard packing is how production pipelines run anyway (each shard's
-  * sequences are independent). One shuffle: the per-source window.
+  * Scale shape — a TWO-PHASE DISTRIBUTED PREFIX SUM, not a per-source
+  * running-sum window (which would put a source's ENTIRE token stream
+  * through one task: at 100 TB one source is terabytes through one core):
+  *
+  *   1. range-partition by (source, doc_id) — every physical partition
+  *      holds a contiguous slice of the semantic order;
+  *   2. the running sum runs per (partition, source) GROUP — thousands of
+  *      bounded parallel window groups instead of one unbounded group per
+  *      source;
+  *   3. per-(partition, source) token subtotals are a TINY frame (one row
+  *      per partition x overlapping source); their per-source cumulative
+  *      sum over partition order gives each group's base offset;
+  *   4. the bases broadcast-join back onto the big side:
+  *      start = group base + within-group running sum.
+  *
+  * Big-side cost: one range exchange + one hash exchange (the group
+  * window) + a broadcast join — every task bounded by partition size
+  * regardless of how skewed the corpus is across sources.
   */
 object Packing {
 
@@ -27,20 +41,52 @@ object Packing {
     * offset in its source's concatenated token stream, and the first/last
     * sequence index it occupies. Empty docs occupy their start sequence
     * trivially.
+    *
+    * @param parts range partitions for the prefix sum; 0 = the session's
+    *              shuffle parallelism
     */
-  def seqPack(docs: DataFrame, seqLen: Int = SeqLen): DataFrame = {
-    val before = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+  def seqPack(docs: DataFrame, seqLen: Int = SeqLen,
+      parts: Int = 0): DataFrame = {
+    val n = if (parts > 0) parts
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // phase 1: contiguous slices of the (source, doc_id) order
+    val ranged = docs
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_tok",
-        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .repartitionByRange(n, col("source"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    // phase 2a: within-group running sum — groups bounded by partition size
+    val wLocal = Window.partitionBy(col("_pid"), col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("_local_before",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // phase 2b: tiny subtotal frame -> per-source cumulative base offsets.
+    // (The serial window here is over #partitions rows, not the corpus.)
+    val wBase = Window.partitionBy(col("source")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy(col("_pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("_ptotal"))
+      .withColumn("_base", coalesce(sum(col("_ptotal")).over(wBase), lit(0L)))
+      .select(col("_pid"), col("source"), col("_base"))
+    // phase 3: base + local offset, broadcast onto the big side. Both
+    // branches contain the SAME canonical range exchange, which AQE's
+    // stage cache materializes once and reuses — so the _pid assignment is
+    // identical on both sides. Left join + raise_error guards the
+    // theoretical case of divergent boundaries (e.g. exchange reuse
+    // disabled): a missing base must fail loudly, never drop rows.
+    local.join(broadcast(bases), Seq("_pid", "source"), "left")
+      .withColumn("_base", when(col("_base").isNull,
+        raise_error(lit("seqPack: range boundaries diverged between the " +
+          "prefix-sum branches"))).otherwise(col("_base")))
+      .withColumn("start_tok", col("_base") + col("_local_before"))
       .withColumn("seq_first",
         floor(col("start_tok") / seqLen).cast("long"))
       .withColumn("seq_last",
         floor((col("start_tok") +
           greatest(col("n_tokens") - 1, lit(0L))) / seqLen).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tok"), col("seq_first"), col("seq_last"))
       .orderBy("source", "doc_id")
   }
 }

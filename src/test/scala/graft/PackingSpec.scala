@@ -27,6 +27,30 @@ class PackingSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("a SINGLE source packs across many partitions (two-phase prefix " +
+      "sum), no serial per-source window") {
+    import spark.implicits._
+    // one source, 10k docs: the round-2 impl put all of this through ONE
+    // window task; the two-phase form must spread it over `parts` slices
+    // and still produce the exact global running sum
+    val docs = (1L to 10000L).map(i =>
+      (i, "the_only_source", ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val out = Packing.seqPack(docs, seqLen = 64, parts = 16)
+    var expected = 0L
+    out.collect().foreach { r =>
+      r.getLong(3) shouldBe expected // start_tok: globally contiguous
+      expected += r.getLong(2)
+    }
+    // the plan must carry the range exchange of phase 1 and must NOT
+    // funnel the corpus through a single-partition exchange
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("rangepartitioning")
+    plan should not include "Exchange SinglePartition"
+    // the big-side window groups by (_pid, source), never by source alone
+    plan should include("hashpartitioning(_pid")
+  }
+
   test("a custom seq length changes the chop, not the stream") {
     import spark.implicits._
     val docs = Seq((1L, "a", "one two three"), (2L, "a", "four five"),

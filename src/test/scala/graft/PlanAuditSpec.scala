@@ -39,7 +39,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_quality_issues" -> 1, "q_recent_reviews" -> 0,
-    "q_region_revenue" -> 2, "q_repetition" -> 1, "q_seq_pack" -> 2,
+    "q_region_revenue" -> 2, "q_repetition" -> 1,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
+    // + (_pid,source) window), tiny subtotal agg/window exchanges, final
+    // output sort; AQE reuses the canonical range stage at runtime
+    "q_seq_pack" -> 6,
     "q_simhash" -> 1,
     "q_token_stats" -> 2,
     "q_top_orders" -> 2, "q_top_quality" -> 0, "q_topk_custom" -> 2,
