@@ -185,6 +185,13 @@ object Queries {
         docs.filter(col("doc_id") % 97 === 0),
         k = TextDedup.ContamGramSynthetic)
     }),
+    // ...and at the PRODUCTION 8-gram default (near-empty match set on the
+    // synthetic corpus, but the oracle pins the production-k semantics)
+    "q_decontaminate_k8" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      TextDedup.decontaminate(docs,
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
@@ -248,6 +255,7 @@ object Queries {
     "q_mixed_sample" -> SqlText.mixedSample,
     "q_seq_pack" -> SqlText.seqPack,
     "q_decontaminate" -> SqlText.decontaminate,
+    "q_decontaminate_k8" -> SqlText.decontaminateK8,
     "q_lang_id" -> SqlText.langId,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,

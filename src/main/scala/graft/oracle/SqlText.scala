@@ -246,11 +246,11 @@ object SqlText {
        |    AS DECIMAL(38, 12)), 6) AS DOUBLE) AS top_bigram_frac
        |FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
 
-  /** Oracle for q_decontaminate (corpus docs sharing >= 1 word k-gram
-    * with the benchmark subset doc_id % 97 == 0, benchmark excluded).
+  /** Oracle for q_decontaminate / q_decontaminate_k8 (corpus docs sharing
+    * >= 1 word k-gram with the benchmark subset doc_id % 97 == 0,
+    * benchmark excluded).
     */
-  val decontaminate: String = {
-    val k = TextDedup.ContamGramSynthetic
+  def decontaminateK(k: Int): String =
     s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words
        |  FROM documents),
        |g AS (SELECT doc_id, unnest(list_distinct(
@@ -264,7 +264,15 @@ object SqlText {
        |FROM g JOIN bench USING (gram)
        |WHERE g.doc_id % 97 != 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  val decontaminate: String =
+    decontaminateK(TextDedup.ContamGramSynthetic)
+
+  /** The production 8-gram default — the match set is tiny-to-empty on the
+    * synthetic corpus, but the hash still pins the semantics at the k the
+    * reference of record (production decontamination) actually runs.
+    */
+  val decontaminateK8: String = decontaminateK(TextDedup.ContamGram)
 
   /** Oracle for q_seq_pack (per-source concat-and-chop packing at
     * SeqLen-token boundaries; running sum excludes the current row).

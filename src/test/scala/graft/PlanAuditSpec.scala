@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_business_stats" -> 2, "q_clean_docs" -> 1,
     "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
     "q_corpus_mix" -> 4,
-    "q_decontaminate" -> 4,
+    "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
     "q_doc_split" -> 1, "q_mixed_sample" -> 4,
     "q_dup_events" -> 2, "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
