@@ -69,6 +69,8 @@ object Queries {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     memo.clear()
+    // iterative operators keep their final cached state outside the memo
+    TextDedup.clearClusterState()
   }
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =

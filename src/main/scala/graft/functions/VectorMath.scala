@@ -30,6 +30,20 @@ object VectorMathUtil {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** True iff any slot in the zipped prefix is null. Split from [[dot]] so
+    * the hot loop stays branch-free; this pass is a bitmap scan on
+    * UnsafeArrayData and predicts perfectly on null-free (the common) data.
+    */
+  def anyNullSlot(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -50,13 +64,29 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorMathUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  /** Nullable even over non-null array columns: a null ELEMENT yields a null
+    * result (matching `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`, where
+    * null * x propagates), rather than silently treating the slot as 0.0 —
+    * the function is registered session-wide as SQL `dot_product` for any
+    * array<double> including containsNull=true.
+    */
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ad, bd) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (VectorMathUtil.anyNullSlot(ad, bd)) null else VectorMathUtil.dot(ad, bd)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VectorMathUtil.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if (graft.functions.VectorMathUtil.anyNullSlot($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorMathUtil.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)

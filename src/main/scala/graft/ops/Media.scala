@@ -115,7 +115,9 @@ object Media {
     * byte-level features keep behaving like a real re-encode.
     */
   private def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(16, math.min(payload.length, (w * h) / 64))
+    // never exceeds the source length: a downscale re-encode cannot grow the
+    // payload, and MediaSpec asserts that no-growth invariant
+    val n = math.min(payload.length, math.max(16, (w * h) / 64))
     java.util.Arrays.copyOf(payload, n)
   }
 

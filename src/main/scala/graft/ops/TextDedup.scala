@@ -208,6 +208,30 @@ object TextDedup {
     */
   val ClusterCheckpointEvery = 5
 
+  /** The last converged labels handle (persisted or localCheckpoint'ed).
+    * The returned clusters frame references it lazily, so it cannot be
+    * unpersisted inside [[dedupClusters]]; instead each new run releases the
+    * previous run's handle, and [[clearClusterState]] (called from
+    * `Queries.clear()`) releases the final one — without this, repeated
+    * invocations in a long-lived JVM (Bench warm+timed, test suites)
+    * accumulate cached label RDDs unboundedly.
+    */
+  private var lastLabels: Option[DataFrame] = None
+
+  def clearClusterState(): Unit = synchronized {
+    lastLabels.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    lastLabels = None
+  }
+
+  private def trackLabels(labels: DataFrame): Unit = synchronized {
+    lastLabels.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    lastLabels = Some(labels)
+  }
+
   def dedupClusters(corpus: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs
@@ -247,6 +271,7 @@ object TextDedup {
       round += 1
     }
     edges.unpersist(blocking = false)
+    trackLabels(labels)
     val byRep = Window.partitionBy(col("rep"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(byRep).cast("long"))

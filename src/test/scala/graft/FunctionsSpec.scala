@@ -153,6 +153,19 @@ class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
     val n = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
       .select(DotProduct(col("a"), col("b"))).head()
     n.isNullAt(0) shouldBe true
+    // null ELEMENT -> null out, matching the HOF fold (x * null -> null,
+    // acc + null -> null) instead of silently reading the slot as 0.0
+    val ne = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(4.0), Some(5.0))))
+      .toDF("a", "b")
+      .select(DotProduct(col("a"), col("b")).as("n"),
+        hof(col("a"), col("b")).as("h"))
+      .collect()
+    ne(0).isNullAt(0) shouldBe true
+    ne(0).isNullAt(1) shouldBe true
+    ne(1).getDouble(0) shouldBe 14.0
+    ne(1).getDouble(1) shouldBe 14.0
     // SQL-callable and codegen'd (no interpreted HOF in the plan)
     val viaSql = spark.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d))")
     viaSql.head().getDouble(0) shouldBe 11.0

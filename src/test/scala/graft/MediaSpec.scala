@@ -52,6 +52,21 @@ class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
     Media.decodeStub(Media.resizeStub(in, 128)).count() shouldBe 80
   }
 
+  test("resize never grows a payload, even below the 16-byte floor") {
+    import spark.implicits._
+    // 8-byte payload on an oversized image: the stub's 16-byte floor must
+    // clamp to the source length, not pad zeros past it
+    val tiny = Seq(
+      Media.MediaRecord(1L, "image", Array.fill[Byte](8)(7), 512, 512, 0),
+      Media.MediaRecord(2L, "image", Array.fill[Byte](100)(7), 512, 256, 0))
+      .toDS()
+    val out = Media.resizeStub(tiny, maxDim = 128).collect()
+      .map(m => m.media_id -> m).toMap
+    out(1L).payload.length shouldBe 8
+    out(1L).payload.toSeq shouldBe Seq.fill[Byte](8)(7)
+    out(2L).payload.length should be <= 100
+  }
+
   test("feature stats aggregate per kind without shuffling payloads") {
     val stats = Media.featureStats(Media.decodeStub(Media.mediaTable(spark, 99)))
     val rows = stats.collect()
