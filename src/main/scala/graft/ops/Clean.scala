@@ -99,10 +99,10 @@ object Clean {
       // multi-language detection: the en gate (and thus the accepted set
       // and en confidences) is unchanged; non-en docs get their argmax
       // profile instead of a flat 'unknown' (see Language)
-      "language" -> Language.languageFrom(langM("en"), langM("es"),
-        langM("de"), langM("fr"), langM("zh")),
+      "language" -> Language.languageFrom(langM("en"),
+        Language.OtherLangs.map(langM)),
       "language_confidence" -> Language.confidenceFrom(langM("en"),
-        langM("es"), langM("de"), langM("fr"), langM("zh")),
+        Language.OtherLangs.map(langM)),
       "_cts" -> graft.functions.TextStats(col("cleaned_text")),
       "_stripped_empty" -> (length(trim(col("cleaned_text"))) === 0)))
 

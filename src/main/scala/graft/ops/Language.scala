@@ -17,10 +17,11 @@ import graft.rules.Rules._
   *  - `en` iff >= 1 English-stopword match — the SUPPORTED-language gate,
   *    bit-identical to the original binary detector, so the accepted set
   *    and every en confidence are unchanged;
-  *  - otherwise the argmax non-English profile (es/de/fr stopwords, zh =
-  *    CJK codepoint count) with deterministic preference es > de > fr > zh
-  *    on ties — the refinement of the old 'unknown' bucket that gives
-  *    rejected records a real detected language, like the reference;
+  *  - otherwise the argmax non-English profile (es/de/fr/pt/it/nl stopword
+  *    counts; zh/ru/ja/ko/ar script-codepoint counts) with the
+  *    deterministic [[OtherLangs]] order as tie preference — the refinement
+  *    of the old 'unknown' bucket that gives rejected records a real
+  *    detected language, like the reference;
   *  - 'unknown' only when every profile counts zero.
   *
   * confidence = min(1.0, round(0.15 * matches_of_detected_profile, 2)),
@@ -29,21 +30,28 @@ import graft.rules.Rules._
   */
 object Language {
 
-  /** Detector profile order after `en` (also the tie preference). */
-  val OtherLangs: Seq[String] = Seq("es", "de", "fr", "zh")
+  /** Detector profile order after `en` (also the tie preference). The
+    * original four (es/de/fr/zh) stay first so their mutual tie-breaks are
+    * unchanged; the breadth profiles (pt/it/nl stopwords, ru/ja/ko/ar
+    * scripts) only win where they strictly outscore every earlier profile.
+    */
+  val OtherLangs: Seq[String] =
+    Seq("es", "de", "fr", "zh", "pt", "it", "nl", "ru", "ja", "ko", "ar")
 
   private val profileRe: Map[String, String] =
     TextAnalysis.StopwordProfiles.toMap
+  val scriptRe: Map[String, String] = TextAnalysis.ScriptProfiles.toMap
 
-  /** Match count for one profile, 0 on empty/null text. `zh` counts CJK
-    * codepoints; the rest count stopword occurrences in the lowered text.
+  /** Match count for one profile, 0 on empty/null text. Script languages
+    * (zh/ru/ja/ko/ar) count codepoints in their script class; the rest
+    * count stopword occurrences in the lowered text.
     */
   def matchesFor(lang: String, t: Column): Column = {
     val lc = lower(t)
     val raw = lang match {
       case "en" => regexp_count(lc, lit(EnStopwords))
-      case "zh" =>
-        length(lc) - length(regexp_replace(lc, TextAnalysis.CjkClass, ""))
+      case l if scriptRe.contains(l) =>
+        length(lc) - length(regexp_replace(lc, scriptRe(l), ""))
       case l => regexp_count(lc, lit(profileRe(l)))
     }
     when(TextFeatures.emptyText(t), lit(0)).otherwise(raw)
@@ -51,36 +59,37 @@ object Language {
 
   def enMatches(t: Column): Column = matchesFor("en", t)
 
-  /** Language decision from precomputed match-count columns (en, es, de,
-    * fr, zh) — see the object doc for the gate + argmax semantics.
+  /** Language decision from precomputed match-count columns — `en` plus one
+    * per [[OtherLangs]] entry, in that order — see the object doc for the
+    * gate + argmax semantics. Lang i wins iff its count >= every LATER
+    * profile's count (earlier profiles already failed their own >= check),
+    * which is exactly argmax with OtherLangs-order tie preference.
     */
-  def languageFrom(en: Column, es: Column, de: Column, fr: Column,
-      zh: Column): Column =
-    when(en >= 1, lit("en"))
-      .when(greatest(es, de, fr, zh) === 0, lit("unknown"))
-      .when(es >= de && es >= fr && es >= zh, lit("es"))
-      .when(de >= fr && de >= zh, lit("de"))
-      .when(fr >= zh, lit("fr"))
-      .otherwise(lit("zh"))
+  def languageFrom(en: Column, others: Seq[Column]): Column = {
+    require(others.length == OtherLangs.length,
+      s"expected ${OtherLangs.length} profile columns, got ${others.length}")
+    val base = when(en >= 1, lit("en"))
+      .when(greatest(others: _*) === 0, lit("unknown"))
+    OtherLangs.init.zipWithIndex.foldLeft(base) { case (acc, (lang, i)) =>
+      acc.when(others.drop(i + 1).map(others(i) >= _).reduce(_ && _),
+        lit(lang))
+    }.otherwise(lit(OtherLangs.last))
+  }
 
   /** Match count of the language `languageFrom` picks. */
-  def detectedMatches(en: Column, es: Column, de: Column, fr: Column,
-      zh: Column): Column =
-    when(en >= 1, en).otherwise(greatest(es, de, fr, zh))
+  def detectedMatches(en: Column, others: Seq[Column]): Column =
+    when(en >= 1, en).otherwise(greatest(others: _*))
 
-  def confidenceFrom(en: Column, es: Column, de: Column, fr: Column,
-      zh: Column): Column =
+  def confidenceFrom(en: Column, others: Seq[Column]): Column =
     least(lit(1.0),
-      round(detectedMatches(en, es, de, fr, zh) * lit(ConfPerMatch), 2))
+      round(detectedMatches(en, others) * lit(ConfPerMatch), 2))
 
   /** Single-expression forms (recompute the counts; the clean pipeline
     * stages the counts as columns instead and uses the *From variants).
     */
   def language(t: Column): Column =
-    languageFrom(matchesFor("en", t), matchesFor("es", t),
-      matchesFor("de", t), matchesFor("fr", t), matchesFor("zh", t))
+    languageFrom(matchesFor("en", t), OtherLangs.map(matchesFor(_, t)))
 
   def confidence(t: Column): Column =
-    confidenceFrom(matchesFor("en", t), matchesFor("es", t),
-      matchesFor("de", t), matchesFor("fr", t), matchesFor("zh", t))
+    confidenceFrom(matchesFor("en", t), OtherLangs.map(matchesFor(_, t)))
 }

@@ -11,28 +11,51 @@ import TextHash.words
   */
 object TextAnalysis {
 
-  /** Per-language stopword alternations (language-ID profiles). The `zh`
-    * profile counts CJK codepoints instead of stopwords.
+  /** Per-language stopword alternations (language-ID profiles for
+    * Latin-script languages). ASCII-only on purpose: `\b` is the ASCII word
+    * boundary in BOTH Java regex (default flags) and RE2 (the DuckDB
+    * oracle), so a non-ASCII letter inside a stopword would make the two
+    * engines agree only by accident. Scripts that can't be stopword-profiled
+    * this way are covered by [[ScriptProfiles]] codepoint classes instead.
     */
   val StopwordProfiles: Seq[(String, String)] = Seq(
     "en" -> """\b(the|a|an|and|of|to|in|is|it|for|on|with|was|this)\b""",
     "es" -> """\b(el|la|los|las|de|que|y|en|un|una|es|por|con|para)\b""",
     "de" -> """\b(der|die|das|und|ist|ich|nicht|ein|eine|mit|auf|zu)\b""",
-    "fr" -> """\b(le|la|les|de|des|et|est|en|un|une|du|que|pour|dans)\b""")
+    "fr" -> """\b(le|la|les|de|des|et|est|en|un|une|du|que|pour|dans)\b""",
+    "pt" -> """\b(o|os|do|da|dos|das|um|uma|em|para|com|por|mais|como|mas)\b""",
+    "it" -> """\b(il|lo|gli|le|di|che|e|per|con|non|sono|una|uno|della|nel)\b""",
+    "nl" -> """\b(de|het|een|en|van|ik|dat|op|voor|met|zijn|niet|je|naar)\b""")
   val CjkClass = """[\x{4e00}-\x{9fff}]"""
 
-  /** N-gram-heuristic language ID: stopword-match density per profile,
-    * CJK-char density for zh; prediction = argmax with a deterministic
-    * preference order (en > es > de > fr > zh) on ties.
+  /** Script-codepoint-class profiles: languages whose writing system is
+    * (near-)unique identify by codepoint density, not stopwords — the same
+    * `\x{...}` range syntax compiles identically in Java regex and RE2.
+    * `ja` counts kana only (kanji alone is ambiguous with zh); `ko` is the
+    * Hangul-syllables block; `ar` the base Arabic block; `ru` the Cyrillic
+    * block.
+    */
+  val ScriptProfiles: Seq[(String, String)] = Seq(
+    "zh" -> CjkClass,
+    "ru" -> """[\x{0400}-\x{04ff}]""",
+    "ja" -> """[\x{3040}-\x{30ff}]""",
+    "ko" -> """[\x{ac00}-\x{d7af}]""",
+    "ar" -> """[\x{0600}-\x{06ff}]""")
+
+  /** N-gram-heuristic language ID: stopword-match density per Latin
+    * profile, script-codepoint density per script profile; prediction =
+    * argmax with a deterministic preference order (stopword profiles in
+    * declaration order, then script profiles) on ties.
     */
   def langId(docs: DataFrame): DataFrame = {
     val lc = lower(col("text"))
     val wc = greatest(size(words(col("text"))), lit(1))
     val densities = StopwordProfiles.map { case (lang, re) =>
       lang -> (regexp_count(lc, lit(re)) / wc)
-    } :+ ("zh" ->
-      ((length(lc) - length(regexp_replace(lc, CjkClass, ""))) /
-        greatest(length(lc), lit(1))))
+    } ++ ScriptProfiles.map { case (lang, cls) =>
+      lang -> ((length(lc) - length(regexp_replace(lc, cls, ""))) /
+        greatest(length(lc), lit(1)))
+    }
     val scored = densities.foldLeft(docs) { case (df, (lang, d)) =>
       df.withColumn(s"score_$lang", round(d, 4))
     }

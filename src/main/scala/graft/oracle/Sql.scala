@@ -41,20 +41,41 @@ object Sql {
   def reMatch(e: String, pattern: String): String =
     s"regexp_matches($e, ${s(pattern)})"
 
-  /** Mirror of Language.matchesFor for the non-en profiles: es/de/fr
-    * stopword counts + zh CJK codepoint count, 0 on empty text.
+  /** Mirror of Language.matchesFor for the non-en profiles — generated
+    * from the SAME profile tables the Spark expressions read (stopword
+    * counts for Latin-script profiles, script-codepoint counts for
+    * zh/ru/ja/ko/ar), 0 on empty text.
     */
   private def langMatchCols(emptyT: String): String = {
     val profiles = graft.ops.TextAnalysis.StopwordProfiles.toMap
-    val nonEn = Seq("es", "de", "fr").map { l =>
-      s"CASE WHEN $emptyT THEN 0 ELSE ${reCount("lower(text)", profiles(l))} END" +
-        s" AS ${l}_matches"
-    }
-    val zh = s"CASE WHEN $emptyT THEN 0 " +
-      s"ELSE ${classCount("lower(text)", graft.ops.TextAnalysis.CjkClass)} END" +
-      " AS zh_matches"
-    (nonEn :+ zh).mkString(",\n    ")
+    val scripts = graft.ops.Language.scriptRe
+    graft.ops.Language.OtherLangs.map { l =>
+      val count =
+        if (scripts.contains(l)) classCount("lower(text)", scripts(l))
+        else reCount("lower(text)", profiles(l))
+      s"CASE WHEN $emptyT THEN 0 ELSE $count END AS ${l}_matches"
+    }.mkString(",\n    ")
   }
+
+  /** Mirror of Language.languageFrom's argmax CASE: lang i wins iff its
+    * count >= every later profile's count (OtherLangs order = tie
+    * preference), after the en gate and the all-zero 'unknown' case.
+    */
+  private def languageCase: String = {
+    val ol = graft.ops.Language.OtherLangs
+    val arms = ol.init.zipWithIndex.map { case (l, i) =>
+      val ge = ol.drop(i + 1)
+        .map(o => s"${l}_matches >= ${o}_matches").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }
+    (s"CASE WHEN en_matches >= 1 THEN 'en'" +:
+      s"WHEN ${allLangGreatest} = 0 THEN 'unknown'" +:
+      arms :+ s"ELSE '${ol.last}' END").mkString("\n         ")
+  }
+
+  private def allLangGreatest: String =
+    graft.ops.Language.OtherLangs.map(l => s"${l}_matches")
+      .mkString("greatest(", ", ", ")")
 
   private def spamFlag(i: Int): String =
     s"(CASE WHEN ${reMatch("text_lc", SpamPatterns(i))} THEN 1 ELSE 0 END)"
@@ -113,18 +134,10 @@ object Sql {
        |),
        |c2 AS (
        |  SELECT *,
-       |    CASE WHEN en_matches >= 1 THEN 'en'
-       |         WHEN greatest(es_matches, de_matches, fr_matches, zh_matches) = 0
-       |           THEN 'unknown'
-       |         WHEN es_matches >= de_matches AND es_matches >= fr_matches
-       |           AND es_matches >= zh_matches THEN 'es'
-       |         WHEN de_matches >= fr_matches AND de_matches >= zh_matches
-       |           THEN 'de'
-       |         WHEN fr_matches >= zh_matches THEN 'fr'
-       |         ELSE 'zh' END AS language,
+       |    $languageCase AS language,
        |    least(${d(1.0)}, CAST(round(CAST(
        |      (CASE WHEN en_matches >= 1 THEN en_matches
-       |            ELSE greatest(es_matches, de_matches, fr_matches, zh_matches) END)
+       |            ELSE $allLangGreatest END)
        |      * ${d(ConfPerMatch)} AS DECIMAL(38, 12)), 2) AS DOUBLE))
        |      AS language_confidence,
        |    (${SpamPatterns.indices.map(spamFlag).mkString(" + ")})

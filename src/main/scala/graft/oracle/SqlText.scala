@@ -331,24 +331,26 @@ object SqlText {
        |FROM fp ORDER BY doc_id""".stripMargin
   }
 
-  /** Oracle for q_lang_id (stopword-density language ID). */
+  /** Oracle for q_lang_id (stopword/script-density language ID) — score
+    * columns generated from the same profile tables as the Spark side.
+    */
   val langId: String = {
     val wc = s"greatest(len(${wordsOf("text")}), 1)"
-    val scores = TextAnalysis.StopwordProfiles.map { case (lang, re) =>
+    val scores = (TextAnalysis.StopwordProfiles.map { case (lang, re) =>
       s"CAST(round(CAST(len(regexp_extract_all(lower(text), ${s(re)})) / $wc AS DECIMAL(38, 12)), 4) AS DOUBLE)" +
         s" AS score_$lang"
-    }.mkString(",\n  ")
-    val zh =
+    } ++ TextAnalysis.ScriptProfiles.map { case (lang, cls) =>
       s"""CAST(round(CAST((length(lower(text)) - length(
-         |    regexp_replace(lower(text), ${s(TextAnalysis.CjkClass)}, '', 'g')))
-         |    / greatest(length(lower(text)), 1) AS DECIMAL(38, 12)), 4) AS DOUBLE) AS score_zh""".stripMargin
-    val langs = TextAnalysis.StopwordProfiles.map(_._1) :+ "zh"
+         |    regexp_replace(lower(text), ${s(cls)}, '', 'g')))
+         |    / greatest(length(lower(text)), 1) AS DECIMAL(38, 12)), 4) AS DOUBLE) AS score_$lang""".stripMargin
+    }).mkString(",\n  ")
+    val langs = (TextAnalysis.StopwordProfiles ++ TextAnalysis.ScriptProfiles)
+      .map(_._1)
     val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
     val pred = langs.map(l =>
       s"WHEN score_$l = _best AND _best > 0 THEN '$l'").mkString(" ")
     s"""WITH sc AS (SELECT doc_id, lang,
-       |  $scores,
-       |  $zh
+       |  $scores
        |  FROM documents),
        |b AS (SELECT *, $best AS _best FROM sc)
        |SELECT doc_id, lang,
