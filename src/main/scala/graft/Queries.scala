@@ -167,6 +167,11 @@ object Queries {
     "q_dedup_clusters" -> ((s: SparkSession, d: String) =>
       TextDedup.dedupClusters(Corpus.withNearDups(s, d),
         TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
+    // same contract via alternating large-star/small-star contraction —
+    // the O(log n)-round variant for adversarial component diameters
+    "q_dedup_clusters_star" -> ((s: SparkSession, d: String) =>
+      TextDedup.dedupClustersStar(Corpus.withNearDups(s, d),
+        TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
     "q_simhash" -> ((s: SparkSession, d: String) =>
       TextDedup.simhash(Tables.load(s, d, "documents"))),
     "q_fingerprints" -> ((s: SparkSession, d: String) =>
@@ -250,6 +255,8 @@ object Queries {
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_dedup_clusters" -> SqlText.dedupClusters,
+    // identical output contract => identical oracle
+    "q_dedup_clusters_star" -> SqlText.dedupClusters,
     "q_simhash" -> SqlText.simhash,
     "q_fingerprints" -> SqlText.fingerprints,
     "q_doc_split" -> SqlText.docSplit,

@@ -155,11 +155,25 @@ object EmbedSim {
       .filter(col("cos_sim") >= DupThreshold)
       .orderBy("vec_a", "vec_b")
 
+  /** Salt factor for the probe ⋈ inverted-lists join. The join keys on
+    * centroid_id, so one HOT centroid (skewed cluster structure — common in
+    * real embedding spaces) would land its entire inverted list in a single
+    * shuffle task: the classic straggler at 100 TB. AQE's skew split cannot
+    * separate identical join keys, so the key itself is salted: list rows
+    * spread over (centroid_id, salt) by vec_id hash, probes replicated
+    * [[IvfSalts]]×. Probes are tiny (queries × 2 centroids), so the
+    * replication is bounded; results are provably identical (SkewSpec).
+    */
+  val IvfSalts = 4
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (vec_id % 50 == 0), then each query scores only the vectors in its 2
     * nearest centroids' lists. Deterministic ties: (cos desc, centroid_id).
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvf(spark, dir, IvfSalts)
+
+  def knnIvf(spark: SparkSession, dir: String, salts: Int): DataFrame = {
     val all = embeddings(spark, dir)
     val centroids = all.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"),
@@ -183,10 +197,15 @@ object EmbedSim {
       .filter(col("_rn") <= Probes)
       .select(col("query_id"), col("qemb"), col("qnorm"), col("centroid_id"))
 
-    // score only the probed lists
+    // score only the probed lists — salted on (centroid_id, salt) so a hot
+    // centroid's list spreads over `salts` shuffle tasks (see IvfSalts)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("neighbor_id"))
-    probes.join(assigned, Seq("centroid_id"))
+    val probed =
+      if (salts <= 1) probes.join(assigned, Seq("centroid_id"))
+      else Salted.join(assigned, probes, key = "centroid_id",
+        saltSource = "vec_id", salts = salts)
+    probed
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosByNorm(dot(col("qemb"), col("emb")), col("qnorm"), col("norm"))

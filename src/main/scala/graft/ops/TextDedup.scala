@@ -281,6 +281,120 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Rounds the last [[dedupClustersStar]] run took to converge — spec
+    * introspection only (DedupClustersSpec pins the O(log n) round bound
+    * on a long-chain fixture).
+    */
+  @volatile var lastStarRounds: Int = 0
+
+
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-diameter upgrade over [[dedupClusters]]: plain min-label
+    * propagation needs rounds = component DIAMETER (a 1M-doc boilerplate
+    * chain at 100 TB = 1M rounds), while star contraction converges in
+    * O(log n) rounds on any graph because each round rewires whole
+    * neighborhoods to their minimum, halving effective diameter.
+    *
+    * Edges are kept canonically directed big→small (u > v). Per round:
+    *  - LARGE-STAR: for every node u (both directions), attach each
+    *    strictly-larger neighbor v > u to m = min(N(u) ∪ {u}) — one
+    *    groupBy(u) min + one join back, both key-partitioned.
+    *  - SMALL-STAR: for every node u over its smaller neighbors
+    *    (canonical direction), attach u and all v ∈ N(u) to m = min(N(u))
+    *    — same one-agg + one-join shape.
+    * Nothing is ever collected to the driver; convergence is detected from
+    * a (count, xor of xxhash64(u,v)) edge-set signature — a fixpoint of
+    * both stars means every edge already points at its component minimum.
+    *
+    * Lineage is localCheckpoint'ed EVERY round, not every-N like
+    * [[dedupClusters]]: a star round references the previous round's frame
+    * ~12× (both stars union/join their own input), so the analyzed plan
+    * grows ~12^N between truncations — at every-4 that is a ~20,000×
+    * planning blow-up that pegs the driver single-threaded (measured: the
+    * 32-node chain spec spun for 10+ minutes planning). The eager
+    * checkpoint is free here because the signature aggregate materializes
+    * every round regardless.
+    *
+    * Output contract is identical to [[dedupClusters]] (same oracle):
+    * (doc_id, cluster_rep, cluster_size, is_canonical) for every corpus
+    * doc.
+    */
+  def dedupClustersStar(corpus: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist()
+
+    // (count, hash-xor) signature: order-independent over a DISTINCT edge
+    // set (xor would cancel duplicates — the stars end in distinct());
+    // xor, unlike sum, cannot overflow under ANSI arithmetic
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: (v, m) for v ∈ N(u), v > u, m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m
+        .distinct()
+    }
+
+    // small-star: (x, m) for x ∈ N(u) ∪ {u} \ {m}, m = min(N(u)); operates
+    // on the canonical direction (v < u), so m <= every emitted x
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist(blocking = false)
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    lastStarRounds = round
+    // fixpoint edges are star edges (node → component min); the groupBy min
+    // is a cheap guard making the label unique per node by construction
+    val labels = corpus.select(col("doc_id"))
+      .join(edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("_rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_rep"), col("doc_id")).as("rep"))
+      .persist()
+    // materialize BEFORE releasing edges: the final round's edges may be a
+    // localCheckpoint (truncated lineage — unpersisting it first would make
+    // the lazily-referencing labels unrecomputable)
+    labels.count()
+    edges.unpersist(blocking = false)
+    trackLabels(labels)
+    val byRep = Window.partitionBy(col("rep"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byRep).cast("long"))
+      .select(col("doc_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"),
+        (col("doc_id") === col("rep")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val SimhashBits = 56
 
   /** 56-bit SimHash fingerprint per doc as a '0'/'1' string (bit b set iff

@@ -100,6 +100,56 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("star variant: long chain converges in O(log n) rounds, " +
+      "far below its diameter") {
+    // a 32-node path has diameter 31: plain min-label propagation needs 31
+    // rounds; large-star/small-star contraction must land well under that
+    val n = 32
+    val nodes = 1L to n.toLong
+    val out = TextDedup.dedupClustersStar(
+      corpusOf(nodes: _*),
+      pairsOf((1L until n.toLong).map(i => (i, i + 1)): _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    out shouldBe nodes.map(i => (i, 1L, n.toLong, i == 1L)).toArray
+    TextDedup.lastStarRounds should be < (n - 1)
+    TextDedup.lastStarRounds should be <= 12
+  }
+
+  test("star variant: no pairs => singletons; random graphs match " +
+      "a driver-side union-find reference") {
+    val noPairs = TextDedup.dedupClustersStar(corpusOf(5L, 6L), pairsOf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    noPairs shouldBe Array((5L, 5L, 1L, true), (6L, 6L, 1L, true))
+
+    val rnd = new scala.util.Random(20260813L)
+    (0 until 3).foreach { trial =>
+      val n = 8 + rnd.nextInt(18)
+      val edges = Seq.fill(rnd.nextInt(n + 1))(
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val nodes = 1L to n.toLong
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(i => i -> find(i)).toMap
+      val got = TextDedup.dedupClustersStar(corpusOf(nodes: _*),
+        pairsOf(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"star trial $trial (n=$n, e=${edges.length}): ") {
+        got shouldBe expected
+      }
+    }
+  }
+
   test("matches the clusters implied by the jaccard pairs on testdata") {
     val dir = "/root/testdata/sf0.001"
     val corpus = graft.ops.Corpus.withNearDups(spark, dir)

@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     * the per-round shuffle shape (3 key-partitioned exchanges/round, see
     * TextDedup.dedupClusters). Still audited for cartesian/BNLJ.
     */
-  private val iterativeExempt = Set("q_dedup_clusters")
+  private val iterativeExempt =
+    Set("q_dedup_clusters", "q_dedup_clusters_star")
 
   /** Max shuffle-Exchange count per query (measured + headroom 0). */
   private val shuffleBudget = Map(

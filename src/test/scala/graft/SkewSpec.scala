@@ -29,6 +29,37 @@ class SkewSpec extends AnyFunSuite with Matchers with TestSpark {
     salted.zip(plain).foreach { case (a, b) => a shouldBe b }
   }
 
+  test("salted IVF probe join bounds the hot centroid's key-group " +
+      "and leaves knnIvf results unchanged") {
+    import spark.implicits._
+    // skewed inverted lists: 80% of vectors assigned to one hot centroid —
+    // the shuffle-task input for a key group is proportional to its size,
+    // so bounding the (key, salt) group size IS bounding the task input
+    val salts = 8
+    val assigned = spark.range(0, 10000)
+      .select(col("id").as("vec_id"),
+        when(col("id") % 10 < 8, lit(1L)).otherwise(col("id") % 5)
+          .as("centroid_id"))
+    val hot = assigned.groupBy("centroid_id").count()
+      .agg(max("count")).head.getLong(0)
+    val saltedMax = assigned
+      .withColumn("_salt", pmod(hash(col("vec_id")), lit(salts)))
+      .groupBy("centroid_id", "_salt").count()
+      .agg(max("count")).head.getLong(0)
+    hot shouldBe 8000L
+    // each (centroid, salt) group carries ~hot/salts rows; 1.5x headroom
+    // for hash imbalance
+    saltedMax should be <= (hot / salts * 3 / 2)
+
+    // and the production query is invariant under salting (bit-identical
+    // top-k): salts=1 is the plain join path
+    val dir = "/root/testdata/sf0.001"
+    val plain = graft.ops.EmbedSim.knnIvf(spark, dir, salts = 1).collect()
+    val salted = graft.ops.EmbedSim.knnIvf(spark, dir).collect()
+    salted.length shouldBe plain.length
+    salted.zip(plain).foreach { case (a, b) => a shouldBe b }
+  }
+
   test("TopK custom operator equals window on skewed random data") {
     import spark.implicits._
     // heavy ties + a hot key: the worst case for heap/tiebreak bugs
