@@ -139,6 +139,10 @@ object Queries {
     "q_top_orders" -> (Relational.topOrdersPerCustomer _),
     "q_region_revenue" -> (Relational.regionRevenue _),
     "q_event_props" -> (Relational.eventPropsAgg _),
+    // gap-based sessionization via native session_window (the same
+    // grouping expression sessionizes the streaming path)
+    "q_sessions" -> ((s: SparkSession, d: String) =>
+      Sessionize.sessions(Tables.events(s, d))),
     "q_pricing_rollup" -> (Relational.pricingRollup _),
     // custom physical operator (plans/TopKPerKey): per-key bounded-heap
     // top-k — no per-group sort, map-side pruning before one shuffle
@@ -202,6 +206,9 @@ object Queries {
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
+    // PII redaction over the deterministically-seeded corpus
+    "q_pii_scrub" -> ((s: SparkSession, d: String) =>
+      Pii.scrub(Pii.withPii(Tables.load(s, d, "documents")))),
     "q_token_stats" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     "q_doc_quality" -> ((s: SparkSession, d: String) =>
@@ -241,6 +248,7 @@ object Queries {
     "q_top_orders" -> Sql.topOrdersPerCustomer,
     "q_region_revenue" -> Sql.regionRevenue,
     "q_event_props" -> Sql.eventPropsAgg,
+    "q_sessions" -> Sql.sessions,
     "q_pricing_rollup" -> Sql.pricingRollup,
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
@@ -266,6 +274,7 @@ object Queries {
     "q_decontaminate" -> SqlText.decontaminate,
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
     "q_lang_id" -> SqlText.langId,
+    "q_pii_scrub" -> SqlText.piiScrub,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
     "q_repetition" -> SqlText.repetition,

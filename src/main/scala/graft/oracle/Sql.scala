@@ -492,4 +492,34 @@ object Sql {
       |  CAST(round(CAST(sum(value) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle for q_sessions: 30-min-gap sessionization, the sorted-lag
+    * formulation of Spark's `session_window` merge. Session windows merge
+    * INCLUSIVELY at the end boundary (verified in SessionizeSpec: an event
+    * at exactly prev + gap stays in the session), so a new session starts
+    * only when the gap is STRICTLY greater than the threshold.
+    */
+  val sessions: String = {
+    val gapUs = graft.ops.Sessionize.GapMinutes.toLong * 60L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_ts
+       |  FROM events),
+       |sess AS (
+       |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+       |      OR epoch_us(ts) - epoch_us(prev_ts) > $gapUs
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+       |  FROM e)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_clicks,
+       |  CAST(round(CAST(sum(value) AS DECIMAL(38, 12)), 2) AS DOUBLE)
+       |    AS total_value,
+       |  (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec
+       |FROM sess GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+  }
 }

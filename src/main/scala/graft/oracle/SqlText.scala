@@ -518,4 +518,42 @@ object SqlText {
        |    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS "rank"
        |FROM scored QUALIFY "rank" <= ${EmbedSim.TopK}
        |ORDER BY query_id, "rank"""".stripMargin
+
+  /** Oracle for q_pii_scrub: reproduces Pii.withPii's deterministic
+    * seeding in SQL, then redacts with the SAME regex constants (Java
+    * regex and RE2 agree on every construct used — classes, bounded
+    * repetition, \b). DuckDB regexp_replace needs the explicit 'g' flag
+    * to match Spark's replace-all default.
+    */
+  val piiScrub: String = {
+    import graft.ops.Pii._
+    s"""WITH seeded AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END
+       |    AS text
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, ${s(EmailRe)})) AS n_emails,
+       |    len(regexp_extract_all(text, ${s(Ipv4Re)})) AS n_ips,
+       |    len(regexp_extract_all(text, ${s(PhoneRe)})) AS n_phones,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      ${s(EmailRe)}, '[EMAIL]', 'g'),
+       |      ${s(Ipv4Re)}, '[IP]', 'g'),
+       |      ${s(PhoneRe)}, '[PHONE]', 'g') AS stext
+       |  FROM seeded)
+       |SELECT doc_id,
+       |  CAST(n_emails AS BIGINT) AS n_emails,
+       |  CAST(n_ips AS BIGINT) AS n_ips,
+       |  CAST(n_phones AS BIGINT) AS n_phones,
+       |  CAST(length(stext) AS BIGINT) AS scrubbed_len,
+       |  md5(stext) AS scrubbed_md5
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 }

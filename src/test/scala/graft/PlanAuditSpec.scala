@@ -39,7 +39,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
-    "q_quality_issues" -> 1, "q_recent_reviews" -> 0,
+    "q_pii_scrub" -> 1, "q_quality_issues" -> 1, "q_recent_reviews" -> 0,
+    // session_window: one user_id exchange for session assembly + the
+    // output sort; the agg itself is within-partition
+    "q_sessions" -> 2,
     "q_region_revenue" -> 2, "q_repetition" -> 1,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime

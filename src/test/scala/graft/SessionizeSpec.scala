@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Sessionize
+
+/** Gap-based sessionization: session_window semantics on hand-built
+  * fixtures — chained events merge, a gap >= the threshold splits, and
+  * the exact-gap boundary falls OUTSIDE the session (half-open window).
+  */
+class SessionizeSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def eventsOf(rows: (Long, Long, Timestamp, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  test("events chain while gaps stay under 30 min; a larger gap splits") {
+    // user 1: 10:00, 10:20, 10:45 chain (gaps 20, 25 min) then 11:20
+    // splits (gap 35 min); user 2: a single event
+    val out = Sessionize.sessions(eventsOf(
+      (1L, 1L, ts(0), "click", 1.0),
+      (2L, 1L, ts(20), "view", 2.0),
+      (3L, 1L, ts(45), "click", 3.0),
+      (4L, 1L, Timestamp.valueOf("2024-01-01 11:20:00"), "view", 4.0),
+      (5L, 2L, ts(5), "purchase", 9.5)))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    out shouldBe Array(
+      (1L, ts(0), 3L, 2L, 6.0, 2700.0),
+      (1L, Timestamp.valueOf("2024-01-01 11:20:00"), 1L, 0L, 4.0, 0.0),
+      (2L, ts(5), 1L, 0L, 9.5, 0.0))
+  }
+
+  test("the exact 30-min gap still merges (inclusive end); " +
+      "one second over splits") {
+    val out = Sessionize.sessions(eventsOf(
+      (1L, 1L, ts(0), "view", 1.0),
+      (2L, 1L, ts(30), "view", 1.0), // exactly gap -> merges
+      (3L, 3L, ts(0), "view", 1.0),
+      (4L, 3L, Timestamp.valueOf("2024-01-01 10:30:01"), "view", 1.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    out shouldBe Array((1L, 2L), (3L, 1L), (3L, 1L))
+  }
+}
