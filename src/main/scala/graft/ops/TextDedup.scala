@@ -337,7 +337,10 @@ object TextDedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // large-star: (v, m) for v ∈ N(u), v > u, m = min(N(u) ∪ {u})
+    // large-star: (v, m) for v ∈ N(u), v > u, m = min(N(u) ∪ {u}).
+    // No distinct here: duplicate edges cannot change small-star's min
+    // aggregate and its terminal distinct removes them — skipping the
+    // intermediate dedup saves one shuffle per round.
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -346,7 +349,6 @@ object TextDedup {
       und.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m
-        .distinct()
     }
 
     // small-star: (x, m) for x ∈ N(u) ∪ {u} \ {m}, m = min(N(u)); operates
