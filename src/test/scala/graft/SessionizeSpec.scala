@@ -38,6 +38,41 @@ class SessionizeSpec extends AnyFunSuite with Matchers with TestSpark {
       (2L, ts(5), 1L, 0L, 9.5, 0.0))
   }
 
+  test("random event streams match a driver-side chaining reference") {
+    val rnd = new scala.util.Random(20260813L)
+    val gapUs = Sessionize.GapMinutes.toLong * 60L * 1000000L
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 400).map { i =>
+      val user = 1L + rnd.nextInt(7)
+      // gaps cluster around the threshold to exercise both sides of it
+      val t = new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L)
+      (i.toLong, user, t,
+        if (rnd.nextBoolean()) "click" else "view", rnd.nextInt(100) / 10.0)
+    }
+    // reference: sort per user, chain while gap <= threshold (inclusive)
+    val expected = rows.groupBy(_._2).flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._1))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Timestamp,
+          String, Double)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest
+            if (e._3.getTime - cur.head._3.getTime) * 1000L <= gapUs =>
+            (e :: cur) :: rest // cur.head is the session's LAST event
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.map { s =>
+        val ts = s.map(_._3.getTime)
+        (user, new Timestamp(ts.min), new Timestamp(ts.max), s.size.toLong,
+          s.count(_._4 == "click").toLong)
+      }
+    }.toSeq.sortBy(s => (s._1, s._2.getTime))
+    val got = Sessionize.sessions(eventsOf(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe expected
+  }
+
   test("the exact 30-min gap still merges (inclusive end); " +
       "one second over splits") {
     val out = Sessionize.sessions(eventsOf(
