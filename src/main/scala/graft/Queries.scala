@@ -166,6 +166,10 @@ object Queries {
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+    // character-level verification of the same candidates (bounded
+    // levenshtein short-circuits the DP at EditMax)
+    "q_edit_pairs" -> ((s: SparkSession, d: String) =>
+      TextDedup.editPairsOf(nearSignatures(s, d), Corpus.withNearDups(s, d))),
     // pairs -> transitive-closure clusters -> canonical rep (iterative
     // min-label propagation; oracle = recursive CTE)
     "q_dedup_clusters" -> ((s: SparkSession, d: String) =>
@@ -213,6 +217,9 @@ object Queries {
       TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     "q_doc_quality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.docQuality(Tables.load(s, d, "documents"))),
+    // corpus-statistic scoring: frequency table joined back to tokens
+    "q_rare_tokens" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rareTokens(Tables.load(s, d, "documents"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "q_vocab" -> ((s: SparkSession, d: String) =>
@@ -262,6 +269,7 @@ object Queries {
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
+    "q_edit_pairs" -> SqlText.editPairs,
     "q_dedup_clusters" -> SqlText.dedupClusters,
     // identical output contract => identical oracle
     "q_dedup_clusters_star" -> SqlText.dedupClusters,
@@ -277,6 +285,7 @@ object Queries {
     "q_pii_scrub" -> SqlText.piiScrub,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
+    "q_rare_tokens" -> SqlText.rareTokens,
     "q_repetition" -> SqlText.repetition,
     "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,

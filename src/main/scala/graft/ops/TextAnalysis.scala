@@ -146,6 +146,44 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus frequency at or below which a token counts as rare. */
+  val RareMax = 2
+
+  /** Rare-token density — the exact-arithmetic cousin of perplexity
+    * filtering (CCNet-style): documents dominated by tokens the corpus
+    * has barely seen are disproportionately OCR noise, gibberish, or
+    * boilerplate IDs. Per doc: token count, tokens with corpus frequency
+    * <= [[RareMax]], and their ratio. Token-less docs carry zeros (they
+    * are flagged elsewhere, not silently dropped here).
+    *
+    * Unlike the per-row signals above, this is CORPUS-STATISTIC scoring:
+    * the frequency table must come back to every token occurrence. Scale
+    * shape: one explode feeding a partially-aggregated groupBy(token),
+    * then one shuffle join token-stream ⋈ frequencies (both sides
+    * key-partitioned on the token; AQE handles the Zipf head's skew,
+    * and a hot-token salt is the documented next step if one token ever
+    * dominates a task), then one groupBy(doc_id) collapse. The frequency
+    * table is vocabulary-sized — when it fits, a broadcast hint removes
+    * the join shuffle entirely; the default stays shuffle-safe for the
+    * open-vocabulary 100 TB case where typos make the vocab itself huge.
+    */
+  def rareTokens(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("_f"))
+    val scored = toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("_f") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio", round(col("n_rare") / col("n_tokens"), 6))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("rare_ratio"), lit(0.0)).as("rare_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style intra-document repetition signals (boilerplate and
     * looped-generation detectors):
     *  - `dup_word_frac`: 1 − distinct_words / words (0 for empty docs);

@@ -136,6 +136,35 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Max edit distance for [[editPairs]] verification. The near-dup
+    * corpus's injected dups drop one trailing word (~5-10 chars), so true
+    * pairs land well under this; unrelated docs differ by hundreds.
+    */
+  val EditMax = 32
+
+  /** Edit-distance verification of the LSH candidates — the
+    * character-level alternative to shingle Jaccard (catches
+    * transposition-style near-dups whose word sets diverge). Same scale
+    * contract as [[jaccardPairsOf]]: distance is computed ONLY for
+    * candidate pairs, never all-pairs, and Spark's built-in
+    * `levenshtein(l, r, threshold)` short-circuits the DP once the
+    * distance provably exceeds the bound — O(threshold·len) instead of
+    * O(len²) per pair, which is the difference between a verify pass and
+    * a quadratic blowup on long documents.
+    */
+  def editPairsOf(sigs: DataFrame, corpus: DataFrame): DataFrame = {
+    val pairs = candidatePairs(sigs)
+    val txt = corpus.select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .withColumn("edit_dist",
+        levenshtein(col("ta.text"), col("tb.text"), EditMax).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Default decontamination gram length — production pipelines use 8-13
     * word grams (long enough that a match means real overlap, not idiom).
     */

@@ -519,6 +519,40 @@ object SqlText {
        |FROM scored QUALIFY "rank" <= ${EmbedSim.TopK}
        |ORDER BY query_id, "rank"""".stripMargin
 
+  /** Oracle for q_rare_tokens: corpus token frequencies joined back to
+    * the token stream, per-doc rare density (frequency <= RareMax).
+    */
+  val rareTokens: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${wordsOf("text")}) AS tok
+       |  FROM documents),
+       |freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+       |scored AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN f <= ${TextAnalysis.RareMax} THEN 1 ELSE 0
+       |      END) AS BIGINT) AS n_rare
+       |  FROM toks JOIN freq USING (tok) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(s.n_tokens, 0) AS n_tokens,
+       |  coalesce(s.n_rare, 0) AS n_rare,
+       |  coalesce(round(s.n_rare / s.n_tokens, 6), ${d(0.0)}) AS rare_ratio
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for q_edit_pairs: true Levenshtein distance over the LSH
+    * candidate pairs (DuckDB computes the full DP; the engine's bounded
+    * `levenshtein(l, r, threshold)` returns identical distances for every
+    * pair at or under the bound, which the WHERE mirrors).
+    */
+  val editPairs: String =
+    s"""WITH $signatureCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS edit_dist
+       |FROM pairs p
+       |JOIN corpus ca ON p.doc_a = ca.doc_id
+       |JOIN corpus cb ON p.doc_b = cb.doc_id
+       |WHERE levenshtein(ca.text, cb.text) <= ${TextDedup.EditMax}
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   /** Oracle for q_pii_scrub: reproduces Pii.withPii's deterministic
     * seeding in SQL, then redacts with the SAME regex constants (Java
     * regex and RE2 agree on every construct used — classes, bounded

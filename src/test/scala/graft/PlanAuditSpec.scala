@@ -34,12 +34,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
     "q_doc_split" -> 1, "q_mixed_sample" -> 4,
-    "q_dup_events" -> 2, "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
+    "q_dup_events" -> 2, "q_edit_pairs" -> 3,
+    "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
-    "q_pii_scrub" -> 1, "q_quality_issues" -> 1, "q_recent_reviews" -> 0,
+    "q_pii_scrub" -> 1, "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
+    "q_recent_reviews" -> 0,
     // session_window: one user_id exchange for session assembly + the
     // output sort; the agg itself is within-partition
     "q_sessions" -> 2,
