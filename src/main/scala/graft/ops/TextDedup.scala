@@ -261,6 +261,13 @@ object TextDedup {
     lastLabels = Some(labels)
   }
 
+  /** Iterate ONLY over the paired subgraph: near-dup pairs cover a tiny
+    * fraction of a real corpus (worst case ~a few % at 100 TB), and a doc
+    * with no edge can never change its label — carrying the corpus-sized
+    * label frame through every round (the previous shape) multiplied each
+    * round's two joins by |corpus| / |paired docs|. Singletons attach in
+    * ONE final left join after convergence.
+    */
   def dedupClusters(corpus: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs
@@ -271,7 +278,8 @@ object TextDedup {
       val r = df.agg(sum(col("rep"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var labels = corpus.select(col("doc_id"), col("doc_id").as("rep"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep"))
       .persist()
     var labelSum = sumOf(labels)
     var converged = false
@@ -301,8 +309,13 @@ object TextDedup {
     }
     edges.unpersist(blocking = false)
     trackLabels(labels)
+    // singletons (the corpus majority) never entered the loop: one left
+    // join attaches them as their own cluster representative
+    val full = corpus.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
     val byRep = Window.partitionBy(col("rep"))
-    labels
+    full
       .withColumn("cluster_size", count(lit(1)).over(byRep).cast("long"))
       .select(col("doc_id"), col("rep").as("cluster_rep"),
         col("cluster_size"),
