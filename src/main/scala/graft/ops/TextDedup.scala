@@ -278,8 +278,13 @@ object TextDedup {
       val r = df.agg(sum(col("rep"))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("rep"))
+    // fused init: propagating over identity labels is just min-of-
+    // neighbors, so labels START one round in — the same single shuffle
+    // that a node-set distinct would cost buys the first round for free
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("_m")).as("rep"))
       .persist()
     var labelSum = sumOf(labels)
     var converged = false
