@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -71,6 +72,45 @@ class SessionizeSpec extends AnyFunSuite with Matchers with TestSpark {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getLong(3), r.getLong(4))).toSeq
     got shouldBe expected
+  }
+
+  test("streaming session_window over real events matches batch " +
+      "sessionize exactly") {
+    // the operator doc's core claim: the SAME grouping expression
+    // sessionizes the stream — proven by value on real testdata
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = Sessionize.sessions(events).collect()
+
+    // parquet staging: JSON's default timestamp format truncates to
+    // milliseconds, silently shifting exact-gap boundaries
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-par")
+    events.coalesce(4).write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val streamed = spark.readStream.schema(events.schema)
+      .parquet(dir.resolve("in").toString)
+      .groupBy(col("user_id"),
+        session_window(col("ts"),
+          s"${Sessionize.GapMinutes} minutes").as("_w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        round(sum(col("value")), 2).as("total_value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("sess_parity").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_parity")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("n_clicks"), col("total_value"))
+        .orderBy("user_id", "session_start").collect()
+      got.length shouldBe batch.length
+      got.zip(batch).foreach { case (s, b) =>
+        (0 until 6).foreach(i => s.get(i) shouldBe b.get(i))
+      }
+    } finally q.stop()
   }
 
   test("the exact 30-min gap still merges (inclusive end); " +
