@@ -413,7 +413,10 @@ object TextDedup {
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the plan is truncated either way, and the
+      // signature aggregate right below is the action that materializes
+      // the checkpointed blocks — one job per round instead of two
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges.unpersist(blocking = false)
