@@ -38,7 +38,7 @@ object AsOfJoin {
     val rightTagged = right
       .select((key +: ts +: payload).map(col): _*)
       .withColumn("_side", lit(0))
-    val unioned = leftTagged.select(leftTagged.columns.sorted.map(col): _*)
+    val unioned = leftTagged.select(leftTagged.columns.sorted.toIndexedSeq.map(col): _*)
       .unionByName(rightTagged, allowMissingColumns = true)
     // right rows sort BEFORE left rows at the same ts (_side 0 < 1), so a
     // right row at exactly left.ts is visible to that left row

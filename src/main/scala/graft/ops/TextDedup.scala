@@ -275,7 +275,7 @@ object TextDedup {
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     def sumOf(df: DataFrame): Long = {
-      val r = df.agg(sum(col("rep"))).head
+      val r = df.agg(sum(col("rep"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     // fused init: propagating over identity labels is just min-of-
@@ -380,7 +380,7 @@ object TextDedup {
     // set (xor would cancel duplicates — the stars end in distinct());
     // xor, unlike sum, cannot overflow under ANSI arithmetic
     def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 

@@ -80,7 +80,7 @@ object Sources {
     */
   def asKafkaRecords(df: DataFrame): DataFrame =
     df.select(col("business_id").cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** P13: ISO-8601 serde at topic boundaries (faust_app.py:13-18). */
   def toIso(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
