@@ -182,6 +182,10 @@ object Queries {
         TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
     "q_simhash" -> ((s: SparkSession, d: String) =>
       TextDedup.simhash(Tables.load(s, d, "documents"))),
+    // simhash as an actual dedup join: 4x14-bit band buckets + exact
+    // bit_count(xor) hamming verification
+    "q_simhash_dups" -> ((s: SparkSession, d: String) =>
+      TextDedup.simhashDups(Corpus.withNearDups(s, d))),
     "q_fingerprints" -> ((s: SparkSession, d: String) =>
       TextDedup.fingerprints(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: deterministic selection (split / mix / sample)
@@ -274,6 +278,7 @@ object Queries {
     // identical output contract => identical oracle
     "q_dedup_clusters_star" -> SqlText.dedupClusters,
     "q_simhash" -> SqlText.simhash,
+    "q_simhash_dups" -> SqlText.simhashDups,
     "q_fingerprints" -> SqlText.fingerprints,
     "q_doc_split" -> SqlText.docSplit,
     "q_corpus_mix" -> SqlText.corpusMix,

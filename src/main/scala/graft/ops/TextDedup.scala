@@ -84,9 +84,16 @@ object TextDedup {
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
           .as("lsh_dropped_buckets"),
         max(size(col("ids"))).as("lsh_max_bucket"))
+    suffixPairs(buckets, maxBucket)
+  }
+
+  /** Per-bucket ordered pairs from a frame with a sorted-asc `ids` array:
+    * pairing each element with its strict suffix yields exactly {a < b}
+    * once per bucket; buckets above the cap are dropped (the LSH recall
+    * trade — quadratic pair generation must be bounded).
+    */
+  private def suffixPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val ids = col("ids")
-    // per-bucket ordered pairs: ids is sorted asc, so pairing each element
-    // with its strict suffix yields exactly {a < b} once per bucket
     val pairs = flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         b => struct(a.as("doc_a"), b.as("doc_b")))))
@@ -469,6 +476,70 @@ object TextDedup {
           when(v > 0, lit("1")).otherwise(lit("0")))))
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
+  }
+
+  val SimBands = 4
+  val SimBandBits = 14 // 4 x 14 = 56 bits
+  val SimHamMax = 8
+
+  /** The 56 signed bit sums as one BIGINT signature (bit b set iff the
+    * sum at position b is positive) — shared by [[simhash]]'s bit-string
+    * projection and [[simhashDups]]'s banding.
+    */
+  private def simhashLong(textCol: Column): Column = {
+    val hashes = transform(words(textCol), w => h56(w))
+    val bitsOf = (h: Column) =>
+      transform(sequence(lit(0), lit(SimhashBits - 1)),
+        b => when(call_function("shiftright", h, b).bitwiseAND(lit(1)) === 1,
+          lit(1)).otherwise(lit(-1)))
+    val bitSums = aggregate(hashes,
+      array_repeat(lit(0), SimhashBits),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(SimhashBits - 1)),
+        (v, b) => when(v > 0,
+          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-dup JOIN — the fingerprint put to work. Signatures are
+    * bucketed on [[SimBands]] disjoint [[SimBandBits]]-bit bands
+    * (pigeonhole: hamming <= SimBands - 1 GUARANTEES two signatures agree
+    * on at least one band, so recall is exact for distance <= 3; pairs in
+    * the 4..[[SimHamMax]] range surface only when their differing bits
+    * cluster outside one band — the documented banding trade, mirrored
+    * bit-for-bit in the oracle). Verification is exact:
+    * `bit_count(xor)` on the two signatures.
+    *
+    * Scale shape identical to MinHash-LSH: one groupBy(band) shuffle,
+    * capped per-bucket suffix pairing (never all-pairs), then two key
+    * joins to fetch signatures for the exact hamming filter.
+    */
+  def simhashDups(corpus: DataFrame,
+      maxHamming: Int = SimHamMax): DataFrame = {
+    val sigs = corpus
+      .withColumn("_words", words(col("text")))
+      .filter(size(col("_words")) >= 1)
+      .select(col("doc_id"), simhashLong(col("text")).as("sh"))
+    val mask = (1L << SimBandBits) - 1L
+    val buckets = sigs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(SimBands - 1))).as("i"), col("sh"))
+      .withColumn("bv",
+        call_function("shiftright", col("sh"), col("i") * lit(SimBandBits))
+          .bitwiseAND(lit(mask)))
+      .groupBy(col("i"), col("bv"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val pairs = suffixPairs(buckets, MaxBucket)
+    val shOf = sigs.select(col("doc_id"), col("sh"))
+    pairs
+      .join(shOf.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(shOf.as("hb"), col("doc_b") === col("hb.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("ha.sh").bitwiseXOR(col("hb.sh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   val GramLen = 8

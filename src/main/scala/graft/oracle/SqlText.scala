@@ -311,6 +311,46 @@ object SqlText {
        |    AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_simhash_dups: the same 56-bit simhash as a BIGINT,
+    * bucketed on 4 disjoint 14-bit bands (capped like the MinHash LSH),
+    * exact-verified with bit_count(xor).
+    */
+  val simhashDups: String = {
+    val bits = TextDedup.SimhashBits
+    val bb = TextDedup.SimBandBits
+    val mask = (1L << bb) - 1
+    s"""WITH $nearCorpusCte,
+       |docs AS (SELECT doc_id, ${wordsOf("text")} AS words FROM corpus),
+       |tok AS (SELECT doc_id, unnest(words) AS w FROM docs
+       |  WHERE len(words) >= 1),
+       |th AS (SELECT doc_id, ${h56("w")} AS h FROM tok),
+       |bits AS (SELECT doc_id, b,
+       |  sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM th CROSS JOIN (SELECT unnest(range($bits)) AS b)
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)
+       |    AS BIGINT) AS sh
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, i, (sh >> ($bb * i)) & $mask AS bv
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(range(${TextDedup.SimBands})) AS i)),
+       |okb AS (SELECT i, bv FROM bands GROUP BY i, bv
+       |  HAVING count(*) <= ${TextDedup.MaxBucket}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN okb ON okb.i = a.i AND okb.bv = a.bv
+       |  JOIN bands b2 ON a.i = b2.i AND a.bv = b2.bv
+       |    AND a.doc_id < b2.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN sig sa ON p.doc_a = sa.doc_id
+       |JOIN sig sb ON p.doc_b = sb.doc_id
+       |WHERE bit_count(xor(sa.sh, sb.sh)) <= ${TextDedup.SimHamMax}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Oracle for q_fingerprints (MOD-sampled 8-gram rolling fingerprints). */
   val fingerprints: String = {
     val g = TextDedup.GramLen

@@ -43,6 +43,23 @@ class RareEditSpec extends AnyFunSuite with Matchers with TestSpark {
     out shouldBe Array((1L, 2L, 0L))
   }
 
+  test("simhash near-dup join: identical docs pair at hamming 0, " +
+      "a one-word change stays near, unrelated docs never pair") {
+    val corpus = docsOf(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"), // 1-word change
+      (4L, "one two three four five six seven eight"))
+    val out = TextDedup.simhashDups(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the identical pair is guaranteed (hamming 0 -> all bands equal)
+    out should contain((1L, 2L, 0L))
+    // doc 4 shares no vocabulary: never within SimHamMax of 1/2/3
+    out.map(p => (p._1, p._2))
+      .intersect(Seq((1L, 4L), (2L, 4L), (3L, 4L))) shouldBe empty
+    out.foreach { case (_, _, h) => h should be <= TextDedup.SimHamMax.toLong }
+  }
+
   test("bounded levenshtein agrees with the full distance at/below the " +
       "threshold and drops pairs above it") {
     import spark.implicits._
