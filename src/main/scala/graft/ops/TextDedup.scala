@@ -457,23 +457,19 @@ object TextDedup {
   val SimhashBits = 56
 
   /** 56-bit SimHash fingerprint per doc as a '0'/'1' string (bit b set iff
-    * the signed sum of word-hash bits at position b is positive).
+    * the signed sum of word-hash bits at position b is positive) —
+    * formatted from the native packed signature.
     */
   def simhash(corpus: DataFrame): DataFrame = {
-    val hashes = transform(words(col("text")), w => h56(w))
-    val bitsOf = (h: Column) =>
-      transform(sequence(lit(0), lit(SimhashBits - 1)),
-        b => when(call_function("shiftright", h, b).bitwiseAND(lit(1)) === 1,
-          lit(1)).otherwise(lit(-1)))
-    val bitSums = aggregate(hashes,
-      array_repeat(lit(0), SimhashBits),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
+    val sh = graft.functions.SimHashSig(lower(col("text")))
     corpus
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= 1)
+      .withColumn("_sh", sh)
       .withColumn("simhash",
-        concat_ws("", transform(bitSums, v =>
-          when(v > 0, lit("1")).otherwise(lit("0")))))
+        concat_ws("", transform(sequence(lit(0), lit(SimhashBits - 1)),
+          b => when(call_function("shiftright", col("_sh"), b)
+            .bitwiseAND(lit(1)) === 1, lit("1")).otherwise(lit("0")))))
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
   }
@@ -482,11 +478,15 @@ object TextDedup {
   val SimBandBits = 14 // 4 x 14 = 56 bits
   val SimHamMax = 8
 
-  /** The 56 signed bit sums as one BIGINT signature (bit b set iff the
-    * sum at position b is positive) — shared by [[simhash]]'s bit-string
-    * projection and [[simhashDups]]'s banding.
+  /** Column-expression reference for the native
+    * [[graft.functions.SimHashSig]] (equivalence spec'd in FunctionsSpec,
+    * same role as TextHash.minhashes for MinHashSig): the 56 signed bit
+    * sums as one BIGINT signature, bit b set iff the sum at position b is
+    * positive. The HOF form allocates a 56-wide array per word per row —
+    * interpreted, codegen-blocking — which is why production paths use
+    * the native expression.
     */
-  private def simhashLong(textCol: Column): Column = {
+  private[graft] def simhashLongRef(textCol: Column): Column = {
     val hashes = transform(words(textCol), w => h56(w))
     val bitsOf = (h: Column) =>
       transform(sequence(lit(0), lit(SimhashBits - 1)),
@@ -520,7 +520,9 @@ object TextDedup {
     val sigs = corpus
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= 1)
-      .select(col("doc_id"), simhashLong(col("text")).as("sh"))
+      // native one-pass signature (value-identical to simhashLongRef)
+      .select(col("doc_id"),
+        graft.functions.SimHashSig(lower(col("text"))).as("sh"))
     val mask = (1L << SimBandBits) - 1L
     val buckets = sigs
       .select(col("doc_id"),

@@ -92,6 +92,23 @@ class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
     a.zip(b).foreach { case (x, y) => x shouldBe y }
   }
 
+  test("native SimHashSig equals the column-expression bit sums") {
+    import graft.ops.{TextDedup, TextHash}
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("w", TextHash.words(col("text")))
+      .filter(F.size(col("w")) >= 1)
+    val viaExpr = corpus
+      .select(col("doc_id"), TextDedup.simhashLongRef(col("text")).as("sh"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val viaNative = corpus
+      .select(col("doc_id"),
+        graft.functions.SimHashSig(lower(col("text"))).as("sh"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    viaExpr.length should be > 100
+    viaExpr.zip(viaNative).foreach { case (x, y) => x shouldBe y }
+  }
+
   test("CountInClassRule rewrites the idiom and preserves results") {
     // parquet-backed source: local relations constant-fold before the plan
     // can be inspected
