@@ -27,9 +27,14 @@ object MinHashSigUtil {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 
+  // digest() resets the instance, so per-thread reuse is safe — a fresh
+  // MessageDigest per shingle is pure allocation churn in the hot loop
+  private val Md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   private def h56(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = Md.get().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 14 hex chars = 7 bytes
     var h = 0L
     var i = 0

@@ -24,9 +24,14 @@ object SimHashSigUtil {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 
+  // digest() resets the instance, so per-thread reuse is safe — a fresh
+  // MessageDigest per token is pure allocation churn in the hot loop
+  private val Md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   private def h56(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = Md.get().digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
