@@ -27,23 +27,45 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmPassSec = (System.nanoTime() - p0) / 1e9
+    // 3 timed passes per query, report the per-query MEDIAN: a single
+    // timed pass is noise-fragile on a co-loaded box (round-3 driver run
+    // showed phantom 3-9x "regressions" — q_business_stats 1.97 s vs
+    // 0.24 s on a same-commit re-run). Median of 3 rejects one outlier
+    // pass outright; min/max are kept as dispersion evidence. Passes are
+    // interleaved query-major (pass loop outside) so a transient box-wide
+    // stall hits one pass of many queries, not all passes of one query.
+    val nPasses = 3
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to nPasses; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      try { fn(spark, sfDir).count(); samples(name) :+= (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-        name -> -1.0
       }
     }
+    def median(v: Vector[Double]): Double =
+      if (v.isEmpty) -1.0 else v.sorted.apply(v.size / 2)
+    val results = names.map(n => n -> median(samples(n)))
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val disp = names.map { n =>
+      val v = samples(n)
+      val (mn, mx) = if (v.isEmpty) (-1.0, -1.0) else (v.min, v.max)
+      jstr(n) + ":{\"min\":" + mn + ",\"max\":" + mx + ",\"n\":" + v.size + "}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum + warmupSec
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"warm_pass_sec":$warmPassSec,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    // a query is failed only if NO pass succeeded; a transient single-pass
+    // error still lands in "errors" for visibility but keeps its median
+    val nFailed = names.count(n => samples(n).isEmpty)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"passes":$nPasses,"warmup_sec":$warmupSec,"warm_pass_sec":$warmPassSec,"errors":$errJson,"n_failed":$nFailed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line)
     println(line)
     Queries.clear()

@@ -54,6 +54,14 @@ object Pii {
     * compare). Replacement order is email → IPv4 → phone; the earlier
     * passes cannot manufacture matches for the later ones (placeholder
     * tokens contain no digits).
+    *
+    * Counts are RAW-TEXT detections, computed independently per pattern on
+    * the original text, while redaction is sequential — so when one span
+    * matches two patterns (e.g. "a@1.2.3.4.co": the IPv4 sits inside the
+    * email), counts register BOTH but the scrubbed text carries only the
+    * first-pass placeholder ([EMAIL], no [IP]). That is the intended
+    * contract — counts answer "what PII was detected", the scrub answers
+    * "what was removed" — and the oracle mirrors the same formulation.
     */
   def scrub(docs: DataFrame): DataFrame =
     docs

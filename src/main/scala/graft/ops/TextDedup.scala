@@ -326,9 +326,23 @@ object TextDedup {
     val full = corpus.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("rep")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
-    val byRep = Window.partitionBy(col("rep"))
-    full
-      .withColumn("cluster_size", count(lit(1)).over(byRep).cast("long"))
+    withClusterCols(full)
+  }
+
+  /** Finalize a (doc_id, rep) label frame to the cluster output contract.
+    *
+    * cluster_size comes from groupBy(rep).count() + a join back, NOT a
+    * window over rep: `count().over(Window.partitionBy(rep))` has no
+    * partial aggregation, so the classic mega-cluster (1M+ boilerplate
+    * docs under one rep at 100 TB) lands entirely in one task's sort
+    * buffer. The groupBy is map-side combined (one row per rep reaches
+    * the shuffle) and the per-rep size frame is tiny, so AQE broadcasts
+    * it back — same shuffle count, no unbounded per-key task.
+    */
+  private def withClusterCols(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("rep"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("cluster_rep"),
         col("cluster_size"),
         (col("doc_id") === col("rep")).as("is_canonical"))
@@ -340,6 +354,14 @@ object TextDedup {
     * on a long-chain fixture).
     */
   @volatile var lastStarRounds: Int = 0
+
+  /** Whether the last [[dedupClustersStar]] run reached the edge-set
+    * fixpoint. lastStarRounds alone cannot distinguish "converged on the
+    * last allowed round" from "round cap exhausted mid-iteration" — and a
+    * capped-out run silently returns UNDER-clustered labels (each node gets
+    * the min of its current star neighborhood, not the component minimum).
+    */
+  @volatile var lastStarConverged: Boolean = true
 
 
   /** Connected components via alternating large-star/small-star (Kiveris
@@ -432,6 +454,15 @@ object TextDedup {
       round += 1
     }
     lastStarRounds = round
+    lastStarConverged = converged
+    // warned loudly, not thrown: a capped-out run is still a usable
+    // (conservative, under-merged) clustering, but silently treating it
+    // as exact would be an invisible correctness degradation at scale
+    if (!converged)
+      System.err.println(
+        s"WARN dedupClustersStar: round cap ($maxRounds) exhausted before " +
+          "edge-set fixpoint — labels are UNDER-clustered (per-node star " +
+          "minimum, not component minimum); raise maxRounds")
     // fixpoint edges are star edges (node → component min); the groupBy min
     // is a cheap guard making the label unique per node by construction
     val labels = corpus.select(col("doc_id"))
@@ -445,13 +476,7 @@ object TextDedup {
     labels.count()
     edges.unpersist(blocking = false)
     trackLabels(labels)
-    val byRep = Window.partitionBy(col("rep"))
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(byRep).cast("long"))
-      .select(col("doc_id"), col("rep").as("cluster_rep"),
-        col("cluster_size"),
-        (col("doc_id") === col("rep")).as("is_canonical"))
-      .orderBy("doc_id")
+    withClusterCols(labels)
   }
 
   val SimhashBits = 56

@@ -114,6 +114,32 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     out shouldBe nodes.map(i => (i, 1L, n.toLong, i == 1L)).toArray
     TextDedup.lastStarRounds should be < (n - 1)
     TextDedup.lastStarRounds should be <= 12
+    TextDedup.lastStarConverged shouldBe true
+  }
+
+  test("star variant: exhausting the round cap is flagged, not silent") {
+    // one star round cannot contract a 32-chain to its minimum; the run
+    // must report non-convergence (its labels are under-clustered)
+    val n = 32
+    val nodes = 1L to n.toLong
+    val out = TextDedup.dedupClustersStar(
+      corpusOf(nodes: _*),
+      pairsOf((1L until n.toLong).map(i => (i, i + 1)): _*),
+      maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextDedup.lastStarConverged shouldBe false
+    out.values.toSet.size should be > 1 // under-clustered, as warned
+  }
+
+  test("cluster_size is a partial-agg groupBy + join, not a window") {
+    // Window.partitionBy(rep) has no map-side combine: one mega-cluster =
+    // one unbounded task at scale. The finalize step must show an
+    // aggregate on rep and ZERO window nodes in the physical plan.
+    val df = TextDedup.dedupClusters(
+      corpusOf(1L, 2L, 3L), pairsOf((1L, 2L)))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include regex "(?i)hashaggregate"
   }
 
   test("star variant: no pairs => singletons; random graphs match " +

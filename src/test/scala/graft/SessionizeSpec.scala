@@ -9,8 +9,9 @@ import org.scalatest.matchers.should.Matchers
 import graft.ops.Sessionize
 
 /** Gap-based sessionization: session_window semantics on hand-built
-  * fixtures — chained events merge, a gap >= the threshold splits, and
-  * the exact-gap boundary falls OUTSIDE the session (half-open window).
+  * fixtures — chained events merge, a gap > the threshold splits; the
+  * exact-gap event still merges (inclusive end boundary), matching the
+  * Sessionize impl and the DuckDB oracle.
   */
 class SessionizeSpec extends AnyFunSuite with Matchers with TestSpark {
 
