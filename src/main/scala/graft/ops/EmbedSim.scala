@@ -29,8 +29,10 @@ object EmbedSim {
 
   val TopK = 10
   val QueryMod = 100 // vec_id % 100 == 0 are the query vectors
-  val CentroidMod = 50 // vec_id % 50 == 0 are the IVF coarse centroids
+  val CentroidMod = 50 // vec_id % 50 == 0 SEED the IVF coarse centroids
   val Probes = 2
+  val LloydIters = 2 // k-means refinement rounds over the modulo seed
+  val QuantScale = 1e6 // centroid-mean quantization (see trainedCentroids)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -97,10 +99,14 @@ object EmbedSim {
   def dupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val centroids = base.filter(col("vec_id") % CentroidMod === 0)
+    // seeds come from the BASE corpus only (a perturbed copy of a seed
+    // would otherwise double every seed into a near-identical pair);
+    // training then runs over the full perturbed corpus being indexed
+    val seeds = base.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
       .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
-    nearestCentroid(dupCorpus(spark, dir), centroids)
+    val corpus = dupCorpus(spark, dir)
+    nearestCentroid(corpus, trainedCentroids(corpus, seeds))
   }
 
   /** The deterministically-perturbed near-dup corpus shared by the IVF
@@ -145,6 +151,60 @@ object EmbedSim {
         col("_best.norm").as("norm"),
         col("_best.centroid_id").as("centroid_id"))
 
+  /** Lloyd's-trained coarse centroids: [[LloydIters]] k-means rounds over
+    * the modulo seed. A modulo sample is data-OBLIVIOUS — on clustered real
+    * embedding spaces it gives unbalanced inverted lists (the salt cap then
+    * hides the imbalance instead of fixing it); a few Lloyd's rounds make
+    * list sizes data-adaptive with machinery that already exists
+    * (broadcast-centroid assignment + one partial-agg shuffle per round).
+    *
+    * The per-dimension mean is computed over QUANTIZED components:
+    * qv = floor(v * [[QuantScale]] + 0.5) as a BIGINT, summed exactly, then
+    * one double division by (QuantScale * n). Why not avg(v): FP summation
+    * order differs between Spark partitions and the DuckDB oracle (and
+    * between Spark runs), so a plain double mean is only
+    * reproducible-modulo-rounding — and the driver compare is EXACT.
+    * Integer sums are order-independent, and every step here (the quantize
+    * multiply/floor on bit-identical inputs, the exact integer sum, the
+    * single division) is bit-identical across engines. No overflow
+    * headroom issues: |v| < 1 => |qv| <= 1e6, so ~9e12 members per
+    * centroid fit in the BIGINT sum.
+    *
+    * Scale shape per round: one broadcast-join assignment over the corpus
+    * (map-side-combined argmax, see [[nearestCentroid]]), then
+    * posexplode → groupBy(centroid_id, pos) — partial aggregation collapses
+    * each map partition to C·dim rows before the shuffle — and a C-row
+    * groupBy to re-assemble arrays. A centroid whose list empties simply
+    * drops out (deterministic in both engines).
+    */
+  def trainedCentroids(corpus: DataFrame, seeds: DataFrame,
+      iters: Int = LloydIters): DataFrame = {
+    var cent = seeds
+    for (_ <- 1 to iters) {
+      cent = nearestCentroid(corpus, cent)
+        .select(col("centroid_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .withColumn("qv",
+          floor(col("v") * lit(QuantScale) + lit(0.5)).cast("long"))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("qv")).as("_s"), count(lit(1)).as("_n"))
+        .select(col("centroid_id"), col("pos"),
+          (col("_s").cast("double") / (lit(QuantScale) * col("_n"))).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p("m")).as("cemb"))
+        .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
+    }
+    // truncate lineage: the trained frame is tiny (<= C rows) but its plan
+    // embeds `iters` corpus-assignment rounds, and every downstream
+    // reference (inverted-list assignment + probes, or a pair self-join)
+    // would re-expand — and re-compute — the whole training subtree.
+    // The lazy localCheckpoint computes training ONCE and turns the
+    // centroids into a leaf, exactly the train-once/reuse contract a
+    // production IVF index has.
+    cent.localCheckpoint(false)
+  }
+
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
@@ -175,9 +235,10 @@ object EmbedSim {
 
   def knnIvf(spark: SparkSession, dir: String, salts: Int): DataFrame = {
     val all = embeddings(spark, dir)
-    val centroids = all.filter(col("vec_id") % CentroidMod === 0)
+    val seeds = all.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"),
         col("norm").as("cnorm"))
+    val centroids = trainedCentroids(all.select("vec_id", "emb", "norm"), seeds)
 
     // inverted lists: nearest centroid per vector (broadcast C centroids,
     // map-side-combined argmax — see nearestCentroid)

@@ -463,6 +463,37 @@ object SqlText {
        |FROM scored QUALIFY "rank" <= ${EmbedSim.TopK}
        |ORDER BY query_id, "rank"""".stripMargin
 
+  /** Lloyd's-iteration CTE chain mirroring EmbedSim.trainedCentroids:
+    * refines centroids `seedName` over corpus CTE `corpusName` (columns
+    * vec_id, emb, nrm) for `iters` rounds; the final CTE is named
+    * `lcent{iters}`. The per-dimension mean runs over QUANTIZED components
+    * (floor(v * 1e6 + 0.5) summed as BIGINT, one double division) so the
+    * trained centroids are bit-identical to Spark's — a plain avg(v) is
+    * summation-order-dependent and would only match modulo rounding,
+    * while the driver compare is exact. unnest(emb)/unnest(range(...)) in
+    * one SELECT zip positionally (DuckDB semantics).
+    */
+  private def lloydCtes(corpusName: String, seedName: String,
+      iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = if (k == 1) seedName else s"lcent${k - 1}"
+      s"""lasg$k AS (SELECT centroid_id, emb FROM (
+         |  SELECT e.emb, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+         |  FROM $corpusName e CROSS JOIN $prev c) WHERE rn = 1),
+         |lcm$k AS (SELECT centroid_id, i,
+         |    CAST(sum(CAST(floor(v * ${d(EmbedSim.QuantScale)} + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (${d(EmbedSim.QuantScale)} * count(*)) AS m
+         |  FROM (SELECT centroid_id, unnest(emb) AS v,
+         |    unnest(range(len(emb))) AS i FROM lasg$k)
+         |  GROUP BY centroid_id, i),
+         |lcent$k AS (SELECT centroid_id, cemb,
+         |    sqrt(${dotSql("cemb", "cemb")}) AS cnrm
+         |  FROM (SELECT centroid_id, list(m ORDER BY i) AS cemb
+         |    FROM lcm$k GROUP BY centroid_id))""".stripMargin
+    }.mkString(",\n")
+
   /** Oracle for q_embed_dups (IVF-bucketed cosine near-dup pairs over the
     * deterministically-perturbed corpus).
     */
@@ -475,14 +506,15 @@ object SqlText {
        |corpus AS (
        |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM (
        |    SELECT * FROM emb0 UNION ALL SELECT * FROM pert)),
-       |cent AS (SELECT vec_id AS centroid_id, emb AS cemb,
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb,
        |  sqrt(${dotSql("emb", "emb")}) AS cnrm
        |  FROM emb0 WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |${lloydCtes("corpus", "cent0", EmbedSim.LloydIters)},
        |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
-       |  FROM corpus e CROSS JOIN cent c) WHERE rn = 1)
+       |  FROM corpus e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1)
        |SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
@@ -537,18 +569,19 @@ object SqlText {
   /** Oracle for q_knn_ivf (IVF-style probed ANN). */
   val knnIvf: String =
     s"""WITH $embCtes,
-       |cent AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
        |  FROM emb WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
        |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
-       |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+       |  FROM emb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
        |probes AS (SELECT query_id, qemb, qnrm, centroid_id FROM (
        |  SELECT q.query_id, q.qemb, q.qnrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY CAST(round(CAST(${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
-       |  FROM q CROSS JOIN cent c) WHERE rn <= ${EmbedSim.Probes}),
+       |  FROM q CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn <= ${EmbedSim.Probes}),
        |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
        |  CAST(round(CAST(${dotSql("p.qemb", "a.emb")} / (p.qnrm * a.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
        |  FROM probes p JOIN assigned a USING (centroid_id)
