@@ -238,10 +238,11 @@ object Queries {
     // the LSH-bucketed near-dup scale path (random hyperplanes; same
     // corpus + threshold as q_embed_dups, different candidate generation)
     "q_embed_dups_lsh" -> (EmbedLsh.embedDupsLsh _),
-    // multimodal plumbing (stubbed decode; output is deterministic by
-    // construction — oracle is the literal expected VALUES)
+    // multimodal: REAL ImageIO decode for images (PNG payloads), stubbed
+    // audio/video decode; output is deterministic by construction — oracle
+    // is the literal expected VALUES
     "q_media_features" -> ((s: SparkSession, _: String) =>
-      Media.featureStats(Media.decodeStub(Media.mediaTable(s, 300))))
+      Media.featureStats(Media.decode(Media.mediaTable(s, 300))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -298,21 +299,28 @@ object Queries {
     "q_embed_dups" -> SqlText.embedDups,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,
     // q_media_features reads no sf table: its input is the deterministic
-    // synthetic media set (Media.mediaTable(300), payload = repeated MD5 of
-    // the id), so the expected aggregate is a constant — pinned as literals
-    // (independently derived from the generator arithmetic, not pasted from
-    // the Spark output).
+    // synthetic media set (Media.mediaTable(300)), so the expected
+    // aggregate is a constant — pinned as literals. The audio/video rows
+    // and every image PIXEL statistic are independently derived from the
+    // generator arithmetic (constant-gray g(i) = (i*37)%256 rasters:
+    // avg_mean_byte = mean g(i) = 126.18, total_px = sum w(i)*h(i) =
+    // 66752, decoded by REAL ImageIO). The one encoder-dependent literal
+    // is the image total_bytes (9726): the summed size of the JDK 17 PNG
+    // encoder's output, pinned from a standalone javac/ImageIO run —
+    // deterministic under this environment's fixed JDK, and decode truth
+    // itself is pinned pixel-level in MediaSpec, not here.
     "q_media_features" ->
       """SELECT kind,
         |       n::BIGINT AS n,
         |       total_bytes::BIGINT AS total_bytes,
         |       avg_mean_byte::DOUBLE AS avg_mean_byte,
-        |       total_frames::BIGINT AS total_frames
+        |       total_frames::BIGINT AS total_frames,
+        |       total_px::BIGINT AS total_px
         |FROM (VALUES
-        |  ('audio', 100, 6384, 127.5913, 3150),
-        |  ('image', 100, 6352, 129.6238, 100),
-        |  ('video', 100, 6416, 128.0956, 3250))
-        |  AS t(kind, n, total_bytes, avg_mean_byte, total_frames)
+        |  ('audio', 100, 6384, 127.5913, 3150, 0),
+        |  ('image', 100, 9726, 126.18, 100, 66752),
+        |  ('video', 100, 6416, 128.0956, 3250, 0))
+        |  AS t(kind, n, total_bytes, avg_mean_byte, total_frames, total_px)
         |ORDER BY kind""".stripMargin
   )
 }

@@ -1,17 +1,24 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The decode step is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake features from the
-  * payload bytes. Everything around it — schema, partition-parallel batch
-  * iteration, feature struct shape, downstream aggregation — is the real
-  * Spark plumbing a production decode (JNI/FFmpeg/pillow-equivalent) would
-  * drop into: swap `fakeDecode` for the real codec, keep the signature.
+  * Image decode is REAL: payloads are PNG-encoded rasters and [[decode]]
+  * runs them through JDK `javax.imageio` inside the partition-batched pass,
+  * emitting decoded width/height and mean luminance computed over the
+  * PIXELS (not the encoded bytes). Audio/video decode stays STUBBED (no
+  * codec libraries in this environment): `fakeDecode` derives deterministic
+  * features from the payload bytes, and the same fallback catches images
+  * whose payload ImageIO cannot parse (unsupported codec / corrupt file —
+  * flagged by decoded_w = decoded_h = 0). Everything around the stub —
+  * schema, partition-parallel batch iteration, feature struct shape,
+  * downstream aggregation — is the production shape: swap `fakeDecode` for
+  * an FFmpeg-equivalent, keep the signature.
   *
   * Scale notes: media payloads dominate row size, so the pipeline keeps the
   * binary column out of every shuffle (features are extracted in a
@@ -33,44 +40,119 @@ object Media {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      checksum: Long, // stand-in for a decoded-content digest
-      mean_byte: Double, // stand-in for e.g. mean luminance
-      frames_sampled: Int)
+      checksum: Long, // decoded-raster digest for images; payload digest else
+      mean_byte: Double, // mean pixel luminance for images; payload mean else
+      frames_sampled: Int,
+      decoded_w: Int, // REAL decoded dimensions; 0 when the codec fell back
+      decoded_h: Int)
 
-  /** Deterministic synthetic media table (payload = repeated md5 bytes of
-    * the id — stable across runs and engines).
+  /** Deterministic synthetic media table. Images carry REAL PNG payloads:
+    * a constant-gray w(i) x h(i) raster with gray g(i) = (i * 37) % 256 —
+    * constant so the decoded mean luminance equals g(i) EXACTLY (integer
+    * luma of (g,g,g) is g), keeping the q_media_features oracle literals
+    * derivable from the generator arithmetic rather than from any encoder.
+    * Audio/video payloads remain repeated md5 bytes of the id (stable
+    * across runs and engines).
     */
   def mediaTable(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val kind = (i % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (i % 3) match {
+        case 0 =>
+          val w = 16 + (i % 8).toInt * 4
+          val h = 16 + (i % 6).toInt * 4
+          val g = ((i * 37) % 256).toInt
+          MediaRecord(i, "image", encodePng(w, h, g), w, h, 0)
+        case m =>
+          val kind = if (m == 1) "audio" else "video"
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"media:$i".getBytes("UTF-8"))
+          val payload = Array.fill((i % 7).toInt + 1)(seed).flatten
+          MediaRecord(i, kind, payload, 64 + (i % 64).toInt * 8,
+            64 + (i % 48).toInt * 8, 1000 + (i % 60).toInt * 500)
       }
-      val seed = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"media:$i".getBytes("UTF-8"))
-      val payload = Array.fill((i % 7).toInt + 1)(seed).flatten
-      MediaRecord(i, kind, payload, 64 + (i % 64).toInt * 8,
-        64 + (i % 48).toInt * 8, if (kind == "image") 0 else 1000 + (i % 60).toInt * 500)
     }
   }
 
-  /** The stubbed decode: in production this calls the codec; here it derives
-    * deterministic features from the bytes. Partition-batched like a real
-    * vectorized decode (one "codec context" per partition, amortized).
+  private def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Partition-batched feature extraction. Images go through the REAL
+    * JDK ImageIO decode (PNG/JPEG/GIF/BMP — whatever the JVM's reader
+    * registry supports); everything else, plus any image payload the
+    * reader rejects, takes the deterministic byte-level stub with
+    * decoded_w = decoded_h = 0 marking the fallback.
     */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition "codec" init would go here (expensive, amortized)
+      // per-partition codec init would go here (ImageIO's reader registry
+      // is JVM-global and thread-safe; an FFmpeg context would be created
+      // once per partition at this point)
       it.map { m =>
-        val fake = fakeDecode(m.payload)
-        MediaFeatures(m.media_id, m.kind, m.payload.length, fake._1, fake._2,
-          frameCount(m))
+        val img = if (m.kind == "image") tryDecodeImage(m.payload) else None
+        img match {
+          case Some(bi) =>
+            val (cks, mean) = rasterStats(bi)
+            MediaFeatures(m.media_id, m.kind, m.payload.length, cks, mean,
+              frameCount(m), bi.getWidth, bi.getHeight)
+          case None =>
+            val fake = fakeDecode(m.payload)
+            MediaFeatures(m.media_id, m.kind, m.payload.length, fake._1,
+              fake._2, frameCount(m), 0, 0)
+        }
       }
     }
   }
 
-  /** STUB — replace with the real decoder. Deterministic on payload bytes. */
+  /** Back-compat alias from the rounds where image decode was stubbed. */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    decode(media)
+
+  private def tryDecodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Decoded-content digest + mean over the raster. Per-pixel luminance is
+    * integer luma (r*299 + g*587 + b*114) / 1000 — for a gray pixel
+    * (g,g,g) that is exactly g, which is what keeps the synthetic table's
+    * aggregate derivable by arithmetic. The mean divides two exact
+    * integers (sum and pixel count), so it is reproducible bit-for-bit.
+    */
+  private def rasterStats(bi: BufferedImage): (Long, Double) = {
+    var cks = 0L
+    var sum = 0L
+    var y = 0
+    while (y < bi.getHeight) {
+      var x = 0
+      while (x < bi.getWidth) {
+        val rgb = bi.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        cks = cks * 31 + lum
+        sum += lum
+        x += 1
+      }
+      y += 1
+    }
+    (cks, sum.toDouble / (bi.getWidth.toLong * bi.getHeight))
+  }
+
+  /** STUB — the non-image (and undecodable-image) fallback. Deterministic
+    * on payload bytes.
+    */
   private def fakeDecode(payload: Array[Byte]): (Long, Double) = {
     var checksum = 0L
     var sum = 0L
@@ -87,9 +169,9 @@ object Media {
   /** Resize: fit within `maxDim` preserving aspect ratio. The dimension
     * arithmetic (the metadata half of a resize) is real; the pixel half is
     * the codec's and follows the same stub-behind-a-signature pattern as
-    * [[decodeStub]] — a production resize swaps `fakeResize` for the codec
-    * call, keeping the partition-batched shape. Records already within
-    * bounds pass through untouched (payload identity, no re-encode).
+    * the audio/video decode — a production resize swaps `fakeResize` for
+    * the codec call, keeping the partition-batched shape. Records already
+    * within bounds pass through untouched (payload identity, no re-encode).
     */
   def resizeStub(media: Dataset[MediaRecord],
       maxDim: Int = 256): Dataset[MediaRecord] = {
@@ -122,13 +204,15 @@ object Media {
   }
 
   /** Per-kind feature aggregation — only scalar features shuffle, never the
-    * payload.
+    * payload. total_px sums the DECODED dimensions, so a silent decode
+    * fallback (decoded_w = 0) is visible in the oracle-checked output.
     */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF().groupBy("kind").agg(
       count(lit(1)).as("n"),
       sum(col("n_bytes")).cast("long").as("total_bytes"),
       round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
-      sum(col("frames_sampled")).cast("long").as("total_frames"))
+      sum(col("frames_sampled")).cast("long").as("total_frames"),
+      sum((col("decoded_w") * col("decoded_h")).cast("long")).as("total_px"))
       .orderBy("kind")
 }

@@ -6,23 +6,66 @@ import org.scalatest.matchers.should.Matchers
 import graft.ops.Media
 
 /** Multimodal plumbing: deterministic synthetic media, partition-batched
-  * stubbed decode, payload-free aggregation.
+  * decode (REAL ImageIO for images, deterministic stub for audio/video),
+  * payload-free aggregation.
   */
 class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
 
-  test("decode is deterministic and schema-stable") {
-    val a = Media.decodeStub(Media.mediaTable(spark, 50)).collect()
+  test("decode is deterministic and schema-stable; images REALLY decode") {
+    val a = Media.decode(Media.mediaTable(spark, 50)).collect()
       .sortBy(_.media_id)
-    val b = Media.decodeStub(Media.mediaTable(spark, 50)).collect()
+    val b = Media.decode(Media.mediaTable(spark, 50)).collect()
       .sortBy(_.media_id)
     a.map(_.checksum).toSeq shouldBe b.map(_.checksum).toSeq
     a.length shouldBe 50
     a.foreach { f =>
-      f.n_bytes % 16 shouldBe 0 // payload = whole md5 blocks
       f.mean_byte should (be >= 0.0 and be <= 255.0)
-      if (f.kind == "image") f.frames_sampled shouldBe 1
-      else f.frames_sampled should be >= 2
+      if (f.kind == "image") {
+        f.frames_sampled shouldBe 1
+        val i = f.media_id
+        // ImageIO round-trip recovered the generator's raster: decoded
+        // dims match the metadata formula, and the constant-gray mean
+        // luminance equals g(i) EXACTLY (integer luma of (g,g,g) is g)
+        f.decoded_w shouldBe 16 + (i % 8).toInt * 4
+        f.decoded_h shouldBe 16 + (i % 6).toInt * 4
+        f.mean_byte shouldBe ((i * 37) % 256).toDouble
+      } else {
+        f.n_bytes % 16 shouldBe 0 // payload = whole md5 blocks
+        f.frames_sampled should be >= 2
+        f.decoded_w shouldBe 0 // stub path is flagged, not silent
+        f.decoded_h shouldBe 0
+      }
     }
+  }
+
+  test("image decode is pixel-true: hand-computed stats on a 2x2 PNG, " +
+      "and an undecodable payload falls back flagged") {
+    import spark.implicits._
+    // four distinct known pixels; luminance = (299r + 587g + 114b) / 1000
+    // integer-divided: (255,0,0)->76, (0,255,0)->149, (0,0,255)->29,
+    // (10,20,30)->18 (2990+11740+3420 = 18150 -> 18)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, (10 << 16) | (20 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val records = Seq(
+      Media.MediaRecord(1L, "image", bos.toByteArray, 2, 2, 0),
+      Media.MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4), 9, 9, 0)).toDS()
+    val out = Media.decode(records).collect().map(f => f.media_id -> f).toMap
+    val real = out(1L)
+    real.decoded_w shouldBe 2
+    real.decoded_h shouldBe 2
+    // raster order (0,0),(1,0),(0,1),(1,1): mean = (76+149+29+18)/4
+    real.mean_byte shouldBe 68.0
+    // polynomial digest over the same order: ((76*31+149)*31+29)*31+18
+    real.checksum shouldBe (((76L * 31 + 149) * 31 + 29) * 31 + 18)
+    // 4 junk bytes are not a PNG: stub features, zero decoded dims
+    val fb = out(2L)
+    fb.decoded_w shouldBe 0
+    fb.decoded_h shouldBe 0
+    fb.n_bytes shouldBe 4
   }
 
   test("resize fits within maxDim preserving aspect; small media " +
