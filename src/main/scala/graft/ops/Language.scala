@@ -32,11 +32,15 @@ object Language {
 
   /** Detector profile order after `en` (also the tie preference). The
     * original four (es/de/fr/zh) stay first so their mutual tie-breaks are
-    * unchanged; the breadth profiles (pt/it/nl stopwords, ru/ja/ko/ar
-    * scripts) only win where they strictly outscore every earlier profile.
+    * unchanged; the breadth profiles (r3: pt/it/nl stopwords, ru/ja/ko/ar
+    * scripts; r4: sv/da/no/fi/pl/cs/tr/id/ro/hu stopwords,
+    * el/he/hi/th/bn/ta/vi scripts) only win where they strictly outscore
+    * every earlier profile.
     */
   val OtherLangs: Seq[String] =
-    Seq("es", "de", "fr", "zh", "pt", "it", "nl", "ru", "ja", "ko", "ar")
+    Seq("es", "de", "fr", "zh", "pt", "it", "nl", "ru", "ja", "ko", "ar",
+      "sv", "da", "no", "fi", "pl", "cs", "tr", "id", "ro", "hu",
+      "el", "he", "hi", "th", "bn", "ta", "vi")
 
   private val profileRe: Map[String, String] =
     TextAnalysis.StopwordProfiles.toMap

@@ -25,7 +25,22 @@ object TextAnalysis {
     "fr" -> """\b(le|la|les|de|des|et|est|en|un|une|du|que|pour|dans)\b""",
     "pt" -> """\b(o|os|do|da|dos|das|um|uma|em|para|com|por|mais|como|mas)\b""",
     "it" -> """\b(il|lo|gli|le|di|che|e|per|con|non|sono|una|uno|della|nel)\b""",
-    "nl" -> """\b(de|het|een|en|van|ik|dat|op|voor|met|zijn|niet|je|naar)\b""")
+    "nl" -> """\b(de|het|een|en|van|ik|dat|op|voor|met|zijn|niet|je|naar)\b""",
+    // breadth tail (r4): ASCII-only stopword subsets — diacritic-bearing
+    // stopwords are deliberately omitted (see the \b note above), so each
+    // profile is the language's ASCII-spellable high-frequency function
+    // words. Appended AFTER the original profiles: existing tie-breaks
+    // are unchanged, a new profile only wins by strictly outscoring.
+    "sv" -> """\b(och|att|det|som|en|ett|jag|inte|med|av|till|den)\b""",
+    "da" -> """\b(og|det|at|en|den|til|er|som|med|af|ikke|der)\b""",
+    "no" -> """\b(og|det|at|en|til|er|som|med|av|ikke|jeg|den)\b""",
+    "fi" -> """\b(ja|on|ei|se|oli|kun|mutta|niin|joka|jos|ole|vain)\b""",
+    "pl" -> """\b(nie|to|jest|na|do|co|jak|ale|czy|tak|po|juz)\b""",
+    "cs" -> """\b(je|se|na|to|do|ale|jako|pro|tak|co|by|za)\b""",
+    "tr" -> """\b(bir|ve|bu|da|de|ne|ben|mi|gibi|daha|ama|ile)\b""",
+    "id" -> """\b(yang|dan|di|itu|dengan|untuk|tidak|ini|dari|dalam|akan|pada)\b""",
+    "ro" -> """\b(de|la|un|cu|pe|este|care|nu|mai|din|dar|sau)\b""",
+    "hu" -> """\b(az|nem|hogy|is|egy|van|de|ki|meg|mint|csak|volt)\b""")
   val CjkClass = """[\x{4e00}-\x{9fff}]"""
 
   /** Script-codepoint-class profiles: languages whose writing system is
@@ -40,7 +55,17 @@ object TextAnalysis {
     "ru" -> """[\x{0400}-\x{04ff}]""",
     "ja" -> """[\x{3040}-\x{30ff}]""",
     "ko" -> """[\x{ac00}-\x{d7af}]""",
-    "ar" -> """[\x{0600}-\x{06ff}]""")
+    "ar" -> """[\x{0600}-\x{06ff}]""",
+    // breadth tail (r4): more (near-)unique script blocks. `vi` counts the
+    // Latin Extended Additional block — in practice Vietnamese-specific
+    // diacritics, the only Latin script identifiable by codepoints alone.
+    "el" -> """[\x{0370}-\x{03ff}]""",
+    "he" -> """[\x{0590}-\x{05ff}]""",
+    "hi" -> """[\x{0900}-\x{097f}]""",
+    "th" -> """[\x{0e00}-\x{0e7f}]""",
+    "bn" -> """[\x{0980}-\x{09ff}]""",
+    "ta" -> """[\x{0b80}-\x{0bff}]""",
+    "vi" -> """[\x{1ea0}-\x{1ef9}]""")
 
   /** N-gram-heuristic language ID: stopword-match density per Latin
     * profile, script-codepoint density per script profile; prediction =
