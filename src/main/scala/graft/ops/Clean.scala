@@ -83,12 +83,22 @@ object Clean {
       "_lcs" -> graft.functions.TextStats(col("_lc")),
       "cleaned_text" -> when(col("_raw_len") > TextMaxLength,
         substring(text, 1, TextMaxLength)).otherwise(text)
-    ) ++ (("en" +: Language.OtherLangs).map { l =>
-      s"_${l}_matches" -> Language.matchesFor(l, text)
-    }) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
+    ) + ("_lm" ->
+      // all 29 language-profile counts fused into ONE struct alias (the
+      // TextStats idiom). 29 separate alias columns made Catalyst's
+      // constraint propagation quadratic-explode: getAllValidConstraints
+      // re-maps the whole constraint set (transform + semanticEquals per
+      // node) once per PROJECT ALIAS, so 29 aliases each carrying a
+      // regex-count tree over a multi-KB stopword literal, stacked across
+      // the annotate Projects, spun planning for tens of minutes. One
+      // struct alias = one constraint entry; every downstream reference is
+      // a cheap GetStructField.
+      struct(("en" +: Language.OtherLangs).map(l =>
+        Language.matchesFor(l, text).as(l)): _*)
+    ) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
       s"_spam_p$i" -> col("_lc").rlike(p)
     })
-    def langM(l: String) = col(s"_${l}_matches")
+    def langM(l: String) = col("_lm").getField(l)
 
     // L2: derived from L1 columns; one fused scan of cleaned_text
     val l2 = l1.withColumns(Map(

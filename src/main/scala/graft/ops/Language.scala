@@ -65,19 +65,31 @@ object Language {
 
   /** Language decision from precomputed match-count columns — `en` plus one
     * per [[OtherLangs]] entry, in that order — see the object doc for the
-    * gate + argmax semantics. Lang i wins iff its count >= every LATER
-    * profile's count (earlier profiles already failed their own >= check),
-    * which is exactly argmax with OtherLangs-order tie preference.
+    * gate + argmax semantics.
+    *
+    * The argmax is a lexicographic `array_max` over `(count, -index, lang)`
+    * structs: the max struct has the highest count, and among equal counts
+    * the highest `-index` — i.e. the EARLIEST profile — exactly the
+    * OtherLangs-order tie preference. Each profile column appears ONCE in
+    * the expression. The previous formulation (a CaseWhen whose branch i
+    * conjoins `count_i >= count_j` for every later j) referenced the
+    * columns O(n²) times; growing from 11 to 28 profiles took it from ~55
+    * to ~378 references, and once Catalyst's constraint propagation
+    * substituted each reference with its regexp-count tree, planning any
+    * query through Clean.annotate spun for tens of MINUTES in pairwise
+    * `semanticEquals` (observed live in getAllValidConstraints). Expression
+    * SIZE is a planning-time scale axis just like row count is an
+    * execution-time one.
     */
   def languageFrom(en: Column, others: Seq[Column]): Column = {
     require(others.length == OtherLangs.length,
       s"expected ${OtherLangs.length} profile columns, got ${others.length}")
-    val base = when(en >= 1, lit("en"))
-      .when(greatest(others: _*) === 0, lit("unknown"))
-    OtherLangs.init.zipWithIndex.foldLeft(base) { case (acc, (lang, i)) =>
-      acc.when(others.drop(i + 1).map(others(i) >= _).reduce(_ && _),
-        lit(lang))
-    }.otherwise(lit(OtherLangs.last))
+    val best = array_max(array(others.zipWithIndex.map { case (c, i) =>
+      struct(c.as("m"), lit(-i).as("pri"), lit(OtherLangs(i)).as("lang"))
+    }: _*))
+    when(en >= 1, lit("en"))
+      .when(best.getField("m") === 0, lit("unknown"))
+      .otherwise(best.getField("lang"))
   }
 
   /** Match count of the language `languageFrom` picks. */

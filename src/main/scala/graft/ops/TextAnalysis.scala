@@ -81,14 +81,18 @@ object TextAnalysis {
       lang -> ((length(lc) - length(regexp_replace(lc, cls, ""))) /
         greatest(length(lc), lit(1)))
     }
-    val scored = densities.foldLeft(docs) { case (df, (lang, d)) =>
-      df.withColumn(s"score_$lang", round(d, 4))
-    }
-    val best = densities.map { case (l, _) => col(s"score_$l") }
+    // all 28 densities fused into ONE struct alias, then referenced via
+    // GetStructField — 28 separate score_* aliases (each a regex tree) made
+    // Catalyst constraint propagation re-map the constraint set once per
+    // alias, a planning-time blowup (see Clean.annotate's `_lm` note)
+    val scored = docs.withColumn("_sc",
+      struct(densities.map { case (l, d) => round(d, 4).as(l) }: _*))
+    def sc(l: String) = col("_sc").getField(l)
+    val best = densities.map { case (l, _) => sc(l) }
       .reduce((a, b) => greatest(a, b))
     val pred = densities.foldRight(lit("unknown"): Column) {
       case ((lang, _), elseCol) =>
-        when(col(s"score_$lang") === col("_best") &&
+        when(sc(lang) === col("_best") &&
           col("_best") > 0, lit(lang)).otherwise(elseCol)
     }
     scored
@@ -96,7 +100,7 @@ object TextAnalysis {
       .withColumn("lang_pred", pred)
       .select(Seq(col("doc_id"), col("lang"), col("lang_pred"),
         (col("lang_pred") === col("lang")).as("correct")) ++
-        densities.map { case (l, _) => col(s"score_$l") }: _*)
+        densities.map { case (l, _) => sc(l).as(s"score_$l") }: _*)
       .orderBy("doc_id")
   }
 

@@ -107,7 +107,15 @@ object Sql {
        |  FROM documents
        |)""".stripMargin
 
-  /** Mirror of graft.ops.Clean.annotate: layered CTEs ending in `ann`. */
+  /** Mirror of graft.ops.Clean.annotate: layered CTEs ending in `ann`.
+    *
+    * `ann` is MATERIALIZED: the issue-stream oracles reference it from 9
+    * UNION ALL branches, and DuckDB inlines plain CTEs per reference — 9
+    * copies of the 46-regex annotate pipeline, compiled per thread,
+    * exhausted the kernel's vm.max_map_count (65k mappings, observed) and
+    * poisoned the whole oracle run with spurious OOM "bad allocation"
+    * errors. Materializing evaluates the pipeline once.
+    */
   val annCtes: String = {
     val emptyT = "(text IS NULL OR length(text) = 0)"
     val emptyCt = "(cleaned_text IS NULL OR length(cleaned_text) = 0)"
@@ -225,7 +233,7 @@ object Sql {
        |     END) AS spam_check_score
        |  FROM c5
        |),
-       |ann AS (
+       |ann AS MATERIALIZED (
        |  SELECT *,
        |    CAST(round(CAST(completeness_score * ${d(WeightCompleteness)}
        |      + validity_score * ${d(WeightValidity)}

@@ -21,6 +21,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Cap DuckDB well below the VM's commit limit: this box runs with no
+    # swap and CommitLimit ~= RAM/2, so DuckDB's default memory_limit (80%
+    # of RAM) makes mallocs sporadically fail ("Failed to allocate block
+    # ... bad allocation") even with 100+ GB free. sf0.01 needs well under
+    # a GB; 16 GB keeps the check comfortable and deterministic.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads TO 16")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
