@@ -139,29 +139,95 @@ object StreamBench {
       }
     } else memSink
     val issueDir = base.resolve("issues").toString
+    // created up front: the topic consumers start before the first publish
+    val topicDir = Files.createDirectory(base.resolve("topic")).toString
     val raw = Sources.asRawReviews(
       Sources.replayStream(spark, watch.toString), source = "bench")
-    val q = new Pipeline(sink, new ParquetSink(issueDir, maxFiles = 8))
+    val q = new Pipeline(sink, new ParquetSink(issueDir, maxFiles = 8),
+      annotatedTopic = Some(new ParquetSink(topicDir, maxFiles = 8)))
       .start(raw, checkpoint)
+
+    // The reference's SECOND agent (faust_app.py:173-189) is the stats
+    // path: a decoupled consumer maintaining event-time hourly aggregates.
+    // It consumes the cleaned/annotated TOPIC the pipeline publishes — it
+    // does NOT re-parse and re-annotate the raw stream (a first cut that
+    // did collapsed throughput 5.9k -> 1.2k rec/s: 3x JSON parse + 2x the
+    // regex-heavy annotate per record). Here the topic is a narrow
+    // 5-column parquet append stream; the stats agent and the
+    // session_window agent (streaming form of ops.Sessionize) stream from
+    // it with their own checkpoints, so the bench runs all three stateful
+    // operator classes concurrently: FMGWS dedup state, windowed-agg
+    // state, session-window state.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val statsRows = new java.util.concurrent.atomic.AtomicLong
+    val sessRows = new java.util.concurrent.atomic.AtomicLong
+    val topicSchema = StructType(Seq(
+      StructField("review_id", StringType), StructField("user_id", StringType),
+      StructField("date", TimestampType), StructField("accepted", BooleanType),
+      StructField("data_quality_score", DoubleType)))
+    def topicStream = spark.readStream.schema(topicSchema).parquet(topicDir)
+    val qStats = graft.streaming.Streams.hourlyStats(topicStream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", base.resolve("ck_stats").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        statsRows.addAndGet(b.count()); ()
+      }.start()
+    // Session gap 5 min vs the generator's ~8.3 min per-user inter-arrival
+    // (u id % 4999 at 0.1 s/record): every session CLOSES once the
+    // watermark passes it — state stays bounded and churns, the shape an
+    // unbounded stream needs (a gap wider than the inter-arrival would
+    // grow one never-closing session per user).
+    val qSess = topicStream
+      .withWatermark("date", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("date"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      // session windows emit only on close (append mode is the only one
+      // supported): every emitted row is a watermark-finalized session
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ck_sess").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sessRows.addAndGet(b.count()); ()
+      }.start()
+    val all = Seq(q, qStats, qSess)
+    // Drain order: pipeline first (it publishes the topic), then the two
+    // agents. Each query executes micro-batches on its OWN daemon thread —
+    // processAllAvailable only blocks this caller — so the agents overlap
+    // the pipeline's next batch naturally, like separate consumer groups.
+    def drainAll(): Unit = all.foreach(_.processAllAvailable())
 
     // warm the topology (JIT + codegen) before timing
     release(stage.resolve("warmup.json"))
-    q.processAllAvailable()
+    drainAll()
     val t0 = System.nanoTime()
     val batchSec = staged.zipWithIndex.map { case (p, b) =>
       val b0 = System.nanoTime()
       release(p)
-      q.processAllAvailable()
+      drainAll()
       val dt = (System.nanoTime() - b0) / 1e9
       if (sys.env.contains("STREAM_BENCH_DEBUG"))
         System.err.println(s"BATCHPROGRESS $b ${q.lastProgress.json}")
       dt
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    q.stop()
+    // bounded-state evidence: total state rows per stateful query at end
+    def stateRows(sq: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(sq.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val endState = all.map(stateRows)
+    all.foreach(_.stop())
 
     val total = nBatches * batchSize
     val rps = total / sec
+    // Steady-state throughput: batchSize over the MEDIAN per-batch time.
+    // The wall-clock number folds in transient co-tenant load spikes (the
+    // box shows multi-minute load-average excursions with nothing of ours
+    // running); the median batch is the sustained operating point a capacity
+    // plan would use. Both are reported — divergence IS the dispersion
+    // signal.
+    val sortedBatch = batchSec.sorted
+    val medianBatch = sortedBatch(sortedBatch.size / 2)
+    val steadyRps = batchSize / medianBatch
     // post-timing accounting reads (not part of the measured window)
     val upserted =
       if (jdbcMode) {
@@ -177,9 +243,12 @@ object StreamBench {
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val line = s"""{"metric":"stream_throughput","value":$rps,""" +
       s""""unit":"records/sec","records":$total,"batches":$nBatches,""" +
-      s""""seconds":$sec,"upserted":$upserted,""" +
+      s""""seconds":$sec,"steady_state_rps":$steadyRps,""" +
+      s""""upserted":$upserted,""" +
       s""""sink":"${if (jdbcMode) "jdbc" else "memory"}",""" +
       s""""issues":$issueCount,""" +
+      s""""stats_rows":${statsRows.get},"session_rows":${sessRows.get},""" +
+      s""""state_rows":${endState.mkString("[", ",", "]")},""" +
       s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
       s""""reference_configured_max":1000}"""
     Files.writeString(Paths.get("stream_bench_out.json"), line)

@@ -14,10 +14,10 @@ import org.apache.spark.sql.types._
   * Execution shape (the 100-TB-safe form):
   *  - rows are written EXECUTOR-SIDE, partition by partition — nothing is
   *    collected to the driver;
-  *  - the batch is first reduced to one row per key; on the portable
-  *    two-step dialect it is also co-located by key
-  *    (`repartition(key)`) so partition writers don't contend on the same
-  *    primary key in the common case;
+  *  - the batch is first reduced to one row per key (`dropDuplicates`),
+  *    which both enforces last-writer-wins within the batch and makes
+  *    same-key contention between partition writers impossible — one row
+  *    per key in the whole batch means no further co-location shuffle;
   *  - each partition runs one transaction, COMMIT at the end, ROLLBACK +
   *    rethrow on failure — Spark retries the task, and retry-safety is
   *    exactly the keyed idempotence the upsert provides (at-least-once
@@ -77,11 +77,12 @@ class JdbcUpsertSink(
 
   def upsertBatch(df: DataFrame, batchId: Long): Unit = {
     val schema = df.schema
+    // dropDuplicates(key) leaves exactly one row per key in the WHOLE
+    // batch, so no two partition writers can race on the same primary key
+    // regardless of row placement — no extra co-location shuffle needed on
+    // either dialect (the aggregation's own key shuffle already happened).
     val oneRowPerKey = df.dropDuplicates(keyCol)
-    // native upsert is row-atomic: no co-location needed, skip the shuffle
-    val placed =
-      if (nativeUpsert) oneRowPerKey else oneRowPerKey.repartition(col(keyCol))
-    placed.foreachPartition { rows: Iterator[Row] =>
+    oneRowPerKey.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) writePartition(rows, schema)
     }
   }
