@@ -39,8 +39,13 @@ object Reviews {
           expr("concat(text, ' ', repeat('0123456789 ', " +
             "cast(floor(2 * n_chars / 11) as int) + 1))"))
         .otherwise(col("text")).as("text"),
+      // doc_id is modulo'd into int range BEFORE the ANSI cast: review
+      // dates wrap every ~190 years of minutes instead of the cast
+      // overflowing on corpora whose ids exceed 2^31 (a no-op at every
+      // driver SF, where doc_id < 5000; the oracle wraps identically)
       expr("timestamp'2024-01-01 00:00:00' + " +
-        "make_interval(0, 0, 0, 0, 0, cast(doc_id as int), 0)").as("date"),
+        "make_interval(0, 0, 0, 0, 0, cast(doc_id % 100000000 as int), 0)")
+        .as("date"),
       when(col("doc_id") % 7 === 0, lit(null).cast("int"))
         .otherwise((col("doc_id") % 4).cast("int")).as("useful"),
       (col("doc_id") % 3).cast("int").as("funny"),

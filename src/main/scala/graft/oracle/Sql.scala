@@ -98,7 +98,8 @@ object Sql {
        |             CAST(floor(2 * n_chars / 11) AS INTEGER) + 1))
        |         ELSE text END AS text,
        |    TIMESTAMP '2024-01-01 00:00:00'
-       |      + CAST(doc_id AS INTEGER) * INTERVAL 1 MINUTE AS "date",
+       |      + CAST(doc_id % 100000000 AS INTEGER) * INTERVAL 1 MINUTE
+       |        AS "date",
        |    CASE WHEN doc_id % 7 = 0 THEN NULL
        |         ELSE CAST(doc_id % 4 AS INTEGER) END AS useful,
        |    CAST(doc_id % 3 AS INTEGER) AS funny,
