@@ -10,6 +10,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated query subset, for local iteration on one
+    // operator without paying the full 48-query sweep (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // cache-build cost is its own line item, not noise attributed to the
@@ -22,8 +26,10 @@ object Bench {
     // query 3.97 s cold vs 0.72 s warm), making per-query times reflect
     // alphabetical position instead of plan cost. Disclosed as its own
     // field; the timed pass below is steady-state.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val p0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmPassSec = (System.nanoTime() - p0) / 1e9
@@ -36,7 +42,7 @@ object Bench {
     // stall hits one pass of many queries, not all passes of one query.
     val nPasses = 3
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val names = selected.map(_._1)
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(_ -> Vector.empty[Double]): _*)
     for (_ <- 1 to nPasses; name <- names) {

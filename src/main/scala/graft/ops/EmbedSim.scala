@@ -134,22 +134,34 @@ object EmbedSim {
     * (`row_number().over(Window.partitionBy(vec_id))`) shuffled the full
     * C-fold expansion: a C-fold shuffle amplification at 100 TB.
     *
+    * Only (vec_id, centroid_id, _cc) flow through the expansion and the
+    * aggregate — SKINNY rows. An earlier form carried the full embedding
+    * array inside the max_by candidate struct, which materialized a
+    * |corpus| x C stream of array copies through the aggregation (the
+    * dominant cost of the whole IVF path once C grows: at 20k vectors x
+    * 400 centroids that is 8M x 64-double struct constructions per
+    * round). The winning centroid_id is joined back to the corpus by
+    * vec_id instead: the exchange still carries |corpus| wide rows
+    * exactly once, and the C-fold expanded stream stays primitive-typed
+    * and codegen-friendly.
+    *
     * Tie-break matches the window form (and the oracle): highest cosine,
     * then LOWEST centroid_id — encoded as `max_by` over
     * `struct(_cc, -centroid_id)` (lexicographic struct ordering).
     */
   private def nearestCentroid(corpus: DataFrame, centroids: DataFrame)
-      : DataFrame =
-    corpus.join(broadcast(centroids), lit(true))
-      .withColumn("_cc",
-        cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm")))
+      : DataFrame = {
+    val best = corpus.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("centroid_id"),
+        cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm"))
+          .as("_cc"))
       .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("emb"), col("norm"), col("centroid_id")),
-        struct(col("_cc"), (-col("centroid_id")).as("_tb"))).as("_best"))
-      .select(col("vec_id"), col("_best.emb").as("emb"),
-        col("_best.norm").as("norm"),
-        col("_best.centroid_id").as("centroid_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("_cc"), (-col("centroid_id")).as("_tb")))
+        .as("centroid_id"))
+    corpus.join(best, "vec_id")
+      .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
+  }
 
   /** Lloyd's-trained coarse centroids: [[LloydIters]] k-means rounds over
     * the modulo seed. A modulo sample is data-OBLIVIOUS — on clustered real
