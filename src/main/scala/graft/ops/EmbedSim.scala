@@ -29,10 +29,26 @@ object EmbedSim {
 
   val TopK = 10
   val QueryMod = 100 // vec_id % 100 == 0 are the query vectors
-  val CentroidMod = 50 // vec_id % 50 == 0 SEED the IVF coarse centroids
+  val CentroidMod = 50 // small-corpus centroid-seed modulus (see centroidMod)
   val Probes = 2
   val LloydIters = 2 // k-means refinement rounds over the modulo seed
   val QuantScale = 1e6 // centroid-mean quantization (see trainedCentroids)
+
+  /** Adaptive coarse-centroid seed modulus: seeds are vec_id % m == 0 with
+    * m = max(CentroidMod, floor(sqrt(n)/2)), i.e. C ≈ min(n/50, 2·sqrt(n))
+    * centroids for an n-vector corpus.
+    *
+    * A FIXED modulus makes C grow linearly with the corpus, so the
+    * broadcast-assignment step (n × C dot products) is quadratic in n —
+    * measured 100× cost for 10× vectors on the sf1 sweep. C ~ sqrt(n) is
+    * the classic IVF balance point (assignment n·sqrt(n), probe work
+    * probes·n/sqrt(n) per query); the max() keeps every driver-verify
+    * scale (n ≤ 2k, where sqrt(n)/2 < 50) bit-identical to the fixed-mod
+    * form. The oracle computes the same integer from the same count —
+    * floor/sqrt on a BIGINT count is exact in both engines.
+    */
+  def centroidMod(n: Long): Long =
+    math.max(CentroidMod.toLong, math.floor(math.sqrt(n.toDouble) / 2).toLong)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -99,10 +115,13 @@ object EmbedSim {
   def dupAssigned(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    // index-build-time sizing decision: ONE count (column-pruned scan)
+    // picks the centroid density — the same count the oracle computes
+    val mod = centroidMod(base.count())
     // seeds come from the BASE corpus only (a perturbed copy of a seed
     // would otherwise double every seed into a near-identical pair);
     // training then runs over the full perturbed corpus being indexed
-    val seeds = base.filter(col("vec_id") % CentroidMod === 0)
+    val seeds = base.filter(col("vec_id") % mod === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
       .withColumn("cnorm", sqrt(dot(col("cemb"), col("cemb"))))
     val corpus = dupCorpus(spark, dir)
@@ -239,15 +258,16 @@ object EmbedSim {
   val IvfSalts = 4
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
-    * (vec_id % 50 == 0), then each query scores only the vectors in its 2
-    * nearest centroids' lists. Deterministic ties: (cos desc, centroid_id).
+    * (seeded vec_id % [[centroidMod]](n) == 0, Lloyd's-refined), then each
+    * query scores only the vectors in its 2 nearest centroids' lists.
+    * Deterministic ties: (cos desc, centroid_id).
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
     knnIvf(spark, dir, IvfSalts)
 
   def knnIvf(spark: SparkSession, dir: String, salts: Int): DataFrame = {
     val all = embeddings(spark, dir)
-    val seeds = all.filter(col("vec_id") % CentroidMod === 0)
+    val seeds = all.filter(col("vec_id") % centroidMod(all.count()) === 0)
       .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"),
         col("norm").as("cnorm"))
     val centroids = trainedCentroids(all.select("vec_id", "emb", "norm"), seeds)

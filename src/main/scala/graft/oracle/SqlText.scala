@@ -506,9 +506,11 @@ object SqlText {
        |corpus AS (
        |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM (
        |    SELECT * FROM emb0 UNION ALL SELECT * FROM pert)),
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
        |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb,
        |  sqrt(${dotSql("emb", "emb")}) AS cnrm
-       |  FROM emb0 WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |  FROM emb0 WHERE vec_id % (SELECT m FROM cmod) = 0),
        |${lloydCtes("corpus", "cent0", EmbedSim.LloydIters)},
        |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
@@ -524,19 +526,22 @@ object SqlText {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Oracle for q_embed_dups_lsh (random-hyperplane LSH near-dup pairs over
-    * the same perturbed corpus). The hyperplanes are the SAME Rademacher
-    * arrays as EmbedLsh.hyperplanes, inlined as DOUBLE[] literals — exact
-    * +-1.0 values, so the sign dot products are bit-identical across
-    * engines. Bucket = band * 2^W + in-band sign-bit key; buckets above the
-    * cap are excluded (mirroring the Spark-side drop); pairs are DISTINCT
-    * over bands, then exact-cosine verified.
+    * the same perturbed corpus). The band geometry is corpus-adaptive
+    * exactly as in EmbedLsh: width w = min w with 2^w * TargetBucket >=
+    * count(corpus) (a pure integer-shift comparison, exact in both
+    * engines), band count from EmbedLsh.bandTable interpolated as integer
+    * literals (so no transcendental has to agree across engines at a ceil
+    * boundary). The hyperplanes are regenerated IN SQL from the same
+    * md5("lsh:p:d") low-bit rule — Java's `digest(15) & 1` is the hex
+    * parity of the digest's last character — giving exact +-1.0 doubles,
+    * so the sign dot products are bit-identical across engines. Bucket =
+    * band * 2^w + in-band sign-bit key; buckets above the cap are excluded
+    * (mirroring the Spark-side drop); pairs are DISTINCT over bands, then
+    * exact-cosine verified.
     */
   val embedDupsLsh: String = {
-    val w = EmbedLsh.BandBits
-    val planeRows = EmbedLsh.hyperplanes.zipWithIndex.map { case (h, p) =>
-      val arr = h.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(${p / w}, ${1 << (p % w)}, CAST($arr AS DOUBLE[]))"
-    }.mkString(",\n    ")
+    val bCase = EmbedLsh.bandTable
+      .map { case (w, b) => s"WHEN $w THEN $b" }.mkString(" ")
     s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
        |pert AS (SELECT vec_id + 100000 AS vec_id,
@@ -545,10 +550,23 @@ object SqlText {
        |corpus AS (
        |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM (
        |    SELECT * FROM emb0 UNION ALL SELECT * FROM pert)),
-       |planes(band, twoj, h) AS (VALUES
-       |    $planeRows),
+       |params AS (SELECT w, CASE w $bCase END AS b,
+       |    CAST(1 AS BIGINT) << w AS nb
+       |  FROM (SELECT min(w) AS w FROM (SELECT unnest(range(
+       |      ${EmbedLsh.MinBits}, ${EmbedLsh.MaxBits + 1})) AS w)
+       |    WHERE (CAST(1 AS BIGINT) << w) * ${EmbedLsh.TargetBucket} >=
+       |      (SELECT count(*) FROM corpus))),
+       |planes AS (SELECT p // w AS band,
+       |    CAST(1 AS BIGINT) << (p % w) AS twoj,
+       |    list_transform(range(${EmbedLsh.Dim}), dd -> CASE WHEN
+       |      substr(md5('lsh:' || CAST(p AS VARCHAR) || ':' ||
+       |        CAST(dd AS VARCHAR)), 32, 1)
+       |      IN ('1','3','5','7','9','b','d','f')
+       |      THEN ${d(1.0)} ELSE ${d(-1.0)} END) AS h
+       |  FROM (SELECT unnest(range(b * w)) AS p, w FROM params)),
        |sigs AS (SELECT c.vec_id,
-       |    pl.band * ${1 << w} + sum(CASE WHEN ${dotSql("c.emb", "pl.h")} >= 0
+       |    pl.band * (SELECT nb FROM params) +
+       |      sum(CASE WHEN ${dotSql("c.emb", "pl.h")} >= 0
        |      THEN pl.twoj ELSE 0 END) AS bucket
        |  FROM corpus c CROSS JOIN planes pl GROUP BY c.vec_id, pl.band),
        |kept AS (SELECT bucket FROM sigs GROUP BY bucket
@@ -566,11 +584,16 @@ object SqlText {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** Oracle for q_knn_ivf (IVF-style probed ANN). */
+  /** Oracle for q_knn_ivf (IVF-style probed ANN). The centroid-seed
+    * modulus mirrors EmbedSim.centroidMod: max(50, floor(sqrt(n)/2)) from
+    * the same embeddings count (C ≈ min(n/50, 2·sqrt(n)) centroids).
+    */
   val knnIvf: String =
     s"""WITH $embCtes,
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
        |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
-       |  FROM emb WHERE vec_id % ${EmbedSim.CentroidMod} = 0),
+       |  FROM emb WHERE vec_id % (SELECT m FROM cmod) = 0),
        |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
        |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,

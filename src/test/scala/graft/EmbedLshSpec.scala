@@ -41,6 +41,24 @@ class EmbedLshSpec extends AnyFunSuite with Matchers with TestSpark {
     joined.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
   }
 
+  test("adaptive band geometry: integer width rule, small-n fixed point") {
+    // sf0.001/sf0.01 corpora (52 / 520 rows) use the historical 6x6
+    EmbedLsh.bandBits(52) shouldBe 6
+    EmbedLsh.bandBits(520) shouldBe 6
+    EmbedLsh.bandsFor(6) shouldBe 6
+    // boundary is exact: 2^6 * 16 = 1024
+    EmbedLsh.bandBits(1024) shouldBe 6
+    EmbedLsh.bandBits(1025) shouldBe 7
+    // sf1 corpus (20.8k) gets 11-bit bands; recall formula widens to 15
+    EmbedLsh.bandBits(20800) shouldBe 11
+    EmbedLsh.bandsFor(11) shouldBe 15
+    // wider bands never reduce the band count (recall is monotone in w)
+    EmbedLsh.bandTable.sliding(2).foreach {
+      case Seq((_, b1), (_, b2)) => b2 should be >= b1
+      case _ => ()
+    }
+  }
+
   test("bucket cap drops oversized buckets (pairs bounded, drop observed)") {
     import spark.implicits._
     // 20 identical vectors: every band bucket has size 20 -> with a cap of
