@@ -162,6 +162,10 @@ object Queries {
     // LLM-data-pipeline: dedup family (north star)
     "q_dedup_exact" -> ((s: SparkSession, d: String) =>
       TextDedup.exactDedup(Corpus.withExactDups(s, d))),
+    // C4-style sub-document dedup: K-token chunks, corpus-global first
+    // occurrence wins, survivors reassembled per doc
+    "q_chunk_dedup" -> ((s: SparkSession, d: String) =>
+      TextDedup.chunkDedup(Tables.load(s, d, "documents"))),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
@@ -272,6 +276,7 @@ object Queries {
     "q_asof_purchase" -> Sql.clickLastPurchase,
     "q_price_stats" -> Sql.priceStats,
     "q_dedup_exact" -> SqlText.exactDedup,
+    "q_chunk_dedup" -> SqlText.chunkDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_edit_pairs" -> SqlText.editPairs,

@@ -594,4 +594,75 @@ object TextDedup {
           .as("fp_sum_mod"))
       .orderBy("doc_id")
   }
+
+  val ChunkTokens = 10
+
+  /** Position-encoding base for the corpus-global first-occurrence min:
+    * keeper = min(doc_id * ChunkPosBase + chunk_pos). Safe while
+    * chunk_pos < 1e5 (a doc would need ~1M whitespace tokens to breach;
+    * the guard below raises instead of silently mis-keying) and
+    * doc_id < ~9.2e13 (Long.MaxValue / 1e5).
+    */
+  val ChunkPosBase = 100000L
+
+  /** Sub-document (chunk-level) dedup — the C4 "discard any previously-seen
+    * three-sentence span" pass (Raffel et al. 2020, §2.1) / RefinedWeb's
+    * line-level dedup, at a deterministic K-token granularity: documents
+    * split into consecutive K-token chunks, each chunk kept only at its
+    * corpus-global FIRST occurrence (minimal (doc_id, chunk_pos)), and the
+    * survivors reassembled per document in original order. Unlike
+    * whole-document dedup (exactDedup) this removes repeated boilerplate
+    * EMBEDDED in otherwise-unique documents — at web scale the largest
+    * single cleanup after URL dedup.
+    *
+    * Scale shape (100 TB): chunking is a narrow per-row explode; the
+    * global first-occurrence is ONE partial-aggregated groupBy on the
+    * chunk text (map-side combine collapses each partition's repeats
+    * before the exchange); the keeper joins back on the same chunk key
+    * (AQE splits skewed boilerplate chunks); reassembly is one
+    * groupBy(doc_id) whose per-group state is bounded by document length.
+    * No window over an unbounded key, no driver round-trip.
+    *
+    * Docs with zero words cannot be chunked and pass through with
+    * clean_text = "" and n_chunks = 0 (mirrored by the oracle).
+    */
+  def chunkDedup(corpus: DataFrame, k: Int = ChunkTokens): DataFrame = {
+    val base = corpus
+      .withColumn("_words", words(col("text")))
+      .withColumn("n_chunks",
+        when(size(col("_words")) === 0, lit(0L))
+          .otherwise(floor((size(col("_words")) - 1) / k) + 1))
+    val chunks = base
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_chunks") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("_words"), i * k + 1, lit(k)))))
+          .as(Seq("chunk_pos", "chunk")))
+      .withColumn("_ord", {
+        val ord = col("doc_id") * ChunkPosBase + col("chunk_pos")
+        when(col("chunk_pos") >= ChunkPosBase,
+          raise_error(lit("chunkDedup: chunk_pos overflows ChunkPosBase")))
+          .otherwise(ord)
+      })
+    val keeper = chunks.groupBy(col("chunk"))
+      .agg(min(col("_ord")).as("_keeper"))
+    val kept = chunks
+      .join(keeper, "chunk")
+      .filter(col("_ord") === col("_keeper"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_pos"), col("chunk")))),
+          s => s("chunk"))).as("_clean"),
+        count(lit(1)).as("_kept"))
+    base
+      .select(col("doc_id"), col("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        coalesce(col("_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -265,6 +265,46 @@ object SqlText {
        |WHERE g.doc_id % 97 != 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for q_chunk_dedup (C4-style K-token chunk dedup: corpus-global
+    * first occurrence wins, survivors reassembled in document order).
+    * Mirrors TextDedup.chunkDedup: same tokenizer, same
+    * doc_id*base+chunk_pos keeper encoding, zero-word docs pass through
+    * with clean_text = '' and n_chunks = 0.
+    */
+  val chunkDedup: String = {
+    val k = TextDedup.ChunkTokens
+    val base = TextDedup.ChunkPosBase
+    s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |base AS (SELECT doc_id, words,
+       |  CASE WHEN len(words) = 0 THEN 0
+       |       ELSE (len(words) - 1) // $k + 1 END AS n_chunks
+       |  FROM docs),
+       |pos AS (SELECT doc_id, words,
+       |  unnest(range(n_chunks)) AS cp
+       |  FROM base WHERE n_chunks > 0),
+       |chunks AS (SELECT doc_id, CAST(cp AS INTEGER) AS chunk_pos,
+       |  list_aggregate(list_slice(words, cp * $k + 1, cp * $k + $k),
+       |    'string_agg', ' ') AS chunk,
+       |  doc_id * $base + cp AS _ord
+       |  FROM pos),
+       |keeper AS (SELECT chunk, min(_ord) AS _keeper
+       |  FROM chunks GROUP BY 1),
+       |kept AS (SELECT c.doc_id, c.chunk_pos, c.chunk
+       |  FROM chunks c JOIN keeper USING (chunk)
+       |  WHERE c._ord = _keeper),
+       |rebuilt AS (SELECT doc_id,
+       |  string_agg(chunk, ' ' ORDER BY chunk_pos) AS _clean,
+       |  CAST(count(*) AS BIGINT) AS _kept
+       |  FROM kept GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(r._clean, '') AS clean_text,
+       |  CAST(b.n_chunks AS BIGINT) AS n_chunks,
+       |  coalesce(r._kept, 0) AS n_kept
+       |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val decontaminate: String =
     decontaminateK(TextDedup.ContamGramSynthetic)
 

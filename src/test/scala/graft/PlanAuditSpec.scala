@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q1_pricing" -> 2, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
     "q_business_stats" -> 2, "q_clean_docs" -> 1,
     "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
-    "q_corpus_mix" -> 4,
+    "q_chunk_dedup" -> 3, "q_corpus_mix" -> 4,
     "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
     "q_doc_split" -> 1, "q_mixed_sample" -> 4,
