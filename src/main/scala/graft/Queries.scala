@@ -215,6 +215,16 @@ object Queries {
       TextDedup.decontaminate(docs,
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // the large-benchmark scale path: benchmark grams folded into a Bloom
+    // sketch (Spark's BloomFilterAggregate), corpus grams prefiltered by
+    // codegen'd might_contain before the exact verify join; output (and
+    // oracle) identical to q_decontaminate
+    "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      TextDedup.decontaminateBloom(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        k = TextDedup.ContamGramSynthetic)
+    }),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
@@ -292,6 +302,8 @@ object Queries {
     "q_seq_pack" -> SqlText.seqPack,
     "q_decontaminate" -> SqlText.decontaminate,
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
+    // bloom prefilter + exact verify == exact semantics, same oracle
+    "q_decontaminate_bloom" -> SqlText.decontaminate,
     "q_lang_id" -> SqlText.langId,
     "q_pii_scrub" -> SqlText.piiScrub,
     "q_token_stats" -> SqlText.tokenStats,

@@ -197,19 +197,74 @@ object TextDedup {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       k: Int = ContamGram): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("_words", words(col("text")))
-      .filter(size(col("_words")) >= k)
-      .select(col("doc_id"),
-        explode(shingles(col("_words"), k)).as("gram"))
-    val benchGrams = grams(benchmark).select("gram").distinct()
+    val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
+    sharedGramCounts(docs, benchmark, k,
+      gs => gs.join(broadcast(benchGrams), "gram"))
+  }
+
+  private def gramsOf(df: DataFrame, k: Int): DataFrame = df
+    .withColumn("_words", words(col("text")))
+    .filter(size(col("_words")) >= k)
+    .select(col("doc_id"),
+      explode(shingles(col("_words"), k)).as("gram"))
+
+  /** Common decontamination tail: corpus grams (benchmark docs anti-joined
+    * out) through `matchGrams`, then the per-doc distinct-gram count.
+    */
+  private def sharedGramCounts(docs: DataFrame, benchmark: DataFrame,
+      k: Int, matchGrams: DataFrame => DataFrame): DataFrame = {
     val benchIds = benchmark.select(col("doc_id").as("_bid"))
-    grams(docs)
-      .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti")
-      .join(broadcast(benchGrams), "gram")
+    matchGrams(gramsOf(docs, k)
+      .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti"))
       .groupBy("doc_id")
       .agg(count_distinct(col("gram")).as("n_shared_grams"))
       .orderBy("doc_id")
+  }
+
+  /** Bloom sketch sizing for [[decontaminateBloom]]: 2^20 expected grams /
+    * 2^23 bits (1 MiB, ~1% fpp at capacity) — well under Spark's
+    * runtime-bloom conf caps. The sketch is CONSTANT-size regardless of
+    * corpus scale; only the benchmark's gram cardinality matters.
+    */
+  val BloomEstItems: Long = 1L << 20
+  val BloomNumBits: Long = 1L << 23
+
+  /** Decontamination at the scale where the benchmark gram SET is too big
+    * to broadcast-join cheaply: the benchmark grams are folded into a
+    * fixed-size Bloom sketch (Spark's own `BloomFilterAggregate` — the
+    * expression behind its runtime bloom-join filters), the sketch is
+    * inlined as a literal, and the corpus gram stream is prefiltered by
+    * codegen'd `might_contain` BEFORE the exact gram join. Bloom false
+    * positives are killed by that exact join, so output is IDENTICAL to
+    * [[decontaminate]] (same oracle).
+    *
+    * Scale shape (100 TB): the per-partition blooms are OR-merged up a
+    * partial aggregation and only the fixed-size (1 MiB) sketch reaches
+    * the driver — exactly what Spark's adaptive runtime filter does with
+    * its scalar subquery, and unlike a collect this is bounded by sketch
+    * size, not data size. The prefilter then drops ~99% of corpus grams
+    * map-side, so the exact verify join (left UNHINTED here — at real
+    * benchmark cardinality it is a shuffle join) moves only survivors.
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      k: Int = ContamGram): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("gram"))),
+        Literal(BloomEstItems), Literal(BloomNumBits)).toAggregateExpression())
+    val sketch = benchGrams.agg(bloomAgg.as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(
+      BloomFilterMightContain(Literal(sketch, BinaryType),
+        GraftBridge.expression(xxhash64(col("gram")))))
+    sharedGramCounts(docs, benchmark, k,
+      gs => gs.filter(mightContain).join(benchGrams, "gram"))
   }
 
   /** Connected-component dedup clusters: near-dup PAIRS are only half a

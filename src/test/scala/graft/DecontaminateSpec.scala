@@ -52,4 +52,23 @@ class DecontaminateSpec extends AnyFunSuite with Matchers with TestSpark {
     // no benchmark doc in the output
     out.filter(col("doc_id") % 97 === 0).count() shouldBe 0L
   }
+
+  test("bloom prefilter path returns exactly the exact-join result") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val k = TextDedup.ContamGramSynthetic
+    val exact = TextDedup.decontaminate(docs, bench, k).collect().toSeq
+    val bloom = TextDedup.decontaminateBloom(docs, bench, k).collect().toSeq
+    bloom shouldBe exact
+    exact should not be empty
+  }
+
+  test("bloom path with an empty benchmark flags nothing") {
+    val corpus = df(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a quick brown fox ran away yesterday evening")
+    val out = TextDedup.decontaminateBloom(
+      corpus, corpus.filter(col("doc_id") === 999L), k = 3)
+    out.count() shouldBe 0L
+  }
 }
