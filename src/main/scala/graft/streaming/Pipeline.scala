@@ -63,15 +63,33 @@ final class Pipeline(
             val ann = Clean.annotate(fresh)
             ann.persist()
             try {
-              cleanedSink.write(Clean.cleaned(ann), id)
-              issueSink.write(Clean.issues(ann).unionByName(dupIssues), id)
-              // publish the narrow annotated projection to the "topic" —
-              // the reference's produce to cleaned_reviews that its second
-              // (stats) agent consumes (faust_app.py:156-189). Downstream
-              // stateful queries stream from THIS, not from raw: they must
-              // not re-parse + re-annotate every record a second time.
-              annotatedTopic.foreach(
-                _.write(ann.select(Pipeline.TopicCols.map(col): _*), id))
+              // (no eager materialization: BlockManager's per-partition
+              // cache locks make the concurrent jobs below compute each
+              // partition exactly once — an up-front count() is a whole
+              // extra pass, measured slower)
+              // The three produce paths are independent jobs over the same
+              // persisted frame and distinct targets (keyed store / issue
+              // dir / topic dir) — submit them CONCURRENTLY so the batch
+              // pays max(sink), not sum(sink). Spark job submission is
+              // thread-safe; failures surface via Await and fail the batch
+              // (at-least-once replay, sinks keyed-idempotent or declared
+              // append-at-least-once).
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration.Duration
+              import Pipeline.sinkEc
+              val writes = Seq(
+                Future(cleanedSink.write(Clean.cleaned(ann), id))(sinkEc),
+                Future(issueSink.write(
+                  Clean.issues(ann).unionByName(dupIssues), id))(sinkEc)) ++
+                // the narrow annotated projection is the "topic" — the
+                // reference's produce to cleaned_reviews that its second
+                // (stats) agent consumes (faust_app.py:156-189).
+                // Downstream stateful queries stream from THIS, not raw:
+                // they must not re-parse + re-annotate every record.
+                annotatedTopic.map(t => Future(
+                  t.write(ann.select(Pipeline.TopicCols.map(col): _*), id))(
+                  sinkEc))
+              writes.foreach(Await.result(_, Duration.Inf))
             } finally ann.unpersist()
           }
         } finally batch.unpersist()
@@ -81,6 +99,16 @@ final class Pipeline(
 }
 
 object Pipeline {
+  /** Fixed pool for concurrent sink submission inside one micro-batch:
+    * bounded at 3 (cleaned/issues/topic), daemon threads so it never pins
+    * the JVM. Shared across Pipeline instances — batches are serial per
+    * query, and cross-query sharing just interleaves job submission.
+    */
+  private lazy val sinkEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        r => { val t = new Thread(r, "graft-sink"); t.setDaemon(true); t }))
+
   /** Columns published on the annotated topic — the key plus exactly what
     * the downstream stats/session agents consume (event time, accept flag,
     * score, session key). Narrow on purpose: the topic is read by every
