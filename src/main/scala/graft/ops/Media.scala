@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL: payloads are PNG-encoded rasters and [[decode]]
   * runs them through JDK `javax.imageio` inside the partition-batched pass,
   * emitting decoded width/height and mean luminance computed over the
-  * PIXELS (not the encoded bytes). Audio/video decode stays STUBBED (no
-  * codec libraries in this environment): `fakeDecode` derives deterministic
-  * features from the payload bytes, and the same fallback catches images
-  * whose payload ImageIO cannot parse (unsupported codec / corrupt file —
-  * flagged by decoded_w = decoded_h = 0). Everything around the stub —
-  * schema, partition-parallel batch iteration, feature struct shape,
-  * downstream aggregation — is the production shape: swap `fakeDecode` for
-  * an FFmpeg-equivalent, keep the signature.
+  * PIXELS (not the encoded bytes). Audio decode is REAL too: payloads are
+  * WAV (RIFF) PCM16 mono and go through JDK `javax.sound.sampled`,
+  * emitting the decoded sample count and mean |amplitude| computed over
+  * the SAMPLES. Video decode stays STUBBED (the JDK ships no video
+  * codec): `fakeDecode` derives deterministic features from the payload
+  * bytes, and the same fallback catches any image/audio payload the
+  * decoder rejects (unsupported codec / corrupt file — flagged by
+  * decoded_w = decoded_h = 0). Everything around the stub — schema,
+  * partition-parallel batch iteration, feature struct shape, downstream
+  * aggregation — is the production shape: swap `fakeDecode` for an
+  * FFmpeg-equivalent, keep the signature.
   *
   * Scale notes: media payloads dominate row size, so the pipeline keeps the
   * binary column out of every shuffle (features are extracted in a
@@ -40,19 +43,22 @@ object Media {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      checksum: Long, // decoded-raster digest for images; payload digest else
-      mean_byte: Double, // mean pixel luminance for images; payload mean else
+      checksum: Long, // decoded-content digest (raster/samples); payload digest else
+      mean_byte: Double, // mean pixel luminance (image) / mean |sample| (audio); payload mean else
       frames_sampled: Int,
-      decoded_w: Int, // REAL decoded dimensions; 0 when the codec fell back
-      decoded_h: Int)
+      decoded_w: Int, // image: decoded width; audio: decoded sample count; 0 = codec fell back
+      decoded_h: Int) // image: decoded height; audio: 1; 0 = codec fell back
 
   /** Deterministic synthetic media table. Images carry REAL PNG payloads:
     * a constant-gray w(i) x h(i) raster with gray g(i) = (i * 37) % 256 —
     * constant so the decoded mean luminance equals g(i) EXACTLY (integer
     * luma of (g,g,g) is g), keeping the q_media_features oracle literals
     * derivable from the generator arithmetic rather than from any encoder.
-    * Audio/video payloads remain repeated md5 bytes of the id (stable
-    * across runs and engines).
+    * Audio carries REAL WAV payloads on the same principle: PCM16 mono
+    * 8 kHz, n(i) = 160 + (i % 5) * 80 samples all at constant amplitude
+    * a(i) = (i * 53) % 1000 — so the decoded mean |sample| equals a(i)
+    * exactly and the aggregate stays generator-derivable. Video payloads
+    * remain repeated md5 bytes of the id (stable across runs and engines).
     */
   def mediaTable(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -63,15 +69,40 @@ object Media {
           val h = 16 + (i % 6).toInt * 4
           val g = ((i * 37) % 256).toInt
           MediaRecord(i, "image", encodePng(w, h, g), w, h, 0)
-        case m =>
-          val kind = if (m == 1) "audio" else "video"
+        case 1 =>
+          val nSamples = 160 + (i % 5).toInt * 80
+          val amp = ((i * 53) % 1000).toInt
+          MediaRecord(i, "audio", encodeWav(nSamples, amp),
+            64 + (i % 64).toInt * 8, 64 + (i % 48).toInt * 8,
+            1000 + (i % 60).toInt * 500)
+        case _ =>
           val seed = java.security.MessageDigest.getInstance("MD5")
             .digest(s"media:$i".getBytes("UTF-8"))
           val payload = Array.fill((i % 7).toInt + 1)(seed).flatten
-          MediaRecord(i, kind, payload, 64 + (i % 64).toInt * 8,
+          MediaRecord(i, "video", payload, 64 + (i % 64).toInt * 8,
             64 + (i % 48).toInt * 8, 1000 + (i % 60).toInt * 500)
       }
     }
+  }
+
+  /** RIFF/WAV PCM16 mono 8 kHz, every sample the same little-endian
+    * `amp` — the audio analog of the constant-gray PNG.
+    */
+  private def encodeWav(nSamples: Int, amp: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var j = 0
+    while (j < nSamples) {
+      data(2 * j) = (amp & 0xff).toByte
+      data(2 * j + 1) = ((amp >> 8) & 0xff).toByte
+      j += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   private def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
@@ -90,31 +121,74 @@ object Media {
 
   /** Partition-batched feature extraction. Images go through the REAL
     * JDK ImageIO decode (PNG/JPEG/GIF/BMP — whatever the JVM's reader
-    * registry supports); everything else, plus any image payload the
-    * reader rejects, takes the deterministic byte-level stub with
+    * registry supports); audio through the REAL JDK sampled-audio decode
+    * (WAV/AIFF/AU PCM); everything else, plus any payload the decoder
+    * rejects, takes the deterministic byte-level stub with
     * decoded_w = decoded_h = 0 marking the fallback.
     */
   def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init would go here (ImageIO's reader registry
-      // is JVM-global and thread-safe; an FFmpeg context would be created
+      // per-partition codec init would go here (the JDK decoder registries
+      // are JVM-global and thread-safe; an FFmpeg context would be created
       // once per partition at this point)
       it.map { m =>
-        val img = if (m.kind == "image") tryDecodeImage(m.payload) else None
-        img match {
-          case Some(bi) =>
-            val (cks, mean) = rasterStats(bi)
-            MediaFeatures(m.media_id, m.kind, m.payload.length, cks, mean,
-              frameCount(m), bi.getWidth, bi.getHeight)
-          case None =>
-            val fake = fakeDecode(m.payload)
-            MediaFeatures(m.media_id, m.kind, m.payload.length, fake._1,
-              fake._2, frameCount(m), 0, 0)
+        def fallback = {
+          val fake = fakeDecode(m.payload)
+          MediaFeatures(m.media_id, m.kind, m.payload.length, fake._1,
+            fake._2, frameCount(m), 0, 0)
+        }
+        m.kind match {
+          case "image" => tryDecodeImage(m.payload) match {
+            case Some(bi) =>
+              val (cks, mean) = rasterStats(bi)
+              MediaFeatures(m.media_id, m.kind, m.payload.length, cks, mean,
+                frameCount(m), bi.getWidth, bi.getHeight)
+            case None => fallback
+          }
+          case "audio" => tryDecodeAudio(m.payload) match {
+            case Some((cks, meanAbs, nSamples)) =>
+              MediaFeatures(m.media_id, m.kind, m.payload.length, cks,
+                meanAbs, frameCount(m), nSamples, 1)
+            case None => fallback
+          }
+          case _ => fallback
         }
       }
     }
   }
+
+  /** REAL JDK audio decode: parse the container, require PCM16 LE (the
+    * signed 16-bit little-endian layout `AudioInputStream.read` yields for
+    * WAV), fold the SAMPLES into a digest + mean |amplitude|. Sample count
+    * lands in decoded_w (decoded_h = 1), so a silent fallback is visible
+    * in total_px exactly like an image decode failure.
+    */
+  private def tryDecodeAudio(
+      payload: Array[Byte]): Option[(Long, Double, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var cks = 0L
+        var sumAbs = 0L
+        var j = 0
+        while (j < n) {
+          val s = ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort
+          cks = cks * 31 + s
+          sumAbs += math.abs(s.toInt)
+          j += 1
+        }
+        Some((cks, if (n == 0) 0.0 else sumAbs.toDouble / n, n))
+      }
+    } catch { case _: Exception => None }
 
   /** Back-compat alias from the rounds where image decode was stubbed. */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =

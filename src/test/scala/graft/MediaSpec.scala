@@ -19,23 +19,62 @@ class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
     a.map(_.checksum).toSeq shouldBe b.map(_.checksum).toSeq
     a.length shouldBe 50
     a.foreach { f =>
-      f.mean_byte should (be >= 0.0 and be <= 255.0)
-      if (f.kind == "image") {
-        f.frames_sampled shouldBe 1
-        val i = f.media_id
-        // ImageIO round-trip recovered the generator's raster: decoded
-        // dims match the metadata formula, and the constant-gray mean
-        // luminance equals g(i) EXACTLY (integer luma of (g,g,g) is g)
-        f.decoded_w shouldBe 16 + (i % 8).toInt * 4
-        f.decoded_h shouldBe 16 + (i % 6).toInt * 4
-        f.mean_byte shouldBe ((i * 37) % 256).toDouble
-      } else {
-        f.n_bytes % 16 shouldBe 0 // payload = whole md5 blocks
-        f.frames_sampled should be >= 2
-        f.decoded_w shouldBe 0 // stub path is flagged, not silent
-        f.decoded_h shouldBe 0
+      val i = f.media_id
+      f.kind match {
+        case "image" =>
+          f.mean_byte should (be >= 0.0 and be <= 255.0)
+          f.frames_sampled shouldBe 1
+          // ImageIO round-trip recovered the generator's raster: decoded
+          // dims match the metadata formula, and the constant-gray mean
+          // luminance equals g(i) EXACTLY (integer luma of (g,g,g) is g)
+          f.decoded_w shouldBe 16 + (i % 8).toInt * 4
+          f.decoded_h shouldBe 16 + (i % 6).toInt * 4
+          f.mean_byte shouldBe ((i * 37) % 256).toDouble
+        case "audio" =>
+          // javax.sound round-trip recovered the generator's samples:
+          // count matches n(i), constant amplitude means |mean| = a(i)
+          f.frames_sampled should be >= 2
+          f.decoded_w shouldBe 160 + (i % 5).toInt * 80
+          f.decoded_h shouldBe 1
+          f.mean_byte shouldBe ((i * 53) % 1000).toDouble
+          f.n_bytes shouldBe 44 + 2 * f.decoded_w // RIFF header + PCM16
+        case _ =>
+          f.mean_byte should (be >= 0.0 and be <= 255.0)
+          f.n_bytes % 16 shouldBe 0 // payload = whole md5 blocks
+          f.frames_sampled should be >= 2
+          f.decoded_w shouldBe 0 // stub path is flagged, not silent
+          f.decoded_h shouldBe 0
       }
     }
+  }
+
+  test("audio decode is sample-true: hand-built WAV with known samples, " +
+      "and junk audio bytes fall back flagged") {
+    import spark.implicits._
+    // 4 samples: 100, -100, 300, 0 -> mean |s| = 125.0, digest over order
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Seq[Short](100, -100, 300, 0)
+    val data = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.size.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val records = Seq(
+      Media.MediaRecord(1L, "audio", bos.toByteArray, 0, 0, 1000),
+      Media.MediaRecord(2L, "audio", Array[Byte](9, 9, 9, 9), 0, 0, 1000))
+      .toDS()
+    val out = Media.decode(records).collect().map(f => f.media_id -> f).toMap
+    val real = out(1L)
+    real.decoded_w shouldBe 4
+    real.decoded_h shouldBe 1
+    real.mean_byte shouldBe 125.0
+    real.checksum shouldBe (((100L * 31 - 100) * 31 + 300) * 31 + 0)
+    val fb = out(2L)
+    fb.decoded_w shouldBe 0
+    fb.decoded_h shouldBe 0
+    fb.n_bytes shouldBe 4
   }
 
   test("image decode is pixel-true: hand-computed stats on a 2x2 PNG, " +
