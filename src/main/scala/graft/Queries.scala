@@ -238,6 +238,10 @@ object Queries {
     // corpus-statistic scoring: frequency table joined back to tokens
     "q_rare_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rareTokens(Tables.load(s, d, "documents"))),
+    // fastText-style linear quality filter (hashed features x weight
+    // table, inference-only) — CCNet/LLaMA-pipeline pattern
+    "q_quality_classifier" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.qualityClassifier(Tables.load(s, d, "documents"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     "q_vocab" -> ((s: SparkSession, d: String) =>
@@ -309,6 +313,7 @@ object Queries {
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
     "q_rare_tokens" -> SqlText.rareTokens,
+    "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_repetition" -> SqlText.repetition,
     "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,

@@ -254,4 +254,47 @@ object TextAnalysis {
       round(topBigram, 6).as("top_bigram_frac"))
       .orderBy("doc_id")
   }
+
+  /** Feature-hashing buckets / weight-table parameters for
+    * [[qualityClassifier]]. Knuth's multiplicative constant spreads bucket
+    * ids over the 1997-cycle; all products stay < 2^53, so the arithmetic
+    * is exact in BIGINT (DuckDB) and LONG (Spark) alike.
+    */
+  val ClfBuckets = 1024L
+  val ClfKnuth = 2654435761L
+  val ClfCycle = 1997L
+
+  /** fastText-style linear quality classifier — the filtering pattern of
+    * CCNet / the LLaMA corpus pipeline (a cheap linear model over hashed
+    * token features scores every document; low scorers are dropped).
+    * Inference only, as in those pipelines: training happens offline, the
+    * engine applies the weight table. Here the weight table is a
+    * deterministic stand-in (w(b) = (b * Knuth) % cycle - (cycle-1)/2,
+    * zero-mean over buckets) shared verbatim with the oracle — swapping in
+    * trained weights is a literal-array replacement that changes no plan.
+    *
+    * Per doc: tokens -> md5 feature hash -> bucket -> summed integer
+    * weight (the margin), mean weight per token, and the keep decision.
+    * Integer end-to-end except the mean (rounded 4dp); empty docs are
+    * rejected. Shuffle-free, codegen'd, embarrassingly parallel — the
+    * scale cost is one corpus scan, which is the point of linear-model
+    * filtering at 100 TB.
+    */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val toks = words(col("text"))
+    val weight = (w: Column) => {
+      val bucket = pmod(TextHash.h56(w), lit(ClfBuckets))
+      (bucket * ClfKnuth) % ClfCycle - lit((ClfCycle - 1) / 2)
+    }
+    val score = aggregate(transform(toks, weight), lit(0L), _ + _)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("score", score)
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        when(col("n_tokens") > 0,
+          round(col("score").cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)).as("mean_weight"),
+        (col("n_tokens") > 0 && col("score") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
 }

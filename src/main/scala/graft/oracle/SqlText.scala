@@ -305,6 +305,30 @@ object SqlText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_quality_classifier: same md5 feature hash, bucket count,
+    * Knuth-cycle weight table and keep rule as
+    * TextAnalysis.qualityClassifier — integer arithmetic end-to-end (exact
+    * in both engines), mean weight rounded 4dp.
+    */
+  val qualityClassifier: String = {
+    import graft.ops.TextAnalysis.{ClfBuckets, ClfCycle, ClfKnuth}
+    val half = (ClfCycle - 1) / 2
+    s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |scored AS (SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(words, w ->
+       |    (${h56("w")} % $ClfBuckets) * $ClfKnuth % $ClfCycle - $half)),
+       |    0) AS BIGINT) AS score
+       |  FROM docs)
+       |SELECT doc_id, n_tokens, score,
+       |  CASE WHEN n_tokens > 0
+       |       THEN round(CAST(score AS DOUBLE) / n_tokens, 4)
+       |       ELSE 0.0 END AS mean_weight,
+       |  n_tokens > 0 AND score >= 0 AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val decontaminate: String =
     decontaminateK(TextDedup.ContamGramSynthetic)
 

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
-    "q_pii_scrub" -> 1, "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
+    "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
+    "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
     "q_recent_reviews" -> 0,
     // session_window: one user_id exchange for session assembly + the
     // output sort; the agg itself is within-partition
