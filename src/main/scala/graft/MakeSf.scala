@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *    norm-preserving and deterministic, within-copy cosine structure is
   *    identical, cross-copy cosines decorrelate.
   *  - `events`: event_id and user_id offset per copy (new users → the
-  *    per-user session/dedup structure replicates verbatim); nanos-long ts
-  *    kept bit-identical.
+  *    per-user session/dedup structure replicates verbatim); ts passed
+  *    through bit-identical in whatever physical encoding the source
+  *    shipped (Tables.events normalizes both known encodings on read).
   *  - `orders`/`lineitem`: orderkey offset per copy, dim FKs untouched —
   *    fact-to-dim fan-in grows N×, dims stay fixed, like production.
   *
