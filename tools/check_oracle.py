@@ -30,7 +30,10 @@ def main(sf_dir, out_dir):
     con.execute("SET threads TO 16")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # driver testdata ships single parquet files; MakeSf (sf1) writes
+        # Spark-style directories of part files — accept both layouts
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
