@@ -40,7 +40,27 @@ object TextAnalysis {
     "tr" -> """\b(bir|ve|bu|da|de|ne|ben|mi|gibi|daha|ama|ile)\b""",
     "id" -> """\b(yang|dan|di|itu|dengan|untuk|tidak|ini|dari|dalam|akan|pada)\b""",
     "ro" -> """\b(de|la|un|cu|pe|este|care|nu|mai|din|dar|sau)\b""",
-    "hu" -> """\b(az|nem|hogy|is|egy|van|de|ki|meg|mint|csak|volt)\b""")
+    "hu" -> """\b(az|nem|hogy|is|egy|van|de|ki|meg|mint|csak|volt)\b""",
+    // breadth tail 2 (r4, q_lang_id-only surface — the clean pipeline's
+    // OtherLangs list is curated separately): same append-only contract,
+    // ASCII-only function words chosen to MINIMIZE overlap with earlier
+    // profiles (e.g. ms avoids yang/dan/di which id already claims; af
+    // avoids nl's de/het/een); single-letter stopwords are excluded
+    // everywhere — they'd score on every Latin-script text.
+    "ca" -> """\b(els|les|amb|una|com|dels|aquest|tambe|pero|son|molt|hem)\b""",
+    "hr" -> """\b(je|se|da|su|na|za|ali|ili|kao|sam|nije|bilo)\b""",
+    "sk" -> """\b(je|sa|na|to|ako|ale|som|aj|za|tak|uz|ktory)\b""",
+    "sl" -> """\b(je|in|se|na|da|za|ki|so|pa|tudi|kot|bi)\b""",
+    "lt" -> """\b(ir|yra|kad|tai|bet|su|kaip|jis|bus|buvo|tik|del)\b""",
+    "lv" -> """\b(un|ir|ka|par|ar|bet|tas|vai|no|lai|jau|tikai)\b""",
+    "et" -> """\b(ja|on|ei|et|see|oli|aga|ka|kui|oma|siis|mis)\b""",
+    "ms" -> """\b(anda|boleh|kerana|daripada|adalah|ialah|sahaja|tetapi|mereka|kami)\b""",
+    "tl" -> """\b(ang|ng|sa|na|mga|ay|hindi|ako|ito|kung|siya|para)\b""",
+    "sw" -> """\b(na|ya|wa|kwa|ni|za|katika|hii|kuwa|lakini|sana|yake)\b""",
+    "af" -> """\b(die|nie|het|vir|baie|maar|ook|soos|word|hulle|wat|om)\b""",
+    "sq" -> """\b(dhe|te|nje|me|per|ne|nuk|por|si|nga|eshte|kjo)\b""",
+    "eu" -> """\b(eta|ez|da|bat|du|dira|baina|ere|hau|zen|egin|dute)\b""",
+    "cy" -> """\b(mae|wedi|ond|gyda|iawn|ddim|eich|chi|bod|hyn|ydw|dim)\b""")
   val CjkClass = """[\x{4e00}-\x{9fff}]"""
 
   /** Script-codepoint-class profiles: languages whose writing system is
@@ -65,7 +85,24 @@ object TextAnalysis {
     "th" -> """[\x{0e00}-\x{0e7f}]""",
     "bn" -> """[\x{0980}-\x{09ff}]""",
     "ta" -> """[\x{0b80}-\x{0bff}]""",
-    "vi" -> """[\x{1ea0}-\x{1ef9}]""")
+    "vi" -> """[\x{1ea0}-\x{1ef9}]""",
+    // breadth tail 2 (r4): every remaining unique-script block a
+    // langdetect-class detector distinguishes — density 0 on any corpus
+    // that lacks the script, so appended entries cannot perturb existing
+    // predictions (argmax requires a strictly positive best).
+    "te" -> """[\x{0c00}-\x{0c7f}]""",
+    "kn" -> """[\x{0c80}-\x{0cff}]""",
+    "ml" -> """[\x{0d00}-\x{0d7f}]""",
+    "gu" -> """[\x{0a80}-\x{0aff}]""",
+    "pa" -> """[\x{0a00}-\x{0a7f}]""",
+    "or" -> """[\x{0b00}-\x{0b7f}]""",
+    "si" -> """[\x{0d80}-\x{0dff}]""",
+    "my" -> """[\x{1000}-\x{109f}]""",
+    "km" -> """[\x{1780}-\x{17ff}]""",
+    "lo" -> """[\x{0e80}-\x{0eff}]""",
+    "ka" -> """[\x{10a0}-\x{10ff}]""",
+    "hy" -> """[\x{0530}-\x{058f}]""",
+    "am" -> """[\x{1200}-\x{137f}]""")
 
   /** N-gram-heuristic language ID: stopword-match density per Latin
     * profile, script-codepoint density per script profile; prediction =
@@ -81,8 +118,8 @@ object TextAnalysis {
       lang -> ((length(lc) - length(regexp_replace(lc, cls, ""))) /
         greatest(length(lc), lit(1)))
     }
-    // all 28 densities fused into ONE struct alias, then referenced via
-    // GetStructField — 28 separate score_* aliases (each a regex tree) made
+    // all ~56 densities fused into ONE struct alias, then referenced via
+    // GetStructField — separate score_* aliases (each a regex tree) made
     // Catalyst constraint propagation re-map the constraint set once per
     // alias, a planning-time blowup (see Clean.annotate's `_lm` note)
     val scored = docs.withColumn("_sc",

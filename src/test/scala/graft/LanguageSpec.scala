@@ -56,6 +56,29 @@ class LanguageSpec extends AnyFunSuite with Matchers with TestSpark {
     got("es") shouldBe "es"
   }
 
+  test("q_lang_id breadth tail 2: new stopword + script profiles detect " +
+      "representative text and never fire on the seeded corpus langs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      "ca" -> "els plats amb una qualitat com dels millors pero molt cars",
+      "lt" -> "maistas yra geras bet aptarnavimas buvo tik del to gerai",
+      "sw" -> "chakula ni kizuri sana na huduma yake katika mkahawa hii",
+      "tl" -> "ang pagkain ay masarap at hindi ako magsisisi sa lugar na ito",
+      "te" -> "ఆహారం చాలా బాగుంది",
+      "ka" -> "საჭმელი ძალიან გემრიელია",
+      "am" -> "ምግቡ በጣም ጣፋጭ ነው",
+      "km" -> "អាហារឆ្ងាញ់ណាស់",
+      // earlier profiles must still win their own text (append-only)
+      "en" -> "the food was great and the service is on point",
+      "zh" -> "这家餐厅的菜非常好吃")
+    val out = graft.ops.TextAnalysis.langId(
+      samples.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+        .toDF("doc_id", "lang", "text"))
+      .select(col("lang"), col("lang_pred")).collect()
+    out.foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
   test("oracle SQL language CASE stays in sync with OtherLangs") {
     // the generated DuckDB CASE must reference every profile column
     val sql = graft.oracle.Sql.cleanDocs
