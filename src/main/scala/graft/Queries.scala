@@ -253,6 +253,11 @@ object Queries {
     "q_knn_ivf" -> ((s: SparkSession, d: String) =>
       EmbedSim.knnIvf(s, d, EmbedSim.IvfSalts,
         Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
+    // semantic clustering (SemDeDup-style grouping stage): trained
+    // k-means assignment + cluster populations, same memoized index
+    "q_kmeans" -> ((s: SparkSession, d: String) =>
+      EmbedSim.kmeansAssign(s, d,
+        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
     "q_embed_dups" -> ((s: SparkSession, d: String) =>
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
@@ -322,6 +327,7 @@ object Queries {
     "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
+    "q_kmeans" -> SqlText.kmeansAssign,
     "q_embed_dups" -> SqlText.embedDups,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,
     // q_media_features reads no sf table: its input is the deterministic

@@ -280,6 +280,32 @@ object EmbedSim {
     trainedCentroids(all.select("vec_id", "emb", "norm"), seeds)
   }
 
+  /** Semantic clustering of the embedding space: every vector's trained
+    * k-means cluster plus the cluster's population — the grouping stage
+    * of SemDeDup-style curation (cluster the corpus semantically, then
+    * dedup/diversify WITHIN clusters) and the inspection surface for the
+    * IVF index itself (the cluster_size column is the inverted-list
+    * balance the salt cap guards).
+    *
+    * Scale shape: one broadcast-centroid argmax pass over the corpus
+    * (map-side combined), cluster sizes via partial-agg groupBy + join
+    * back (NOT a window over centroid_id — a mega-cluster would be one
+    * unbounded task), output sort. Accepts the memoized trained index.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String,
+      index: Option[DataFrame] = None): DataFrame = {
+    val all = embeddings(spark, dir)
+    val centroids = index.getOrElse(ivfCentroids(spark, dir))
+    val assigned =
+      nearestCentroid(all.select(col("vec_id"), col("emb"), col("norm")),
+        centroids)
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "centroid_id")
+      .select(col("vec_id"), col("centroid_id"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   def knnIvf(spark: SparkSession, dir: String, salts: Int,
       index: Option[DataFrame] = None): DataFrame = {
     val all = embeddings(spark, dir)

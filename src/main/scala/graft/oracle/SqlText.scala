@@ -652,6 +652,27 @@ object SqlText {
     * modulus mirrors EmbedSim.centroidMod: max(50, floor(sqrt(n)/2)) from
     * the same embeddings count (C ≈ min(n/50, 2·sqrt(n)) centroids).
     */
+  /** Oracle for q_kmeans: the trained-centroid assignment (same Lloyd's
+    * CTE chain as knnIvf) plus per-cluster population.
+    */
+  val kmeansAssign: String =
+    s"""WITH $embCtes,
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |  FROM emb WHERE vec_id % (SELECT m FROM cmod) = 0),
+       |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM emb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
+       |sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM assigned GROUP BY 1)
+       |SELECT vec_id, centroid_id, cluster_size
+       |FROM assigned JOIN sizes USING (centroid_id)
+       |ORDER BY vec_id""".stripMargin
+
   val knnIvf: String =
     s"""WITH $embCtes,
        |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},

@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
-    "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
+    "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
     "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
@@ -60,6 +60,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
   private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups",
+    "q_kmeans",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
     "q_corpus_mix", "q_mixed_sample", "q_vocab")
