@@ -244,6 +244,9 @@ object Queries {
       TextAnalysis.qualityClassifier(Tables.load(s, d, "documents"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
+    // BM25 keyword relevance (rational-idf variant — see TextAnalysis.bm25)
+    "q_bm25" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25(Tables.load(s, d, "documents"))),
     "q_vocab" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocab(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: similarity search
@@ -262,6 +265,12 @@ object Queries {
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
       })),
+    // SemDeDup-style keep/drop verdicts: within-cluster near-dup pairs
+    // (same memoized assignment) pruned min-id-wins
+    "q_semdedup" -> ((s: SparkSession, d: String) =>
+      EmbedSim.semDedup(s, d, Some(memoize(s, d, "emb_assigned") {
+        EmbedSim.dupAssigned(s, d)
+      }))),
     // the LSH-bucketed near-dup scale path (random hyperplanes; same
     // corpus + threshold as q_embed_dups, different candidate generation)
     "q_embed_dups_lsh" -> (EmbedLsh.embedDupsLsh _),
@@ -324,11 +333,13 @@ object Queries {
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_repetition" -> SqlText.repetition,
+    "q_bm25" -> SqlText.bm25,
     "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
     "q_kmeans" -> SqlText.kmeansAssign,
     "q_embed_dups" -> SqlText.embedDups,
+    "q_semdedup" -> SqlText.semDedup,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,
     // q_media_features reads no sf table: its input is the deterministic
     // synthetic media set (Media.mediaTable(300)), so the expected

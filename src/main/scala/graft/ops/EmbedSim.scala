@@ -236,6 +236,40 @@ object EmbedSim {
     cent.localCheckpoint(false)
   }
 
+  /** SemDeDup-style pruning decision (Abbas et al. 2023: cluster the
+    * embedding space, then drop all-but-one of each within-cluster
+    * near-duplicate group). The keep rule is the deterministic greedy
+    * form: a vector is DROPPED iff some same-cluster vector with a
+    * SMALLER vec_id is cosine-similar above [[DupThreshold]] ("min-id
+    * wins"). No transitive chasing — the decision is a pure function of
+    * the within-cluster pair set, so re-running any partition of the
+    * corpus yields the same verdicts (what makes incremental re-curation
+    * reproducible; contrast CC-based dedup where labels depend on the
+    * global component).
+    *
+    * Scale shape: identical to [[embedDupsOf]] — candidate pairs form
+    * only WITHIN a coarse-centroid inverted list (never all-pairs), only
+    * the loser ids flow through one distinct, and verdicts attach back
+    * with a single left join keyed on vec_id. Runs over the perturbed
+    * [[dupCorpus]] so there are true semantic dups to prune.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+      assignedIn: Option[DataFrame] = None): DataFrame = {
+    val assigned = assignedIn.getOrElse(dupAssigned(spark, dir))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosByNorm(dot(col("a.emb"), col("b.emb")), col("a.norm"),
+        col("b.norm")) >= DupThreshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(!col("_dropped"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&

@@ -334,4 +334,66 @@ object TextAnalysis {
         (col("n_tokens") > 0 && col("score") >= 0).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** BM25 parameters (Robertson-Sparck Jones defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 50
+
+  /** Registry query terms: one rare term (df ~5% of docs on the synthetic
+    * corpus) and two common ones, so the idf weights genuinely differ.
+    */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "batch")
+
+  /** BM25 keyword relevance over the corpus — the retrieval/ranking side
+    * of data curation (e.g. selecting domain-relevant documents for a
+    * targeted training mix, the DSIR-style "pick docs that look like the
+    * target" step with a keyword target).
+    *
+    * One deliberate deviation from textbook BM25, for the exact-compare
+    * contract: the idf factor is the RATIONAL core (N - df + 0.5) /
+    * (df + 0.5) without the ln(.) around it. ln is the one transcendental
+    * whose last-ulp rounding is NOT guaranteed identical between the JVM
+    * and DuckDB's libm, so a logged score could differ in the 16th digit
+    * and break the driver's hash compare. The rational form is a strictly
+    * monotone transform of the logged idf per term, keeps every operation
+    * inside IEEE +,*,/ (each correctly rounded, hence bit-identical
+    * cross-engine), and preserves the structure of the score; swapping
+    * ln back in is a one-line change where cross-engine bit-equality
+    * isn't a requirement.
+    *
+    * Scale shape: per-term tf is a codegen'd per-row array count (Q
+    * passes over the token array, shuffle-free); the corpus statistics
+    * (N, avgdl, per-term df) collapse to ONE row via partial aggregation
+    * and broadcast back onto a second corpus scan; ranking is a global
+    * top-k (TakeOrderedAndProject — no full sort). The per-term score sum
+    * is left-assoc in fixed term order, mirrored in the oracle.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+      topK: Int = Bm25TopK): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("_w"))
+      .withColumn("doc_len", size(col("_w")).cast("long"))
+    val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"_tf$i", size(filter(col("_w"), w => w === lit(t))))
+    }.drop("_w")
+    val stats = tf.agg(
+      count(lit(1)).as("_n"),
+      (sum(col("doc_len")).as("_sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))): _*)
+    val joined = tf.crossJoin(broadcast(stats))
+    val avgdl = col("_sumdl").cast("double") / col("_n")
+    val score = terms.indices.map { i =>
+      val tfd = col(s"_tf$i").cast("double")
+      val idf = (col("_n").cast("double") - col(s"_df$i") + lit(0.5)) /
+        (col(s"_df$i") + lit(0.5))
+      idf * (tfd * (lit(Bm25K1) + lit(1.0))) /
+        (tfd + lit(Bm25K1) *
+          (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("doc_len") / avgdl))
+    }.reduce(_ + _)
+    joined
+      .select(col("doc_id"), col("doc_len"), round(score, 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -165,6 +165,14 @@ object TextDedup {
     pairs
       .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      // length prefilter: |len(a)-len(b)| > EditMax already implies
+      // edit_dist > EditMax, so the O(threshold·len) DP never starts for
+      // pairs a codegen'd O(1) length compare can reject — at sf1 this
+      // skips most LSH candidates (band collisions between unrelated
+      // docs whose lengths differ by hundreds). Semantics-preserving:
+      // the oracle needs no mirror.
+      .filter(abs(length(col("ta.text")) - length(col("tb.text")))
+        <= EditMax)
       .withColumn("edit_dist",
         levenshtein(col("ta.text"), col("tb.text"), EditMax).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditMax)

@@ -329,6 +329,39 @@ object SqlText {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_bm25: rational-idf BM25 (see TextAnalysis.bm25 for why
+    * the ln is omitted — cross-engine bit-equality). Mirrors the Spark
+    * expression op-for-op: same left-assoc term-sum order, same cast
+    * points, constants interpolated from the same TextAnalysis fields.
+    */
+  val bm25: String = {
+    import graft.ops.TextAnalysis.{Bm25B, Bm25K1, Bm25Terms, Bm25TopK}
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(words, w -> w = ${s(t)})) AS tf$i"
+    }.mkString(",\n|  ")
+    val dfCols = Bm25Terms.indices.map { i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / n)"
+    val score = Bm25Terms.indices.map { i =>
+      s"""((CAST(n AS DOUBLE) - df$i + ${d(0.5)}) / (df$i + ${d(0.5)})) *
+         |    (CAST(tf$i AS DOUBLE) * (${d(Bm25K1)} + ${d(1.0)})) /
+         |    (CAST(tf$i AS DOUBLE) + ${d(Bm25K1)} *
+         |      (${d(1.0)} - ${d(Bm25B)} + ${d(Bm25B)} * doc_len / $avgdl))"""
+        .stripMargin
+    }.mkString(" +\n|  ")
+    s"""WITH tf AS (SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS doc_len,
+       |  $tfCols
+       |  FROM (SELECT doc_id, ${wordsOf("text")} AS words FROM documents)),
+       |stats AS (SELECT count(*) AS n, sum(doc_len) AS sumdl, $dfCols
+       |  FROM tf)
+       |SELECT doc_id, doc_len,
+       |  CAST(round(CAST($score AS DECIMAL(38, 12)), 6) AS DOUBLE) AS bm25
+       |FROM tf CROSS JOIN stats
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val decontaminate: String =
     decontaminateK(TextDedup.ContamGramSynthetic)
 
@@ -558,11 +591,13 @@ object SqlText {
          |    FROM lcm$k GROUP BY centroid_id))""".stripMargin
     }.mkString(",\n")
 
-  /** Oracle for q_embed_dups (IVF-bucketed cosine near-dup pairs over the
-    * deterministically-perturbed corpus).
+  /** Shared CTE chain for the perturbed-corpus IVF assignment (the input
+    * of both q_embed_dups and q_semdedup): perturbed corpus + trained
+    * centroids + nearest-centroid `assigned` (vec_id, emb, nrm,
+    * centroid_id). Mirrors EmbedSim.dupAssigned.
     */
-  val embedDups: String =
-    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  private val dupAssignedCtes: String =
+    s"""emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings),
        |pert AS (SELECT vec_id + 100000 AS vec_id,
        |  list_transform(emb, x -> x + ${d(0.05)}) AS emb
@@ -580,7 +615,13 @@ object SqlText {
        |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
-       |  FROM corpus e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1)
+       |  FROM corpus e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1)""".stripMargin
+
+  /** Oracle for q_embed_dups (IVF-bucketed cosine near-dup pairs over the
+    * deterministically-perturbed corpus).
+    */
+  val embedDups: String =
+    s"""WITH $dupAssignedCtes
        |SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
@@ -588,6 +629,21 @@ object SqlText {
        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Oracle for q_semdedup: SemDeDup-style keep/drop verdicts — a vector
+    * is dropped iff a same-cluster vector with a smaller vec_id clears the
+    * near-dup cosine threshold (min-id-wins greedy; mirrors
+    * EmbedSim.semDedup including the pair set of q_embed_dups).
+    */
+  val semDedup: String =
+    s"""WITH $dupAssignedCtes,
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) >= ${d(EmbedSim.DupThreshold)})
+       |SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS keep
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   /** Oracle for q_embed_dups_lsh (random-hyperplane LSH near-dup pairs over
     * the same perturbed corpus). The band geometry is corpus-adaptive

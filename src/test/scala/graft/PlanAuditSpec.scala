@@ -37,6 +37,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_doc_split" -> 1, "q_mixed_sample" -> 4,
     "q_dup_events" -> 2, "q_edit_pairs" -> 3,
     "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
+    // pair pipeline + loser distinct + verdict left join (the assignment
+    // subtree appears via the shared memo's cached plan)
+    "q_semdedup" -> 8,
+    // per-term tf is shuffle-free; one single-row stats agg broadcast
+    // back + the global top-k (TakeOrdered needs no exchange)
+    "q_bm25" -> 1,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
@@ -60,16 +66,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
   private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups",
-    "q_kmeans",
+    "q_kmeans", "q_semdedup",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
-    "q_corpus_mix", "q_mixed_sample", "q_vocab")
+    "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25")
 
   /** Queries whose parquet scan must carry pushed-down filters. */
   private val mustPush = Set("q1_pricing", "q3_shipping", "q_asof_purchase",
     "q_region_revenue", "q_click_and_purchase", "q_click_no_purchase",
     "q_knn_brute", "q_knn_ivf", "q_embed_dups", "q_embed_dups_lsh",
-    "q_minhash_pairs", "q_jaccard_pairs", "q_dedup_exact")
+    "q_semdedup", "q_minhash_pairs", "q_jaccard_pairs", "q_dedup_exact")
 
   /** Broadcast-join floor: star joins must broadcast their dims. */
   private val mustBroadcast = Set("q3_shipping", "q_region_revenue",
