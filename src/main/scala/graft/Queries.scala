@@ -68,6 +68,12 @@ object Queries {
     memo.values.forEach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
+    // operators that persist their own shared subframes (simhashDups'
+    // signature index, embedDupsLshOf's corpus) register in the session
+    // CacheManager, not the memo — drop those too
+    memo.keySet.forEach { k =>
+      try k._1.catalog.clearCache() catch { case _: Throwable => () }
+    }
     memo.clear()
     // iterative operators keep their final cached state outside the memo
     TextDedup.clearClusterState()

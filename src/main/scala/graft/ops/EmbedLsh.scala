@@ -162,8 +162,15 @@ object EmbedLsh {
     */
   def candidatePairs(sigs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
+    val fanout =
+      sigs.sparkSession.sessionState.conf.numShufflePartitions
     val buckets = sigs
       .select(col("vec_id"), explode(col("buckets")).as("bucket"))
+      // pin the bucket exchange's partition count (same-key repartition,
+      // no extra shuffle): AQE's size-based coalescing sees tiny band
+      // rows and would serialize the quadratic per-bucket pair explode —
+      // see TextDedup.candidatePairs
+      .repartition(fanout, col("bucket"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .observe("emb_lsh_buckets",
@@ -189,7 +196,14 @@ object EmbedLsh {
   def embedDupsLsh(spark: SparkSession, dir: String): DataFrame =
     embedDupsLshOf(EmbedSim.dupCorpus(spark, dir))
 
-  def embedDupsLshOf(corpus: DataFrame): DataFrame = {
+  def embedDupsLshOf(corpusIn: DataFrame): DataFrame = {
+    // the corpus frame is consumed four times (count + signatures + both
+    // verify join sides), and each re-derivation re-runs the cast /
+    // perturb / norm subtree from parquet — persist once, like the
+    // signature index a production LSH build would materialize
+    // (CacheManager dedups by plan, so repeated calls share one entry)
+    val corpus = corpusIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index-build-time sizing decision: ONE count picks the band geometry
     // (the same count the oracle computes in its params CTE)
     val w = bandBits(corpus.count())

@@ -76,8 +76,17 @@ object TextDedup {
     */
   def candidatePairs(sigs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
+    val fanout =
+      sigs.sparkSession.sessionState.conf.numShufflePartitions
     val buckets = sigs
       .select(col("doc_id"), explode(col("bands")).as("band"))
+      // same-key repartition pins the bucket exchange's partition count:
+      // band rows are tiny in bytes, so AQE's size-based coalescing would
+      // fold the shuffle to ~1 partition and serialize the quadratic
+      // per-bucket pair explode below (see simhashDups for the measured
+      // cost of that trap). No extra shuffle — the aggregation reuses
+      // this exchange.
+      .repartition(fanout, col("band"))
       .groupBy(col("band"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .observe("lsh_buckets",
@@ -158,23 +167,38 @@ object TextDedup {
     * distance provably exceeds the bound — O(threshold·len) instead of
     * O(len²) per pair, which is the difference between a verify pass and
     * a quadratic blowup on long documents.
+    *
+    * The candidate frame is explicitly re-fanned-out before the verify
+    * joins: the pair set is TINY in bytes (two longs/row), so AQE's
+    * small-shuffle coalescing folds it into ONE partition — and then the
+    * CPU-bound DP verify runs serially in that one task (measured 12.8 s
+    * single-task vs ~0.5 s spread at sf1). Bytes-based coalescing is the
+    * wrong cost model for compute-heavy verify stages; the explicit
+    * numPartitions pins the fan-out AQE cannot see.
     */
   def editPairsOf(sigs: DataFrame, corpus: DataFrame): DataFrame = {
-    val pairs = candidatePairs(sigs)
+    val fanout =
+      sigs.sparkSession.sessionState.conf.numShufflePartitions
+    // round-robin, NOT repartition(n, doc_a, doc_b): the distinct already
+    // hash-partitions on exactly those keys, so a same-key repartition is
+    // elided as redundant — and then AQE coalesces the distinct's own
+    // exchange back to one partition
+    val pairs = candidatePairs(sigs).repartition(fanout)
     val txt = corpus.select(col("doc_id"), col("text"))
+    // the DP is guarded by the O(1) length test INSIDE one expression
+    // (|len(a)-len(b)| > EditMax already implies edit_dist > EditMax):
+    // a separate .filter would be merged into the join condition AFTER
+    // the levenshtein conjuncts, where short-circuit AND order makes it
+    // useless. Semantics-preserving either way: the oracle needs no
+    // mirror.
+    val guardedDist = when(
+      abs(length(col("ta.text")) - length(col("tb.text"))) <= EditMax,
+      levenshtein(col("ta.text"), col("tb.text"), EditMax))
+      .otherwise(lit(-1))
     pairs
       .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
-      // length prefilter: |len(a)-len(b)| > EditMax already implies
-      // edit_dist > EditMax, so the O(threshold·len) DP never starts for
-      // pairs a codegen'd O(1) length compare can reject — at sf1 this
-      // skips most LSH candidates (band collisions between unrelated
-      // docs whose lengths differ by hundreds). Semantics-preserving:
-      // the oracle needs no mirror.
-      .filter(abs(length(col("ta.text")) - length(col("tb.text")))
-        <= EditMax)
-      .withColumn("edit_dist",
-        levenshtein(col("ta.text"), col("tb.text"), EditMax).cast("long"))
+      .withColumn("edit_dist", guardedDist.cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditMax)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
       .orderBy("doc_a", "doc_b")
@@ -605,12 +629,20 @@ object TextDedup {
     */
   def simhashDups(corpus: DataFrame,
       maxHamming: Int = SimHamMax): DataFrame = {
+    // the signature frame is consumed THREE times (bucketing + both verify
+    // join sides); it is two longs per row, so materialize it once — a
+    // production pipeline computes the signature index once, and without
+    // this the regex tokenizer + SimHashSig subtree re-runs per consumer
+    // (measured ~3x the whole query's useful work at sf1)
     val sigs = corpus
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= 1)
       // native one-pass signature (value-identical to simhashLongRef)
       .select(col("doc_id"),
         graft.functions.SimHashSig(lower(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fanout =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions
     val mask = (1L << SimBandBits) - 1L
     val buckets = sigs
       .select(col("doc_id"),
@@ -618,6 +650,14 @@ object TextDedup {
       .withColumn("bv",
         call_function("shiftright", col("sh"), col("i") * lit(SimBandBits))
           .bitwiseAND(lit(mask)))
+      // pin the bucket exchange: the band rows are tiny in BYTES, so AQE
+      // coalesces the groupBy shuffle to one partition — and then the
+      // quadratic per-bucket pair explode runs serially in that one task
+      // (measured 5.7 s single-task at sf1). An explicit same-key
+      // repartition satisfies the aggregation's distribution requirement,
+      // so it costs no extra shuffle — it only pins the partition count
+      // AQE would otherwise fold.
+      .repartition(fanout, col("i"), col("bv"))
       .groupBy(col("i"), col("bv"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val pairs = suffixPairs(buckets, MaxBucket)
