@@ -267,6 +267,11 @@ object Queries {
     "q_kmeans" -> ((s: SparkSession, d: String) =>
       EmbedSim.kmeansAssign(s, d,
         Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
+    // within-cluster diversity sampling (keep the k farthest-from-centroid
+    // members per cluster) through the custom bounded-heap TopK operator
+    "q_cluster_sample" -> ((s: SparkSession, d: String) =>
+      EmbedSim.clusterSample(s, d,
+        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
     "q_embed_dups" -> ((s: SparkSession, d: String) =>
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
@@ -344,6 +349,7 @@ object Queries {
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
     "q_kmeans" -> SqlText.kmeansAssign,
+    "q_cluster_sample" -> SqlText.clusterSample,
     "q_embed_dups" -> SqlText.embedDups,
     "q_semdedup" -> SqlText.semDedup,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,

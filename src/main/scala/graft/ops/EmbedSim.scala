@@ -340,6 +340,43 @@ object EmbedSim {
       .orderBy("vec_id")
   }
 
+  /** Members kept per cluster by [[clusterSample]]. */
+  val ClusterSampleK = 5
+
+  /** Within-cluster diversity sampling — the pruning stage that keeps the
+    * [[ClusterSampleK]] members FARTHEST from their cluster centroid
+    * (lowest cosine): D4/SemDeDup-style prototypicality pruning, where
+    * near-centroid members are redundant with the cluster's "prototype"
+    * and the far members carry the cluster's diversity.
+    *
+    * Scale shape: one broadcast-argmax assignment pass (shared trained
+    * index), one broadcast join back to the C-row centroid set for the
+    * member-to-centroid cosine, then the custom bounded-heap
+    * [[graft.plans.TopK]] physical operator per centroid_id — partial
+    * per-partition heaps prune to k BEFORE the single key exchange, so a
+    * mega-cluster ships k rows, not its population (contrast a window
+    * rank, which shuffles every member to one task). Cosine is rounded
+    * 6dp before ranking (cross-engine-exact tie surface; vec_id breaks
+    * ties).
+    */
+  def clusterSample(spark: SparkSession, dir: String,
+      index: Option[DataFrame] = None,
+      k: Int = ClusterSampleK): DataFrame = {
+    val all = embeddings(spark, dir)
+    val centroids = index.getOrElse(ivfCentroids(spark, dir))
+    val assigned =
+      nearestCentroid(all.select(col("vec_id"), col("emb"), col("norm")),
+        centroids)
+    val scored = assigned.join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("centroid_id"), col("vec_id"),
+        cosByNorm(dot(col("emb"), col("cemb")), col("norm"), col("cnorm"))
+          .as("cos_center"))
+    graft.plans.TopK.perKey(scored, Seq("centroid_id"),
+        Seq(graft.plans.TopK.asc("cos_center"),
+          graft.plans.TopK.asc("vec_id")), k)
+      .orderBy(col("centroid_id"), col("cos_center"), col("vec_id"))
+  }
+
   def knnIvf(spark: SparkSession, dir: String, salts: Int,
       index: Option[DataFrame] = None): DataFrame = {
     val all = embeddings(spark, dir)

@@ -729,6 +729,31 @@ object SqlText {
        |FROM assigned JOIN sizes USING (centroid_id)
        |ORDER BY vec_id""".stripMargin
 
+  /** Oracle for q_cluster_sample: within-cluster diversity sampling —
+    * the ClusterSampleK members farthest from their trained centroid
+    * (cosine asc, vec_id tiebreak), same Lloyd's CTE chain as q_kmeans.
+    */
+  val clusterSample: String =
+    s"""WITH $embCtes,
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |  FROM emb WHERE vec_id % (SELECT m FROM cmod) = 0),
+       |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
+       |assigned AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM emb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
+       |scored AS (SELECT a.centroid_id, a.vec_id,
+       |  CAST(round(CAST(${dotSql("a.emb", "c.cemb")} / (a.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_center
+       |  FROM assigned a JOIN lcent${EmbedSim.LloydIters} c
+       |    ON a.centroid_id = c.centroid_id)
+       |SELECT centroid_id, vec_id, cos_center FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY centroid_id
+       |  ORDER BY cos_center, vec_id) <= ${EmbedSim.ClusterSampleK}
+       |ORDER BY centroid_id, cos_center, vec_id""".stripMargin
+
   val knnIvf: String =
     s"""WITH $embCtes,
        |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},

@@ -30,7 +30,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q1_pricing" -> 2, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
     "q_business_stats" -> 2, "q_clean_docs" -> 1,
     "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
-    "q_chunk_dedup" -> 3, "q_corpus_mix" -> 4,
+    "q_chunk_dedup" -> 3,
+    // assignment argmax + cluster-cos broadcast join + custom TopK's one
+    // key exchange + output sort
+    "q_cluster_sample" -> 3,
+    "q_corpus_mix" -> 4,
     "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_decontaminate_bloom" -> 4,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
@@ -66,7 +70,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
   private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups",
-    "q_kmeans", "q_semdedup",
+    "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
     "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25")
