@@ -180,6 +180,10 @@ object Queries {
     // levenshtein short-circuits the DP at EditMax)
     "q_edit_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.editPairsOf(nearSignatures(s, d), Corpus.withNearDups(s, d))),
+    // incremental path: the injected near-copies (doc_id >= 100000) play
+    // the NEW batch against the originals' standing band index
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      TextDedup.incrementalDups(nearSignatures(s, d))),
     // pairs -> transitive-closure clusters -> canonical rep (iterative
     // min-label propagation; oracle = recursive CTE)
     "q_dedup_clusters" -> ((s: SparkSession, d: String) =>
@@ -323,6 +327,7 @@ object Queries {
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_edit_pairs" -> SqlText.editPairs,
+    "q_dedup_incremental" -> SqlText.incrementalDups,
     "q_dedup_clusters" -> SqlText.dedupClusters,
     // identical output contract => identical oracle
     "q_dedup_clusters_star" -> SqlText.dedupClusters,

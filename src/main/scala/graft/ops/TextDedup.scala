@@ -152,6 +152,58 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Id base separating the standing index from the new batch in
+    * [[incrementalDups]]' registry form: [[graft.ops.Corpus.withNearDups]]
+    * injects near-copies at doc_id + 100000, which is exactly the
+    * "today's crawl contains near-copies of already-indexed docs" shape.
+    */
+  val NewIdBase = 100000L
+
+  /** Incremental near-dup detection: a NEW batch against the STANDING
+    * signature index, without touching corpus-vs-corpus pairs — the daily
+    * crawl-increment path of a production dedup service (index once,
+    * join each increment against it).
+    *
+    * Scale shape: the increment's band keys join the index's band table —
+    * shuffle volume is proportional to the INCREMENT, never the corpus
+    * (at 100 TB the index bands are a standing bucketed table and this
+    * join co-locates on it; a small-enough increment broadcasts). The
+    * hot-band cap is decided on the INDEX side alone — the standing
+    * index already knows its boilerplate buckets, so a pathological
+    * increment cannot re-admit a banned bucket. Verification is true
+    * shingle Jaccard on candidates only, same contract as
+    * [[jaccardPairsOf]].
+    */
+  def incrementalDups(sigs: DataFrame,
+      newIdBase: Long = NewIdBase): DataFrame = {
+    val fanout =
+      sigs.sparkSession.sessionState.conf.numShufflePartitions
+    def bandsOf(df: DataFrame) =
+      df.select(col("doc_id"), explode(col("bands")).as("band"))
+    val index = sigs.filter(col("doc_id") < newIdBase)
+    val fresh = sigs.filter(col("doc_id") >= newIdBase)
+    val okBands = bandsOf(index)
+      .repartition(fanout, col("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= MaxBucket)
+      .select(col("band"))
+    val cand = bandsOf(fresh).as("f")
+      .join(bandsOf(index).join(okBands, "band").as("ix"), "band")
+      .select(col("ix.doc_id").as("indexed_id"), col("f.doc_id").as("new_id"))
+      .distinct()
+    val shOf = sigs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(shOf.as("sa"), col("indexed_id") === col("sa.doc_id"))
+      .join(shOf.as("sb"), col("new_id") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("indexed_id"), col("new_id"), col("jaccard"))
+      .orderBy("indexed_id", "new_id")
+  }
+
   /** Max edit distance for [[editPairs]] verification. The near-dup
     * corpus's injected dups drop one trailing word (~5-10 chars), so true
     * pairs land well under this; unrelated docs differ by hundreds.

@@ -116,6 +116,34 @@ object SqlText {
        |WHERE jaccard >= ${d(0.5)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle for q_dedup_incremental: the new batch (doc_id >= NewIdBase)
+    * joined against the standing index's band table, hot-band cap decided
+    * on the index side alone, true-Jaccard verified (mirrors
+    * TextDedup.incrementalDups; the signatureCtes' `pairs` CTE is unused
+    * here and never evaluated).
+    */
+  val incrementalDups: String =
+    s"""WITH $signatureCtes,
+       |ixb AS (SELECT doc_id, band FROM bands
+       |  WHERE doc_id < ${TextDedup.NewIdBase}),
+       |nb AS (SELECT doc_id, band FROM bands
+       |  WHERE doc_id >= ${TextDedup.NewIdBase}),
+       |ok AS (SELECT band FROM ixb GROUP BY band
+       |  HAVING count(*) <= ${TextDedup.MaxBucket}),
+       |cand AS (SELECT DISTINCT ix.doc_id AS indexed_id, f.doc_id AS new_id
+       |  FROM nb f JOIN ixb ix ON f.band = ix.band
+       |  JOIN ok ON ok.band = f.band)
+       |SELECT * FROM (
+       |  SELECT indexed_id, new_id,
+       |    len(list_intersect(sa.shingles, sb.shingles)) /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |      AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON indexed_id = sa.doc_id
+       |  JOIN sh sb ON new_id = sb.doc_id)
+       |WHERE jaccard >= ${d(0.5)}
+       |ORDER BY indexed_id, new_id""".stripMargin
+
   /** Oracle for q_dedup_clusters: connected components over the
     * jaccard-verified near-dup pairs, labeled by minimum doc_id. The
     * recursive CTE enumerates every (node, reachable-node) pair — the

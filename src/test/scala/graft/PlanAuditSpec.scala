@@ -37,6 +37,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_corpus_mix" -> 4,
     "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_decontaminate_bloom" -> 4,
+    // band-index join (pinned band exchange + candidate distinct) +
+    // verify joins + output sort
+    "q_dedup_incremental" -> 3,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
     "q_doc_split" -> 1, "q_mixed_sample" -> 4,
     "q_dup_events" -> 2, "q_edit_pairs" -> 3,
