@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,23 +27,47 @@ import graft.Tables
   */
 object Relational {
 
-  /** TPC-H Q1-style pricing summary. */
-  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+  /** Order-independent exact aggregate of a fixed-point-valued double
+    * expression: each row is quantized to `scale` units
+    * (floor(x*scale+0.5) — the per-row double is bit-identical in both
+    * engines, so the quantized integer is too), summed EXACTLY as
+    * decimal(38,0) with normal map-side partial aggregation, and divided
+    * back once.
+    *
+    * Why not sum(double): double summation is order-dependent, and the
+    * flake is real — at sf1 the DuckDB oracle's own 16-thread sum for
+    * q_region_revenue's 188k-item (AFRICA, 1996) group flapped across a
+    * 2dp rounding boundary RUN-TO-RUN, failing the exact compare against
+    * a fixed Spark result. Fixed-point money sums are the replayable
+    * policy a production ledger uses anyway. Quantized per-group sums at
+    * every tested scale stay far below 2^53, so each int<->double hop is
+    * exact in both engines.
+    */
+  def qsum(c: Column, scale: Double): Column =
+    sum(floor(c * lit(scale) + lit(0.5))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double") / lit(scale)
+
+  /** TPC-H Q1-style pricing summary (cents-exact sums, see [[qsum]]). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = disc * (lit(1) + col("l_tax"))
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(qsum(col("l_quantity"), 1), 2).as("sum_qty"),
+        round(qsum(col("l_extendedprice"), 100), 2).as("sum_base_price"),
+        round(qsum(disc, 100), 2).as("sum_disc_price"),
+        round(qsum(charge, 100), 2).as("sum_charge"),
+        round(qsum(col("l_quantity"), 1) / count(lit(1)), 2).as("avg_qty"),
+        round(qsum(col("l_extendedprice"), 100) / count(lit(1)), 2)
+          .as("avg_price"),
+        round(qsum(col("l_discount"), 10000) / count(lit(1)), 4)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** TPC-H Q3-style: top-10 BUILDING-segment orders by revenue. */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
@@ -55,8 +79,8 @@ object Relational {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        100), 2).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -91,8 +115,8 @@ object Relational {
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        round(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          100), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "yr")
   }
@@ -106,9 +130,9 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         grouping_id().cast("int").as("gid"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        round(qsum(col("l_quantity"), 1), 2).as("sum_qty"),
+        round(qsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          100), 2).as("sum_disc_price"),
         count(lit(1)).as("n"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
@@ -175,6 +199,7 @@ object Relational {
         count(lit(1)).as("n"),
         sum(col("k")).cast("long").as("sum_k"),
         round(avg(col("k")), 2).as("avg_k"),
-        round(sum("value"), 2).as("sum_value"))
+        // micro-unit-exact metric sum (order-independent; see qsum)
+        round(qsum(col("value"), 1000000), 2).as("sum_value"))
       .orderBy("event_type")
 }

@@ -28,6 +28,20 @@ object Sql {
   /** Double literal (DuckDB parses bare decimals as DECIMAL type). */
   def d(v: Double): String = s"CAST($v AS DOUBLE)"
 
+  /** Mirror of Relational.qsum: order-independent fixed-point-exact sum —
+    * per-row quantize (bit-identical double product in both engines),
+    * exact integer sum (HUGEINT here, decimal(38,0) in Spark), one
+    * division back. A plain sum(double) is summation-order-dependent and
+    * made THIS oracle flap run-to-run at sf1 (16-thread DuckDB sum).
+    */
+  def qsum(x: String, scale: Double): String =
+    s"CAST(sum(CAST(floor($x * ${d(scale)} + 0.5) AS HUGEINT)) AS DOUBLE)" +
+      s" / ${d(scale)}"
+
+  /** round(qsum, dp) with the cross-engine round pattern. */
+  def qsumR(x: String, scale: Double, dp: Int): String =
+    s"CAST(round(CAST(${qsum(x, scale)} AS DECIMAL(38, 12)), $dp) AS DOUBLE)"
+
   /** Occurrences of single-char regex class `cls`. Mirrors
     * TextFeatures.charClassCount.
     */
@@ -390,25 +404,25 @@ object Sql {
 
   /** Oracle for q1_pricing (TPC-H Q1 shape). */
   val q1Pricing: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(round(CAST(sum(l_quantity) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_qty,
-      |  CAST(round(CAST(sum(l_extendedprice) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38, 12)), 2) AS DOUBLE)
-      |    AS sum_charge,
-      |  CAST(round(CAST(avg(l_quantity) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_qty,
-      |  CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_price,
-      |  CAST(round(CAST(avg(l_discount) AS DECIMAL(38, 12)), 4) AS DOUBLE) AS avg_disc,
-      |  CAST(count(*) AS BIGINT) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${qsumR("l_quantity", 1, 2)} AS sum_qty,
+       |  ${qsumR("l_extendedprice", 100, 2)} AS sum_base_price,
+       |  ${qsumR("l_extendedprice * (1 - l_discount)", 100, 2)} AS sum_disc_price,
+       |  ${qsumR("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 100, 2)}
+       |    AS sum_charge,
+       |  CAST(round(CAST(${qsum("l_quantity", 1)} / count(*) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_qty,
+       |  CAST(round(CAST(${qsum("l_extendedprice", 100)} / count(*) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS avg_price,
+       |  CAST(round(CAST(${qsum("l_discount", 10000)} / count(*) AS DECIMAL(38, 12)), 4) AS DOUBLE) AS avg_disc,
+       |  CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Oracle for q3_shipping (TPC-H Q3 shape, top-10). */
   val q3Shipping: String =
-    """SELECT l_orderkey,
+    s"""SELECT l_orderkey,
       |  o_orderdate, o_orderpriority,
-      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS revenue
+      |  ${qsumR("l_extendedprice * (1 - l_discount)", 100, 2)} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -429,8 +443,8 @@ object Sql {
 
   /** Oracle for q_region_revenue (dimension star-join). */
   val regionRevenue: String =
-    """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
-      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS revenue,
+    s"""SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  ${qsumR("l_extendedprice * (1 - l_discount)", 100, 2)} AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -441,10 +455,10 @@ object Sql {
 
   /** Oracle for q_pricing_rollup (multi-level aggregate via ROLLUP). */
   val pricingRollup: String =
-    """SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+    s"""SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
       |  l_returnflag, l_linestatus,
-      |  CAST(round(CAST(sum(l_quantity) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_qty,
-      |  CAST(round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_disc_price,
+      |  ${qsumR("l_quantity", 1, 2)} AS sum_qty,
+      |  ${qsumR("l_extendedprice * (1 - l_discount)", 100, 2)} AS sum_disc_price,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -492,13 +506,13 @@ object Sql {
 
   /** Oracle for q_event_props (JSON path extraction + agg). */
   val eventPropsAgg: String =
-    """SELECT event_type,
+    s"""SELECT event_type,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER))
       |    AS BIGINT) AS sum_k,
-      |  CAST(round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DECIMAL(38, 12)), 2) AS DOUBLE)
+      |  CAST(round(CAST(avg(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS DECIMAL(38, 12)), 2) AS DOUBLE)
       |    AS avg_k,
-      |  CAST(round(CAST(sum(value) AS DECIMAL(38, 12)), 2) AS DOUBLE) AS sum_value
+      |  ${qsumR("value", 1000000, 2)} AS sum_value
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -19,7 +19,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     # Cap DuckDB well below the VM's commit limit: this box runs with no
     # swap and CommitLimit ~= RAM/2, so DuckDB's default memory_limit (80%
@@ -34,6 +34,11 @@ def main(sf_dir, out_dir):
         # Spark-style directories of part files — accept both layouts
         src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = fresh_con(sf_dir)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
@@ -50,9 +55,21 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM '{res_dir}/*.parquet'").df())
             duck_df = norm(con.execute(oracles[q]).df())
         except Exception as e:
-            print(f"[ERR ] {q}: {e}")
-            n_bad += 1
-            continue
+            # a long run can fragment the buffer pool until one heavy CTE
+            # hits a spurious "failed to pin block" OOM — retry once on a
+            # fresh connection before declaring the query bad (observed on
+            # the 54-query sf1 sweep: q_semdedup OOM'd at 14.9/14.9 GiB
+            # while passing trivially on a clean connection)
+            try:
+                con.close()
+                con = fresh_con(sf_dir)
+                spark_df = norm(con.execute(
+                    f"SELECT * FROM '{res_dir}/*.parquet'").df())
+                duck_df = norm(con.execute(oracles[q]).df())
+            except Exception:
+                print(f"[ERR ] {q}: {e}")
+                n_bad += 1
+                continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"[BAD ] {q}: columns differ\n  spark: {list(spark_df.columns)}\n  duck:  {list(duck_df.columns)}")
             n_bad += 1
