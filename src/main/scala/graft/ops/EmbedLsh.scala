@@ -137,8 +137,22 @@ object EmbedLsh {
   /** One bucket id per band, encoded band-major: bucket = band * 2^W + key,
     * key = sum of sign bits within the band (bit j set iff
     * dot(emb, h_{band*W+j}) >= 0). Long-typed: W can reach [[MaxBits]].
+    *
+    * Fused native form ([[graft.functions.LshBucketSig]]): one pass over
+    * the embedding computes all B*W plane dots. The per-plane
+    * expression-tree form below ([[bucketColsRef]]) is kept as the
+    * reference — at the sf1 adaptive geometry it is 130 DotProduct
+    * sub-expressions per row, which pushed codegen into split/fallback
+    * paths (measured ~3x the signature-stage cost). Bit-identical by
+    * construction; asserted in LshBucketSigSpec.
     */
-  def bucketCols(emb: Column, w: Int, bands: Int): Column = {
+  def bucketCols(emb: Column, w: Int, bands: Int): Column =
+    graft.functions.LshBucketSig(emb, w, bands)
+
+  /** Reference per-plane expression-tree form of [[bucketCols]] — used by
+    * the equivalence spec; semantics documented there.
+    */
+  def bucketColsRef(emb: Column, w: Int, bands: Int): Column = {
     val planes = hyperplanes(bands * w)
     array((0 until bands).map { b =>
       (0 until w).map { j =>
