@@ -235,6 +235,23 @@ object Queries {
         docs.filter(col("doc_id") % 97 === 0),
         k = TextDedup.ContamGramSynthetic)
     }),
+    // graded contamination: per-doc overlap FRACTION vs the benchmark
+    // gram set (same 3-gram benchmark stand-in as q_decontaminate)
+    "q_contam_overlap" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      TextDedup.contaminationOverlap(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        k = TextDedup.ContamGramSynthetic)
+    }),
+    // quality-aware canonical selection: per dedup cluster keep the
+    // highest-quality member (tiebreak min doc_id)
+    "q_dedup_keep_best" -> ((s: SparkSession, d: String) => {
+      val corpus = Corpus.withNearDups(s, d)
+      TextDedup.keepBest(
+        TextDedup.dedupClusters(corpus,
+          TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+        TextAnalysis.docQuality(corpus))
+    }),
     // LLM-data-pipeline: text analysis
     "q_lang_id" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langId(Tables.load(s, d, "documents"))),
@@ -342,6 +359,8 @@ object Queries {
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
     // bloom prefilter + exact verify == exact semantics, same oracle
     "q_decontaminate_bloom" -> SqlText.decontaminate,
+    "q_contam_overlap" -> SqlText.contamOverlap,
+    "q_dedup_keep_best" -> SqlText.dedupKeepBest,
     "q_lang_id" -> SqlText.langId,
     "q_pii_scrub" -> SqlText.piiScrub,
     "q_token_stats" -> SqlText.tokenStats,

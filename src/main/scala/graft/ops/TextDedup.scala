@@ -351,6 +351,40 @@ object TextDedup {
       gs => gs.filter(mightContain).join(benchGrams, "gram"))
   }
 
+  /** Per-document contamination SCORE — the graded companion to the
+    * boolean [[decontaminate]] flag: the fraction of a document's distinct
+    * word k-grams that appear anywhere in the benchmark set. Production
+    * contamination reports (GPT-3 appendix C, Llama eval cards) rank and
+    * threshold on exactly this overlap fraction rather than drop on first
+    * match; documents at 0 overlap stay in the output so the score is a
+    * curation COLUMN, not a filter.
+    *
+    * Scale shape: same as [[decontaminate]] — benchmark gram set
+    * broadcast onto one corpus gram scan — plus per-doc gram dedup as a
+    * partially-aggregated groupBy(doc_id, gram) (map-side combine
+    * collapses repeated grams before the shuffle; no count_distinct
+    * Expand duplication), then the tiny per-doc fold. Docs with < k words
+    * carry no grams and are excluded, mirroring the oracle's
+    * `len(words) >= k` gate.
+    */
+  def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
+      k: Int = ContamGram): DataFrame = {
+    val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
+      .withColumn("_hit", lit(1))
+    val benchIds = benchmark.select(col("doc_id").as("_bid"))
+    gramsOf(docs, k)
+      .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti")
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(max(col("_hit")).as("_hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_shared_grams"))
+      .withColumn("overlap_frac",
+        round(col("n_shared_grams").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Connected-component dedup clusters: near-dup PAIRS are only half a
     * dedup pipeline — keeping one representative per duplicate CLUSTER
     * needs the transitive closure (a~b, b~c => {a,b,c} share one
@@ -487,6 +521,36 @@ object TextDedup {
         (col("doc_id") === col("rep")).as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** Quality-aware canonical selection over dedup clusters: per cluster
+    * keep the HIGHEST-quality member (tiebreak: smallest doc_id), not the
+    * min-id representative — the policy real dedup pipelines run, where
+    * near-dup variants differ in truncation/boilerplate and the kept copy
+    * should be the best one, not an arbitrary one.
+    *
+    * Scale shape: one key join (clusters x quality on doc_id) into a
+    * partially-aggregated groupBy(cluster_rep) whose argmax is a
+    * `max(struct(quality, -doc_id))` — struct ordering is lexicographic,
+    * so the combiner keeps one candidate row per rep per partition and a
+    * mega-cluster ships ONE row per partition through the exchange (the
+    * same no-window-straggler rule as [[withClusterCols]]).
+    *
+    * @param clusters (doc_id, cluster_rep, ...) from [[dedupClusters]] or
+    *                 [[dedupClustersStar]]
+    * @param quality  (doc_id, quality) — any deterministic per-doc score;
+    *                 the registry uses [[TextAnalysis.docQuality]]
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("_nid"))).as("_b"))
+      .select(col("cluster_rep"),
+        (-col("_b._nid")).as("best_doc"),
+        col("_b.quality").as("best_quality"),
+        col("cluster_size"))
+      .orderBy("cluster_rep")
 
   /** Rounds the last [[dedupClustersStar]] run took to converge — spec
     * introspection only (DedupClustersSpec pins the O(log n) round bound

@@ -151,9 +151,13 @@ object SqlText {
     * `min(r) GROUP BY id` picks the canonical representative; UNION (not
     * ALL) dedups rows, which is what terminates the recursion.
     */
-  val dedupClusters: String =
-    s"""WITH RECURSIVE $signatureCtes,
-       |jp AS (SELECT doc_a, doc_b FROM (
+  /** Shared cluster CTE chain (verified pairs -> symmetric edges ->
+    * transitive closure -> min-label rep) over the near-dup corpus; final
+    * CTE `rep` is (doc_id, cluster_rep). Used by [[dedupClusters]] and
+    * [[dedupKeepBest]].
+    */
+  private val clusterCtes: String =
+    s"""jp AS (SELECT doc_a, doc_b FROM (
        |  SELECT p.doc_a, p.doc_b,
        |    len(list_intersect(sa.shingles, sb.shingles)) /
        |      len(list_distinct(list_concat(sa.shingles, sb.shingles)))
@@ -169,12 +173,53 @@ object SqlText {
        |  UNION
        |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
        |rep AS (SELECT id AS doc_id, min(r) AS cluster_rep
-       |  FROM reach GROUP BY id)
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $signatureCtes,
+       |$clusterCtes
        |SELECT doc_id, cluster_rep,
        |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
        |    AS cluster_size,
        |  doc_id = cluster_rep AS is_canonical
        |FROM rep ORDER BY doc_id""".stripMargin
+
+  /** Oracle for q_dedup_keep_best (quality-aware canonical selection:
+    * per cluster the highest-quality member wins, tiebreak smallest
+    * doc_id). Quality is the docQuality formula computed over the
+    * near-dup CORPUS (injected dups included) — the argmax is expressed
+    * as row_number over (quality DESC, doc_id), which equals Spark's
+    * max(struct(quality, -doc_id)) combiner exactly.
+    */
+  val dedupKeepBest: String = {
+    val wc = s"len(${wordsOf("text")})"
+    s"""WITH RECURSIVE $signatureCtes,
+       |$clusterCtes,
+       |qt AS (SELECT doc_id, $wc AS wc,
+       |  len(regexp_extract_all(lower(text),
+       |    ${s(graft.rules.Rules.EnStopwords)})) AS stops,
+       |  (length(text) - length(regexp_replace(text,
+       |    '[^.,!?;:''"()\\-]', '', 'g'))) AS punct,
+       |  greatest(length(text), 1) AS lensafe
+       |  FROM corpus),
+       |q AS (SELECT doc_id,
+       |  CAST(round(CAST(${d(0.4)} * least(${d(1.0)}, wc / ${d(100.0)})
+       |    + ${d(0.4)} * least(${d(1.0)},
+       |        (stops / greatest(wc, 1)) * 5)
+       |    + ${d(0.2)} * (${d(1.0)} - least(${d(1.0)},
+       |        (punct / lensafe) * 5)) AS DECIMAL(38, 12)), 3) AS DOUBLE)
+       |    AS quality
+       |  FROM qt)
+       |SELECT cluster_rep, best_doc, best_quality, cluster_size FROM (
+       |  SELECT cluster_rep, rep.doc_id AS best_doc,
+       |    q.quality AS best_quality,
+       |    CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+       |      AS cluster_size,
+       |    row_number() OVER (PARTITION BY cluster_rep
+       |      ORDER BY q.quality DESC, rep.doc_id) AS rn
+       |  FROM rep JOIN q ON rep.doc_id = q.doc_id)
+       |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+  }
 
   /** h32 sampling hash (graft.ops.Sampling.h32) in DuckDB. */
   def h32(salt: String, id: String): String =
@@ -392,6 +437,32 @@ object SqlText {
 
   val decontaminate: String =
     decontaminateK(TextDedup.ContamGramSynthetic)
+
+  /** Oracle for q_contam_overlap (per-doc contamination fraction: distinct
+    * k-grams shared with the benchmark / distinct k-grams total; zero-
+    * overlap docs stay in the output). The `g` CTE unnests list_distinct
+    * grams, so count(*) per doc is the distinct-gram count and the left
+    * join against the distinct bench set cannot duplicate rows.
+    */
+  def contamOverlapK(k: Int): String =
+    s"""WITH docs AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(words) - ${k - 1}),
+       |      i -> list_aggregate(list_slice(words, i + 1, i + $k),
+       |             'string_agg', ' ')))) AS gram
+       |  FROM docs WHERE len(words) >= $k),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(b.gram) AS BIGINT) AS n_shared_grams,
+       |  CAST(round(CAST(CAST(count(b.gram) AS DOUBLE) / count(*)
+       |    AS DECIMAL(38, 12)), 6) AS DOUBLE) AS overlap_frac
+       |FROM g LEFT JOIN bench b ON g.gram = b.gram
+       |WHERE g.doc_id % 97 != 0
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  val contamOverlap: String = contamOverlapK(TextDedup.ContamGramSynthetic)
 
   /** The production 8-gram default — the match set is tiny-to-empty on the
     * synthetic corpus, but the hash still pins the semantics at the k the

@@ -31,6 +31,35 @@ class DecontaminateSpec extends AnyFunSuite with Matchers with TestSpark {
     out shouldBe Array((1L, 7L), (2L, 1L))
   }
 
+  test("overlap fraction: shared/distinct grams per doc, zero-overlap " +
+      "docs kept, benchmark and short docs excluded") {
+    val corpus = df(
+      1L -> "the quick brown fox jumps over the lazy dog", // 7 grams, 7 shared
+      2L -> "a quick brown fox ran away yesterday evening", // 6 grams, 1 shared
+      3L -> "completely different words here entirely",     // 3 grams, 0 shared
+      4L -> "quick brown",                                  // < k words: absent
+      9L -> "the quick brown fox jumps over the lazy dog")  // benchmark: absent
+    val out = TextDedup.contaminationOverlap(
+      corpus, corpus.filter(col("doc_id") === 9L), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out shouldBe Array(
+      (1L, 7L, 7L, 1.0),
+      (2L, 6L, 1L, 0.166667),
+      (3L, 3L, 0L, 0.0))
+  }
+
+  test("overlap fraction counts DISTINCT grams (repeats collapse)") {
+    val corpus = df(
+      1L -> "x y z x y z", // grams: "x y z","y z x","z x y","x y z" -> 3 distinct
+      9L -> "x y z")
+    val out = TextDedup.contaminationOverlap(
+      corpus, corpus.filter(col("doc_id") === 9L), k = 3).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 3L  // n_grams: distinct
+    out.head.getLong(2) shouldBe 1L  // only "x y z" shared
+  }
+
   test("8-gram default: only long overlaps match") {
     val shared = "one two three four five six seven eight nine"
     val corpus = df(

@@ -40,6 +40,36 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
       (9L, 9L, 1L, true))
   }
 
+  test("keepBest: highest quality wins per cluster, min doc_id on ties, " +
+      "singletons keep themselves") {
+    import spark.implicits._
+    val clusters = TextDedup.dedupClusters(
+      corpusOf(1L, 2L, 3L, 7L, 8L, 9L),
+      pairsOf((1L, 2L), (2L, 3L)).unionAll(pairsOf((7L, 8L))))
+    val quality = Seq(
+      1L -> 0.2, 2L -> 0.9, 3L -> 0.5, // cluster 1: best = 2
+      7L -> 0.4, 8L -> 0.4,            // tie: min doc_id = 7
+      9L -> 0.1).toDF("doc_id", "quality")
+    val out = TextDedup.keepBest(clusters, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    out shouldBe Array(
+      (1L, 2L, 0.9, 3L),
+      (7L, 7L, 0.4, 2L),
+      (9L, 9L, 0.1, 1L))
+  }
+
+  test("keepBest plan: argmax is a partial-agg groupBy, not a window") {
+    import spark.implicits._
+    val clusters = TextDedup.dedupClusters(
+      corpusOf(1L, 2L), pairsOf((1L, 2L)))
+    val quality = Seq(1L -> 0.5, 2L -> 0.6).toDF("doc_id", "quality")
+    val plan = TextDedup.keepBest(clusters, quality)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("partial_max")
+  }
+
   test("no pairs: every doc is its own canonical singleton") {
     val out = TextDedup.dedupClusters(corpusOf(5L, 6L), pairsOf())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -23,7 +23,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     * TextDedup.dedupClusters). Still audited for cartesian/BNLJ.
     */
   private val iterativeExempt =
-    Set("q_dedup_clusters", "q_dedup_clusters_star")
+    Set("q_dedup_clusters", "q_dedup_clusters_star",
+      // keep-best consumes dedupClusters' labels, so its static plan
+      // embeds every propagation round too
+      "q_dedup_keep_best")
 
   /** Max shuffle-Exchange count per query (measured + headroom 0). */
   private val shuffleBudget = Map(
@@ -37,6 +40,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_corpus_mix" -> 4,
     "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_decontaminate_bloom" -> 4,
+    // bench-gram distinct (inside the broadcast subtree) + per-doc gram
+    // dedup groupBy + per-doc fold + output sort
+    "q_contam_overlap" -> 4,
     // band-index join (pinned band exchange + candidate distinct) +
     // verify joins + output sort
     "q_dedup_incremental" -> 3,
