@@ -202,6 +202,10 @@ object Queries {
       TextDedup.simhashDups(Corpus.withNearDups(s, d))),
     "q_fingerprints" -> ((s: SparkSession, d: String) =>
       TextDedup.fingerprints(Tables.load(s, d, "documents"))),
+    // MOSS winnowing: guarantee-bearing fingerprint selection (any match
+    // >= W + GramLen - 1 chars shares a fingerprint)
+    "q_winnow" -> ((s: SparkSession, d: String) =>
+      TextDedup.winnow(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: deterministic selection (split / mix / sample)
     "q_doc_split" -> ((s: SparkSession, d: String) =>
       Sampling.docSplit(Tables.load(s, d, "documents"))),
@@ -356,6 +360,7 @@ object Queries {
     "q_simhash" -> SqlText.simhash,
     "q_simhash_dups" -> SqlText.simhashDups,
     "q_fingerprints" -> SqlText.fingerprints,
+    "q_winnow" -> SqlText.winnow,
     "q_doc_split" -> SqlText.docSplit,
     "q_corpus_mix" -> SqlText.corpusMix,
     "q_mixed_sample" -> SqlText.mixedSample,

@@ -814,6 +814,61 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Winnowing window: every W consecutive gram hashes contribute one
+    * selected fingerprint, so any shared substring of length >=
+    * W + GramLen - 1 chars is guaranteed to share a fingerprint (the
+    * winnowing guarantee — MOD sampling above has no such bound: a long
+    * match can fall entirely between kept hashes).
+    */
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS scheme): hash every [[GramLen]]-char gram, slide a
+    * [[WinnowW]]-hash window, select each window's MINIMUM hash taking the
+    * RIGHTMOST occurrence on ties, and keep each selected position once.
+    * The guarantee-bearing alternative to [[fingerprints]]' MOD sampling,
+    * summarized to the same engine-portable scalars.
+    *
+    * Scale shape: per-row array work, shuffle-free until the output sort.
+    * The rightmost-argmin is expressed as
+    * `p + W - array_position(reverse(window), array_min(window))` — pure
+    * array primitives with identical semantics in DuckDB's list functions,
+    * so no per-window struct fold has to agree across engines. O(n*W)
+    * array slicing per doc; a fused native expression (the
+    * [[graft.functions.LshBucketSig]] pattern) is the upgrade path if
+    * this projection ever dominates a profile.
+    */
+  def winnow(corpus: DataFrame): DataFrame = {
+    val t = col("text")
+    val w = WinnowW
+    val nGrams = greatest(length(t) - (GramLen - 1), lit(0))
+    val grams = when(nGrams === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nGrams),
+        i => call_function("substr", t, i, lit(GramLen))))
+    val hashes = transform(grams, g => h56(g))
+    val hs = col("_hs")
+    val win = (p: Column) => slice(hs, p + 1, lit(w))
+    val sel = when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w), p =>
+        (p + w - array_position(reverse(win(p)), array_min(win(p))) + 1)
+          .cast("int"))))
+      .otherwise(array().cast("array<int>"))
+    val fps = transform(col("_sel"), i => element_at(hs, i))
+    corpus
+      .withColumn("_hs", hashes)
+      .withColumn("_sel", sel)
+      .withColumn("_fps", fps)
+      .select(col("doc_id"),
+        nGrams.cast("long").as("n_grams"),
+        greatest(size(hs) - (w - 1), lit(0)).cast("long").as("n_windows"),
+        size(col("_fps")).cast("long").as("n_fp"),
+        array_min(col("_fps")).as("min_fp"),
+        array_max(col("_fps")).as("max_fp"),
+        aggregate(col("_fps"), lit(0L), (acc, h) => acc + h % 1000003)
+          .as("fp_sum_mod"))
+      .orderBy("doc_id")
+  }
+
   val ChunkTokens = 10
 
   /** Position-encoding base for the corpus-global first-occurrence min:

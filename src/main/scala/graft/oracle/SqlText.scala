@@ -567,6 +567,43 @@ object SqlText {
        |FROM fp ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_winnow (MOSS winnowing fingerprints: per W-hash window
+    * keep the minimum hash, rightmost on ties, each position once).
+    * Rightmost-argmin is the same reverse/list_position formulation as the
+    * Spark side: `p + W - list_position(list_reverse(win), list_min(win))
+    * + 1`, 1-based into the full hash list. list_distinct's order
+    * indifference is fine — every consumer of `sel`/`fps` is a set fold.
+    */
+  val winnow: String = {
+    val g = TextDedup.GramLen
+    val w = TextDedup.WinnowW
+    val win = s"hs[p + 1 : p + $w]"
+    s"""WITH h AS (SELECT doc_id,
+       |  greatest(len(text) - ${g - 1}, 0) AS n_grams,
+       |  list_transform(range(greatest(len(text) - ${g - 1}, 0)),
+       |    i -> ${h56(s"substr(text, i + 1, $g)")}) AS hs
+       |  FROM documents),
+       |sel AS (SELECT doc_id, n_grams, hs,
+       |  CASE WHEN len(hs) >= $w THEN list_distinct(
+       |    list_transform(range(len(hs) - $w + 1),
+       |      p -> p + $w - list_position(list_reverse($win),
+       |             list_aggregate($win, 'min')) + 1))
+       |  ELSE CAST([] AS BIGINT[]) END AS sl
+       |  FROM h),
+       |fp AS (SELECT doc_id, n_grams, len(hs) AS nh,
+       |  list_transform(sl, i -> hs[CAST(i AS INT)]) AS fps
+       |  FROM sel)
+       |SELECT doc_id,
+       |  CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(greatest(nh - ${w - 1}, 0) AS BIGINT) AS n_windows,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  list_aggregate(fps, 'min') AS min_fp,
+       |  list_aggregate(fps, 'max') AS max_fp,
+       |  COALESCE(CAST(list_sum(list_transform(fps, h -> h % 1000003))
+       |    AS BIGINT), 0) AS fp_sum_mod
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_lang_id (stopword/script-density language ID) — score
     * columns generated from the same profile tables as the Spark side.
     */

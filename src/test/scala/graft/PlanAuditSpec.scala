@@ -71,6 +71,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // output sort; AQE reuses the canonical range stage at runtime
     "q_seq_pack" -> 6,
     "q_simhash" -> 1, "q_simhash_dups" -> 3,
+    // per-row winnowing projection: output sort only
+    "q_winnow" -> 1,
     "q_token_stats" -> 2,
     "q_top_orders" -> 2, "q_top_quality" -> 0, "q_topk_custom" -> 2,
     "q_vocab" -> 3)
