@@ -28,17 +28,26 @@ object TextDedup {
 
   /** Exact dedup over whitespace-normalized lowered text. One row per doc:
     * its canonical (min) doc_id, group size, and dup flag.
+    *
+    * Group stats come from a partially-aggregated groupBy(_h) + join
+    * back, NOT `min/count().over(Window.partitionBy(_h))`: a window over
+    * the content hash has no partial aggregation, and the hottest hash at
+    * web scale (the empty/boilerplate document, easily 1M+ copies) would
+    * land in one task's sort buffer — the same no-window-straggler rule
+    * as [[withClusterCols]]. The groupBy is map-side combined (one row
+    * per distinct hash reaches the exchange) and the join back is
+    * key-partitioned on the same hash.
     */
   def exactDedup(corpus: DataFrame): DataFrame = {
     val norm = lower(trim(regexp_replace(col("text"), """\s+""", " ")))
-    val byHash = Window.partitionBy(col("_h"))
-    corpus
-      .withColumn("_h", md5(norm))
-      .withColumn("canonical_id", min(col("doc_id")).over(byHash))
-      .withColumn("group_size", count(lit(1)).over(byHash))
+    val withH = corpus.withColumn("_h", md5(norm))
+    val groups = withH.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).cast("long").as("group_size"))
+    withH.join(groups, "_h")
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id"), col("canonical_id"),
-        col("group_size").cast("long").as("group_size"), col("is_dup"))
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+        col("is_dup"))
       .orderBy("doc_id")
   }
 

@@ -77,6 +77,12 @@ class PropertySpec extends AnyFunSuite with Matchers with TestSpark {
     }
     // groups of 4 (i%10 repeated at +10,+20,+30)
     rows.map(_.getAs[Long]("group_size")).toSet shouldBe Set(4L)
+    // group stats are a partial-agg groupBy + join, not a window: the
+    // hottest content hash (empty/boilerplate doc) must never become one
+    // task's sort buffer
+    val plan = once.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("partial_min")
   }
 
   test("event dedup keeps exactly one row per key and is idempotent") {
