@@ -149,6 +149,13 @@ object Queries {
     // grouping expression sessionizes the streaming path)
     "q_sessions" -> ((s: SparkSession, d: String) =>
       Sessionize.sessions(Tables.events(s, d))),
+    // hopping (sliding) event-time windows: native window(ts, size, slide)
+    // generator — bounded 2x map-side expand, one partial-agg groupBy
+    "q_hopping" -> ((s: SparkSession, d: String) =>
+      TimeWindows.hopping(Tables.events(s, d))),
+    // interval/range join via the banded rewrite: bucket expand + broadcast
+    // HASH join + residual range check (oracle states the plain range join)
+    "q_promo_attrib" -> (Relational.promoAttrib _),
     "q_pricing_rollup" -> (Relational.pricingRollup _),
     // custom physical operator (plans/TopKPerKey): per-key bounded-heap
     // top-k — no per-group sort, map-side pruning before one shuffle
@@ -278,6 +285,11 @@ object Queries {
     // table, inference-only) — CCNet/LLaMA-pipeline pattern
     "q_quality_classifier" -> ((s: SparkSession, d: String) =>
       TextAnalysis.qualityClassifier(Tables.load(s, d, "documents"))),
+    // DSIR-style importance resampling: hashed-ngram target-affinity
+    // weights (target = lang-en docs) + deterministic md5 resampling draw
+    "q_dsir" -> ((s: SparkSession, d: String) =>
+      Dsir.importance(Tables.load(s, d, "documents"),
+        col("lang") === lit("en"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     // BM25 keyword relevance (rational-idf variant — see TextAnalysis.bm25)
@@ -338,6 +350,8 @@ object Queries {
     "q_region_revenue" -> Sql.regionRevenue,
     "q_event_props" -> Sql.eventPropsAgg,
     "q_sessions" -> Sql.sessions,
+    "q_hopping" -> Sql.hopping,
+    "q_promo_attrib" -> Sql.promoAttrib,
     "q_pricing_rollup" -> Sql.pricingRollup,
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
@@ -377,6 +391,7 @@ object Queries {
     "q_doc_quality" -> SqlText.docQuality,
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
+    "q_dsir" -> SqlText.dsir,
     "q_repetition" -> SqlText.repetition,
     "q_bm25" -> SqlText.bm25,
     "q_vocab" -> SqlText.vocab,

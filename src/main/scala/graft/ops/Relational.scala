@@ -202,4 +202,44 @@ object Relational {
         // micro-unit-exact metric sum (order-independent; see qsum)
         round(qsum(col("value"), 1000000), 2).as("sum_value"))
       .orderBy("event_type")
+
+  /** Interval (range) join without a BNLJ: events attributed to promo
+    * windows `[hour+30min, hour+75min)` — intervals that CROSS the bucket
+    * grid, so the equi-key is not a trivial hour match.
+    *
+    * Scale shape: a pure range predicate gives Catalyst nothing to hash
+    * on → BroadcastNestedLoopJoin, O(|events| · |windows|) comparisons.
+    * Instead each interval is expanded map-side into the 30-min buckets
+    * it covers (bounded: ceil(45/30)+1 = 2 rows/window via `sequence`),
+    * the join runs as a broadcast HASH join on the bucket key, and the
+    * exact `[start, end)` check rides along as the residual condition —
+    * the standard banded-interval-join rewrite. The window side derives
+    * from a distinct-hour agg: bounded by hours in the corpus (~9k/year),
+    * always broadcastable no matter how large events grows.
+    */
+  def promoAttrib(spark: SparkSession, dir: String): DataFrame =
+    promoAttribOf(Tables.events(spark, dir))
+
+  def promoAttribOf(ev: DataFrame): DataFrame = {
+    val bucketUs = 1800000000L // 30 min
+    val windows = ev
+      .select(date_trunc("hour", col("ts")).as("h")).distinct()
+      .select(
+        expr("unix_micros(h) div 3600000000").as("promo_id"),
+        (col("h") + expr("INTERVAL 30 MINUTES")).as("w_start"),
+        (col("h") + expr("INTERVAL 75 MINUTES")).as("w_end"))
+    val buckets = windows.withColumn("bucket",
+      explode(sequence(
+        expr(s"unix_micros(w_start) div $bucketUs"),
+        expr(s"(unix_micros(w_end) - 1) div $bucketUs"))))
+    ev.withColumn("ebucket", expr(s"unix_micros(ts) div $bucketUs"))
+      .join(broadcast(buckets),
+        col("ebucket") === col("bucket") &&
+          col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("promo_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(qsum(col("value"), 1000000), 2).as("sum_value"))
+      .orderBy("promo_id")
+  }
 }

@@ -545,4 +545,43 @@ object Sql {
        |FROM sess GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
   }
+
+  /** Oracle for q_promo_attrib. The oracle states the PLAIN range join —
+    * `ts ∈ [w_start, w_end)` with no bucket key — so the engine's
+    * banded-interval rewrite (bucket expand + broadcast hash join +
+    * residual range check, Relational.promoAttrib) is verified against
+    * the declarative semantics it claims to implement.
+    */
+  val promoAttrib: String =
+    s"""WITH wins AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+       |p AS (SELECT epoch_us(h) // 3600000000 AS promo_id,
+       |    h + INTERVAL 30 MINUTE AS w_start,
+       |    h + INTERVAL 75 MINUTE AS w_end
+       |  FROM wins)
+       |SELECT promo_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(round(CAST(${qsum("e.value", 1000000)} AS DECIMAL(38, 12)), 2)
+       |    AS DOUBLE) AS sum_value
+       |FROM events e JOIN p ON e.ts >= p.w_start AND e.ts < p.w_end
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Oracle for q_hopping. Mirrors graft.ops.TimeWindows.hopping: each
+    * event lands in exactly size/slide = 2 hopping windows, enumerated as
+    * the epoch-aligned 30-min bucket and its predecessor. Window starts
+    * are built with make_timestamp(us) (timezone-free TIMESTAMP — never
+    * to_timestamp, whose TIMESTAMPTZ would re-anchor on the session TZ).
+    */
+  val hopping: String = {
+    val slideUs = graft.ops.TimeWindows.HopSlideMinutes.toLong * 60000000L
+    s"""WITH hops AS (
+       |  SELECT make_timestamp(
+       |      ((epoch_us(ts) // $slideUs) - off) * $slideUs) AS window_start,
+       |    event_type, user_id, value
+       |  FROM events, (SELECT unnest([0, 1]) AS off) o)
+       |SELECT window_start, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(round(CAST(${qsum("value", 100)} AS DECIMAL(38, 12)), 2)
+       |    AS DOUBLE) AS total_value
+       |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -988,4 +988,43 @@ object SqlText {
        |  md5(stext) AS scrubbed_md5
        |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for q_dsir (hashed n-gram importance resampling; mirrors
+    * graft.ops.Dsir — rational target-affinity score, md5-residue
+    * resampling draw). Gram multiset = unigrams ∪ bigrams WITH
+    * multiplicity, stated as a UNION ALL instead of Spark's per-row
+    * array concat.
+    */
+  val dsir: String = {
+    val b = graft.ops.Dsir.Buckets
+    val salt = graft.ops.Dsir.KeepSalt
+    s"""WITH w AS (SELECT doc_id, lang = 'en' AS t,
+       |    ${wordsOf("text")} AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, t, unnest(ws) AS gram FROM w
+       |  UNION ALL
+       |  SELECT doc_id, t, unnest(list_transform(range(len(ws) - 1),
+       |      i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+       |  FROM w WHERE len(ws) >= 2),
+       |gb AS (SELECT doc_id, t, ${h56("gram")} % $b AS bucket FROM g),
+       |tab AS (SELECT bucket, count(*) AS q_cnt,
+       |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS p_cnt
+       |  FROM gb GROUP BY 1),
+       |sums AS (SELECT gb.doc_id, sum(p_cnt) AS th, sum(q_cnt) AS ch
+       |  FROM gb JOIN tab USING (bucket) GROUP BY 1),
+       |j AS (SELECT d.doc_id,
+       |    coalesce(th, 0) AS th, coalesce(ch, 0) AS ch,
+       |    CASE WHEN coalesce(ch, 0) > 0
+       |      THEN CAST(th AS DOUBLE) / ch ELSE 0.0 END AS sc
+       |  FROM documents d LEFT JOIN sums ON d.doc_id = sums.doc_id)
+       |SELECT doc_id,
+       |  CAST(th AS BIGINT) AS target_hits,
+       |  CAST(ch AS BIGINT) AS corpus_hits,
+       |  CAST(round(CAST(sc AS DECIMAL(38, 12)), 6) AS DOUBLE) AS score,
+       |  (('0x' || substr(md5(${s(salt)} ||
+       |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) / 10000.0
+       |    < least(1.0, sc) AS kept
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
 }

@@ -61,11 +61,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
+    // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
+    // + corpus left join + output sort
+    "q_dsir" -> 5,
     "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
     "q_recent_reviews" -> 0,
     // session_window: one user_id exchange for session assembly + the
     // output sort; the agg itself is within-partition
     "q_sessions" -> 2,
+    // native window() generator is map-side; distinct-user Expand agg
+    // (2 exchanges) + output sort
+    "q_hopping" -> 3,
+    // distinct-hour agg (broadcast subtree) + final agg + output sort;
+    // the range join itself is a broadcast HASH join on the bucket band
+    "q_promo_attrib" -> 3,
     "q_region_revenue" -> 2, "q_repetition" -> 1,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime
