@@ -314,6 +314,13 @@ object Queries {
     "q_cluster_sample" -> ((s: SparkSession, d: String) =>
       EmbedSim.clusterSample(s, d,
         Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
+    // product-quantized ANN: trained per-subspace codebooks + the encoded
+    // corpus are the memoized PQ INDEX; queries score codes alone via ADC
+    "q_knn_pq" -> ((s: SparkSession, d: String) => {
+      val cb = memoize(s, d, "pq_codebooks")(EmbedPq.pqCodebooks(s, d))
+      EmbedPq.knnPq(s, d, Some(cb),
+        Some(memoize(s, d, "pq_codes")(EmbedPq.pqCodes(s, d, cb))))
+    }),
     "q_embed_dups" -> ((s: SparkSession, d: String) =>
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
@@ -397,6 +404,7 @@ object Queries {
     "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
+    "q_knn_pq" -> SqlText.knnPq,
     "q_kmeans" -> SqlText.kmeansAssign,
     "q_cluster_sample" -> SqlText.clusterSample,
     "q_embed_dups" -> SqlText.embedDups,

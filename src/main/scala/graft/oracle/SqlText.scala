@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.ops.{TextAnalysis, TextDedup, EmbedLsh, EmbedSim}
+import graft.ops.{TextAnalysis, TextDedup, EmbedLsh, EmbedPq, EmbedSim}
 
 /** DuckDB oracle SQL for the LLM-data-pipeline operators (dedup family,
   * similarity search, text analysis). Mirrors graft.ops.{TextDedup,
@@ -987,6 +987,89 @@ object SqlText {
        |  CAST(length(stext) AS BIGINT) AS scrubbed_len,
        |  md5(stext) AS scrubbed_md5
        |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for q_knn_pq (product-quantized ADC top-k; mirrors
+    * graft.ops.EmbedPq). One tall (vec_id, m, semb) subvector CTE keys
+    * every stage by subspace, so a single Lloyd's chain trains all M
+    * codebooks at once: L2 assignment = argmax(round(dot − cn2/2, 6)),
+    * quantized order-independent cell means, final encode + query lookup
+    * table + integer-quantized ADC sum.
+    */
+  val knnPq: String = {
+    val m = EmbedPq.SubSpaces
+    val sd = EmbedPq.SubDim
+    val k = EmbedPq.CodebookK
+    val q6 = d(EmbedSim.QuantScale)
+    def asg(name: String, cbName: String) =
+      s"""$name AS (SELECT vec_id, m, code FROM (
+         |  SELECT s.vec_id, s.m, c.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY CAST(round(CAST(${dotSql("s.semb", "c.cemb")} - c.cn2 / 2 AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.code) AS rn
+         |  FROM subs s JOIN $cbName c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+    def rebuild(i: Int) =
+      s"""pcm$i AS (SELECT m, code, i,
+         |    CAST(sum(CAST(floor(v * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / ($q6 * count(*)) AS cv
+         |  FROM (SELECT a.m, a.code, unnest(s.semb) AS v,
+         |      unnest(range(len(s.semb))) AS i
+         |    FROM subs s JOIN pasg$i a ON s.vec_id = a.vec_id AND s.m = a.m)
+         |  GROUP BY m, code, i),
+         |pcb$i AS (SELECT m, code, cemb, ${dotSql("cemb", "cemb")} AS cn2
+         |  FROM (SELECT m, code, list(cv ORDER BY i) AS cemb
+         |    FROM pcm$i GROUP BY m, code))""".stripMargin
+    val rounds = (1 to EmbedPq.PqIters).map { i =>
+      asg(s"pasg$i", if (i == 1) "pcb0" else s"pcb${i - 1}") + ",\n" +
+        rebuild(i)
+    }.mkString(",\n")
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, m,
+       |    list_slice(emb, m * $sd + 1, m * $sd + $sd) AS semb
+       |  FROM emb0, (SELECT unnest(range($m)) AS m) mm),
+       |seeds AS (SELECT vec_id AS sid,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |  FROM (SELECT vec_id FROM emb0 ORDER BY vec_id LIMIT $k)),
+       |pcb0 AS (SELECT s.m, sd.code, s.semb AS cemb,
+       |    ${dotSql("s.semb", "s.semb")} AS cn2
+       |  FROM subs s JOIN seeds sd ON s.vec_id = sd.sid),
+       |$rounds,
+       |${asg("codes", s"pcb${EmbedPq.PqIters}")},
+       |qsub AS (SELECT vec_id AS query_id, m, semb AS qsemb FROM subs
+       |  WHERE vec_id % ${EmbedSim.QueryMod} = 0),
+       |lut AS (SELECT q.query_id, q.m, c.code,
+       |    ${dotSql("q.qsemb", "c.cemb")} AS qdot, c.cn2
+       |  FROM qsub q JOIN pcb${EmbedPq.PqIters} c ON q.m = c.m),
+       |scored AS (SELECT l.query_id, co.vec_id,
+       |    CAST(sum(CAST(floor(l.qdot * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / $q6 AS adot,
+       |    CAST(sum(CAST(floor(l.cn2 * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / $q6 AS rn2
+       |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+       |  WHERE co.vec_id != l.query_id
+       |  GROUP BY 1, 2),
+       |qn AS (SELECT vec_id AS query_id, emb AS qemb,
+       |    sqrt(${dotSql("emb", "emb")}) AS qnrm FROM emb0
+       |  WHERE vec_id % ${EmbedSim.QueryMod} = 0),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT s.query_id, s.vec_id, row_number() OVER (
+       |      PARTITION BY s.query_id
+       |      ORDER BY CAST(round(CAST(s.adot / (q.qnrm * sqrt(s.rn2))
+       |        AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, s.vec_id) AS ar
+       |  FROM scored s JOIN qn q ON q.query_id = s.query_id)
+       |  WHERE ar <= ${EmbedPq.Rerank}),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |    CAST(round(CAST(${dotSql("q.qemb", "e.emb")} /
+       |      (q.qnrm * sqrt(${dotSql("e.emb", "e.emb")}))
+       |      AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
+       |  FROM short s JOIN emb0 e ON e.vec_id = s.vec_id
+       |  JOIN qn q ON q.query_id = s.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, cos_sim,
+       |  CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rank FROM rr)
+       |WHERE rank <= ${EmbedPq.TopK}
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle for q_dsir (hashed n-gram importance resampling; mirrors

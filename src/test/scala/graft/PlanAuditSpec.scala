@@ -59,6 +59,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
+    // encode groupBy (via the memoized codes) + ADC partial-agg groupBy
+    // + per-query rank window + output sort; codebook training is
+    // lineage-truncated behind the localCheckpoint leaf
+    "q_knn_pq" -> 6,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
