@@ -149,6 +149,30 @@ object Streams {
     n.toLong * base
   }
 
+  /** Hopping-window event stats on the stream — the sliding-window
+    * surface of T3 (the reference's tables only tumble; Faust's
+    * `.hopping()` is the unwired sibling). The SAME native
+    * `window(ts, size, slide)` generator as the batch
+    * [[graft.ops.TimeWindows.hopping]], so batch/streaming parity is
+    * provable by value (TimeWindowsSpec); distinct aggregates are not
+    * supported over streams, so the streaming surface carries the count
+    * + exact quantized value sum only. Watermark-evicted state: each
+    * window closes `delay` after its end passes the watermark.
+    */
+  def hoppingStats(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(
+        window(col("ts"),
+          s"${graft.ops.TimeWindows.HopSizeMinutes} minutes",
+          s"${graft.ops.TimeWindows.HopSlideMinutes} minutes").as("_w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.ops.Relational.qsum(col("value"), 100), 2)
+          .as("total_value"))
+      .select(col("_w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Hourly windowed ReviewStats in update mode (A1/A3). */
   def hourlyStats(annotated: DataFrame, delay: String = "2 hours"): DataFrame =
     annotated

@@ -46,6 +46,32 @@ class TimeWindowsSpec extends AnyFunSuite with Matchers with TestSpark {
     total shouldBe 2L * ev.count()
   }
 
+  test("streaming hoppingStats matches batch hopping exactly on real " +
+      "events (count + value sum surface)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = TimeWindows.hopping(events)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-hop-par")
+    events.coalesce(4).write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val streamed = graft.streaming.Streams.hoppingStats(
+      spark.readStream.schema(events.schema)
+        .parquet(dir.resolve("in").toString))
+    val q = streamed.writeStream.format("memory")
+      .queryName("hop_parity").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hop_parity")
+        .orderBy("window_start", "event_type").collect()
+      got.length shouldBe batch.length
+      got.zip(batch).foreach { case (s, b) =>
+        (0 until 4).foreach(i => s.get(i) shouldBe b.get(i))
+      }
+    } finally q.stop()
+  }
+
   test("window starts sit on the 30-min slide grid") {
     import org.apache.spark.sql.functions._
     val starts = TimeWindows.hopping(
