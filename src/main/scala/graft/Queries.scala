@@ -321,6 +321,15 @@ object Queries {
       EmbedPq.knnPq(s, d, Some(cb),
         Some(memoize(s, d, "pq_codes")(EmbedPq.pqCodes(s, d, cb))))
     }),
+    // IVF-PQ: coarse probes prune WHICH vectors get scored, PQ codes
+    // price WHAT each costs — both memoized indexes compose
+    "q_knn_ivfpq" -> ((s: SparkSession, d: String) => {
+      val cb = memoize(s, d, "pq_codebooks")(EmbedPq.pqCodebooks(s, d))
+      EmbedPq.knnIvfPq(s, d,
+        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))),
+        Some(cb),
+        Some(memoize(s, d, "pq_codes")(EmbedPq.pqCodes(s, d, cb))))
+    }),
     "q_embed_dups" -> ((s: SparkSession, d: String) =>
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
@@ -405,6 +414,7 @@ object Queries {
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,
     "q_knn_pq" -> SqlText.knnPq,
+    "q_knn_ivfpq" -> SqlText.knnIvfPq,
     "q_kmeans" -> SqlText.kmeansAssign,
     "q_cluster_sample" -> SqlText.clusterSample,
     "q_embed_dups" -> SqlText.embedDups,

@@ -157,6 +157,71 @@ object EmbedPq {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(qsumL(col("qdot")).as("adot"), qsumL(col("cn2")).as("rn2"))
+    rerankTail(spark, dir, scored, queries)
+  }
+
+  /** IVF-PQ: the production composition — the coarse IVF index prunes
+    * WHICH vectors a query scores ([[EmbedSim.Probes]] inverted lists
+    * instead of the corpus), the PQ codes price WHAT each scored vector
+    * costs (M lookups against 4 bytes of codes), and the exact rerank
+    * restores the true metric on the [[Rerank]]-deep shortlist. This is
+    * the non-residual IVFADC variant (codes quantize raw vectors, not
+    * per-list residuals, so the coarse index and the codebooks stay
+    * independently reusable/memoizable); Jégou et al.'s residual
+    * refinement is the documented delta.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String,
+      centroidsIn: Option[DataFrame] = None,
+      cbIn: Option[DataFrame] = None,
+      codesIn: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsIn.getOrElse(EmbedSim.ivfCentroids(spark, dir))
+    val cb = cbIn.getOrElse(pqCodebooks(spark, dir))
+    val codes = codesIn.getOrElse(pqCodes(spark, dir, cb))
+    val all = emb(spark, dir)
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val assigned = EmbedSim.nearestCentroid(all, centroids)
+      .select("vec_id", "centroid_id")
+    val queries = all.filter(col("vec_id") % EmbedSim.QueryMod === 0)
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(desc("_qc"), col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("norm").as("qnorm"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("_qc",
+        r6(dot(col("qemb"), col("cemb")) / (col("qnorm") * col("cnorm"))))
+      .withColumn("_rn", row_number().over(wP))
+      .filter(col("_rn") <= EmbedSim.Probes)
+      .select(col("query_id"), col("centroid_id"))
+    val cands = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val qsubs = subVectors(queries)
+      .select(col("vec_id").as("query_id"), col("m"), col("semb").as("qsemb"))
+    val lut = qsubs.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dot(col("qsemb"), col("cemb")).as("qdot"), col("cn2"))
+    def qsumL(c: Column): Column =
+      sum(floor(c * lit(EmbedSim.QuantScale) + lit(0.5)).cast("long"))
+        .cast("double") / lit(EmbedSim.QuantScale)
+    val scored = cands.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(qsumL(col("qdot")).as("adot"), qsumL(col("cn2")).as("rn2"))
+    rerankTail(spark, dir,
+      scored, queries.select(col("vec_id"), col("emb")))
+  }
+
+  /** ADC-shortlist + exact rerank shared tail: scored = (query_id,
+    * vec_id, adot, rn2) → approximate-cosine shortlist of [[Rerank]]
+    * rows per query → TRUE-cosine rerank of only those rows — the
+    * production PQ shape (codes prune |corpus| -> R; full vectors are
+    * touched R times per query, never |corpus| times).
+    */
+  private def rerankTail(spark: SparkSession, dir: String,
+      scored: DataFrame, queries: DataFrame): DataFrame = {
+    val qnorms = queries.select(col("vec_id").as("query_id"),
+      sqrt(dot(col("emb"), col("emb"))).as("qnorm"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(desc("_a6"), col("vec_id"))
     val shortlist = scored.join(broadcast(qnorms), Seq("query_id"))
@@ -165,9 +230,6 @@ object EmbedPq {
       .withColumn("_ar", row_number().over(wAdc))
       .filter(col("_ar") <= Rerank)
       .select(col("query_id"), col("vec_id"))
-    // exact rerank of the R-candidate shortlist: the production PQ shape
-    // (codes prune |corpus| -> R, the true metric orders only R rows —
-    // full vectors are touched R times per query, never |corpus| times)
     val all = emb(spark, dir)
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
     val qfull = queries

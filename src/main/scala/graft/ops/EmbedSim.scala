@@ -168,7 +168,7 @@ object EmbedSim {
     * then LOWEST centroid_id — encoded as `max_by` over
     * `struct(_cc, -centroid_id)` (lexicographic struct ordering).
     */
-  private def nearestCentroid(corpus: DataFrame, centroids: DataFrame)
+  private[ops] def nearestCentroid(corpus: DataFrame, centroids: DataFrame)
       : DataFrame = {
     val best = corpus.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("centroid_id"),

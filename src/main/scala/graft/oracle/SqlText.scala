@@ -996,7 +996,12 @@ object SqlText {
     * quantized order-independent cell means, final encode + query lookup
     * table + integer-quantized ADC sum.
     */
-  val knnPq: String = {
+  /** Shared PQ CTE chain (assumes an `emb0(vec_id, emb)` CTE): tall
+    * subvector frame, seeds, [[EmbedPq.PqIters]] Lloyd's rounds, final
+    * `codes`, query subvectors `qsub`, and the per-query ADC lookup
+    * table `lut`. Used by both knnPq and knnIvfPq.
+    */
+  private val pqChainCtes: String = {
     val m = EmbedPq.SubSpaces
     val sd = EmbedPq.SubDim
     val k = EmbedPq.CodebookK
@@ -1022,9 +1027,7 @@ object SqlText {
       asg(s"pasg$i", if (i == 1) "pcb0" else s"pcb${i - 1}") + ",\n" +
         rebuild(i)
     }.mkString(",\n")
-    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-       |  FROM embeddings),
-       |subs AS (SELECT vec_id, m,
+    s"""subs AS (SELECT vec_id, m,
        |    list_slice(emb, m * $sd + 1, m * $sd + $sd) AS semb
        |  FROM emb0, (SELECT unnest(range($m)) AS m) mm),
        |seeds AS (SELECT vec_id AS sid,
@@ -1039,16 +1042,14 @@ object SqlText {
        |  WHERE vec_id % ${EmbedSim.QueryMod} = 0),
        |lut AS (SELECT q.query_id, q.m, c.code,
        |    ${dotSql("q.qsemb", "c.cemb")} AS qdot, c.cn2
-       |  FROM qsub q JOIN pcb${EmbedPq.PqIters} c ON q.m = c.m),
-       |scored AS (SELECT l.query_id, co.vec_id,
-       |    CAST(sum(CAST(floor(l.qdot * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
-       |      / $q6 AS adot,
-       |    CAST(sum(CAST(floor(l.cn2 * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
-       |      / $q6 AS rn2
-       |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
-       |  WHERE co.vec_id != l.query_id
-       |  GROUP BY 1, 2),
-       |qn AS (SELECT vec_id AS query_id, emb AS qemb,
+       |  FROM qsub q JOIN pcb${EmbedPq.PqIters} c ON q.m = c.m)""".stripMargin
+  }
+
+  /** Shared ADC-shortlist + exact-rerank SQL tail over a `scored`
+    * (query_id, vec_id, adot, rn2) CTE; mirrors EmbedPq.rerankTail.
+    */
+  private val pqRerankSql: String =
+    s"""qn AS (SELECT vec_id AS query_id, emb AS qemb,
        |    sqrt(${dotSql("emb", "emb")}) AS qnrm FROM emb0
        |  WHERE vec_id % ${EmbedSim.QueryMod} = 0),
        |short AS (SELECT query_id, vec_id FROM (
@@ -1070,6 +1071,66 @@ object SqlText {
        |      ORDER BY cos_sim DESC, vec_id) AS rank FROM rr)
        |WHERE rank <= ${EmbedPq.TopK}
        |ORDER BY query_id, rank""".stripMargin
+
+  val knnPq: String = {
+    val q6 = d(EmbedSim.QuantScale)
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |$pqChainCtes,
+       |scored AS (SELECT l.query_id, co.vec_id,
+       |    CAST(sum(CAST(floor(l.qdot * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / $q6 AS adot,
+       |    CAST(sum(CAST(floor(l.cn2 * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / $q6 AS rn2
+       |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+       |  WHERE co.vec_id != l.query_id
+       |  GROUP BY 1, 2),
+       |$pqRerankSql""".stripMargin
+  }
+
+  /** Oracle for q_knn_ivfpq: the IVF coarse chain (same Lloyd's CTEs as
+    * q_knn_ivf) restricts the candidate set to the probed inverted
+    * lists; the PQ chain (same CTEs as q_knn_pq) ADC-scores only those
+    * candidates; shortlist + exact rerank shared with q_knn_pq.
+    */
+  val knnIvfPq: String = {
+    val q6 = d(EmbedSim.QuantScale)
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |emb AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+       |  FROM emb0),
+       |qv AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm FROM emb
+       |  WHERE vec_id % ${EmbedSim.QueryMod} = 0),
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |  FROM emb WHERE vec_id % (SELECT m FROM cmod) = 0),
+       |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
+       |assigned AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM emb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |  SELECT q.query_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY CAST(round(CAST(${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM qv q CROSS JOIN lcent${EmbedSim.LloydIters} c)
+       |  WHERE rn <= ${EmbedSim.Probes}),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a USING (centroid_id)
+       |  WHERE a.vec_id != p.query_id),
+       |$pqChainCtes,
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |    CAST(sum(CAST(floor(l.qdot * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / $q6 AS adot,
+       |    CAST(sum(CAST(floor(l.cn2 * $q6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / $q6 AS rn2
+       |  FROM cand c JOIN codes co ON co.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id
+       |    AND l.m = co.m AND l.code = co.code
+       |  GROUP BY 1, 2),
+       |$pqRerankSql""".stripMargin
   }
 
   /** Oracle for q_dsir (hashed n-gram importance resampling; mirrors

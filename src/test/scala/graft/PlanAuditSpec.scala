@@ -63,6 +63,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // + per-query rank window + output sort; codebook training is
     // lineage-truncated behind the localCheckpoint leaf
     "q_knn_pq" -> 6,
+    // + the coarse assignment argmax, probe window, and candidate join
+    // on top of the PQ tail
+    "q_knn_ivfpq" -> 9,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
@@ -93,7 +96,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
   /** Queries allowed a BroadcastNestedLoopJoin: the deliberate bounded
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
-  private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_embed_dups",
+  private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_knn_ivfpq",
+    "q_embed_dups",
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction

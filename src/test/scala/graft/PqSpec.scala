@@ -39,6 +39,23 @@ class PqSpec extends AnyFunSuite with Matchers with TestSpark {
       .filter(col("count") =!= EmbedPq.SubSpaces).count() shouldBe 0L
   }
 
+  test("IVF-PQ: subset-of-probed-lists contract + recall floor") {
+    val ivfpq = EmbedPq.knnIvfPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = EmbedSim.knnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nQ = exact.select("query_id").distinct().count()
+    val recall =
+      ivfpq.intersect(exact).count().toDouble / (nQ * EmbedSim.TopK)
+    info(s"IVF-PQ recall@10 vs exact brute force = $recall")
+    // the coarse probe prunes candidates, so IVF-PQ recall is bounded by
+    // IVF recall; the floor reflects both prune + quantization losses
+    recall should be >= 0.4
+    ivfpq.groupBy("query_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      .toInt should be <= EmbedSim.TopK
+  }
+
   test("ADC top-10 recalls the exact top-10 above the floor") {
     val pq = EmbedPq.knnPq(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
