@@ -290,6 +290,10 @@ object Queries {
     "q_dsir" -> ((s: SparkSession, d: String) =>
       Dsir.importance(Tables.load(s, d, "documents"),
         col("lang") === lit("en"))),
+    // corpus bigram-LM predictability (exact-arithmetic cousin of KenLM
+    // perplexity filtering): avg conditional bigram probability per doc
+    "q_lm_score" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     // BM25 keyword relevance (rational-idf variant — see TextAnalysis.bm25)
@@ -408,6 +412,7 @@ object Queries {
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_dsir" -> SqlText.dsir,
+    "q_lm_score" -> SqlText.lmScore,
     "q_repetition" -> SqlText.repetition,
     "q_bm25" -> SqlText.bm25,
     "q_vocab" -> SqlText.vocab,

@@ -250,6 +250,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus bigram-LM predictability score — the exact-arithmetic form
+    * of KenLM-style perplexity filtering (CCNet scores documents by a
+    * language model; the signal is "how predictable is this text under
+    * corpus statistics"). Per doc: the average conditional bigram
+    * probability `avg over bigrams of P(w2|w1)`, with
+    * `P(w2|w1) = c(w1 w2) / c_prefix(w1)` — the corpus MLE over the
+    * bigram stream. High = stereotypical/templated text, low =
+    * unusual/noisy — the same axis perplexity measures, without the
+    * per-gram `log` whose last-ulp rounding would diverge between JVM
+    * and libm (the bm25/DSIR no-transcendentals policy).
+    *
+    * Each per-bigram ratio is an IEEE-identical double (long/long);
+    * ratios are quantized to 1e-9 and summed as integers so the per-doc
+    * mean is summation-order-independent and oracle-hash-exact.
+    *
+    * Scale shape: one bigram explode feeds two partial-agg groupBys (the
+    * bigram and prefix count tables), the stream re-joins both keyed on
+    * the bigram/prefix (AQE handles the Zipf head; hot-prefix salting is
+    * the documented escalation), one groupBy(doc_id) collapse, one left
+    * join back. Same family as [[rareTokens]], with the conditional
+    * two-table structure.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2),
+            i => struct(element_at(w, i + 1).as("w1"),
+              element_at(w, i + 2).as("w2"))))
+          .otherwise(array())).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCount = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
+    val prefCount = bigrams.groupBy("w1").agg(count(lit(1)).as("_cp"))
+    val scored = bigrams
+      .join(bgCount, Seq("w1", "w2")).join(prefCount, Seq("w1"))
+      .select(col("doc_id"),
+        floor(col("_cb") / col("_cp") * lit(1000000000.0) + lit(0.5))
+          .cast("long").as("_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_q")).as("_s"))
+      .withColumn("avg_condp",
+        round((col("_s").cast("double") / lit(1000000000.0))
+          / col("n_bigrams"), 6))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_condp"), lit(0.0)).as("avg_condp"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style intra-document repetition signals (boilerplate and
     * looped-generation detectors):
     *  - `dup_word_frac`: 1 − distinct_words / words (0 for empty docs);

@@ -1133,6 +1133,29 @@ object SqlText {
        |$pqRerankSql""".stripMargin
   }
 
+  /** Oracle for q_lm_score (corpus bigram-LM predictability; mirrors
+    * TextAnalysis.lmScore — MLE conditional probabilities as exact
+    * long/long doubles, quantized order-independent per-doc mean).
+    */
+  val lmScore: String =
+    s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS ws FROM documents),
+       |bg AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+       |    FROM d WHERE len(ws) >= 2)),
+       |cb AS (SELECT w1, w2, count(*) AS _cb FROM bg GROUP BY 1, 2),
+       |cp AS (SELECT w1, count(*) AS _cp FROM bg GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |    CAST(floor(_cb / _cp * 1000000000.0 + 0.5) AS BIGINT) AS qv
+       |  FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)),
+       |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(qv) AS sq
+       |  FROM q GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  coalesce(CAST(round(CAST(
+       |      (CAST(sq AS DOUBLE) / 1000000000.0) / n_bigrams
+       |    AS DECIMAL(38, 12)), 6) AS DOUBLE), 0.0) AS avg_condp
+       |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Oracle for q_dsir (hashed n-gram importance resampling; mirrors
     * graft.ops.Dsir — rational target-affinity score, md5-residue
     * resampling draw). Gram multiset = unigrams ∪ bigrams WITH

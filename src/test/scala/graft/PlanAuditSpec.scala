@@ -71,6 +71,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
     // + corpus left join + output sort
     "q_dsir" -> 5,
+    // bigram explode -> 2 count-table aggs + keyed re-joins + doc
+    // collapse + corpus left join + output sort
+    "q_lm_score" -> 7,
     "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
     "q_recent_reviews" -> 0,
     // session_window: one user_id exchange for session assembly + the
