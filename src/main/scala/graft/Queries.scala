@@ -156,6 +156,9 @@ object Queries {
     // interval/range join via the banded rewrite: bucket expand + broadcast
     // HASH join + residual range check (oracle states the plain range join)
     "q_promo_attrib" -> (Relational.promoAttrib _),
+    // click->purchase conversion funnel: forward-looking union-and-window
+    // attribution (oracle states the declarative left-join min form)
+    "q_funnel" -> (Relational.funnel _),
     "q_pricing_rollup" -> (Relational.pricingRollup _),
     // custom physical operator (plans/TopKPerKey): per-key bounded-heap
     // top-k — no per-group sort, map-side pruning before one shuffle
@@ -222,6 +225,10 @@ object Queries {
       Sampling.mixedSample(Tables.load(s, d, "documents"))),
     "q_seq_pack" -> ((s: SparkSession, d: String) =>
       Packing.seqPack(Tables.load(s, d, "documents"))),
+    // deterministic per-source uniform sample (hash-ranked "reservoir")
+    // through the bounded-heap TopK physical operator
+    "q_reservoir" -> ((s: SparkSession, d: String) =>
+      Sampling.reservoir(Tables.load(s, d, "documents"))),
     // train/eval decontamination: benchmark = doc_id % 97 == 0 stand-in
     "q_decontaminate" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
@@ -372,6 +379,7 @@ object Queries {
     "q_sessions" -> Sql.sessions,
     "q_hopping" -> Sql.hopping,
     "q_promo_attrib" -> Sql.promoAttrib,
+    "q_funnel" -> Sql.funnel,
     "q_pricing_rollup" -> Sql.pricingRollup,
     "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
@@ -399,6 +407,7 @@ object Queries {
     "q_corpus_mix" -> SqlText.corpusMix,
     "q_mixed_sample" -> SqlText.mixedSample,
     "q_seq_pack" -> SqlText.seqPack,
+    "q_reservoir" -> SqlText.reservoir,
     "q_decontaminate" -> SqlText.decontaminate,
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
     // bloom prefilter + exact verify == exact semantics, same oracle

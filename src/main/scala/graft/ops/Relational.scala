@@ -220,6 +220,46 @@ object Relational {
   def promoAttrib(spark: SparkSession, dir: String): DataFrame =
     promoAttribOf(Tables.events(spark, dir))
 
+  /** Click→purchase conversion funnel: per user, how many clicks see a
+    * purchase within the next hour. The FORWARD-looking sibling of the
+    * as-of join (q_asof_purchase carries the last purchase BEFORE each
+    * click): next-purchase attribution is the standard funnel/conversion
+    * query.
+    *
+    * Scale shape: same union-and-window trick as [[AsOfJoin]] — clicks
+    * and purchases merge into one keyed stream, a single user_id
+    * exchange, and the "next purchase strictly after this click" is a
+    * running min over the DESC-time scan (ties order clicks first, so an
+    * equal-timestamp purchase never converts its own click). No range
+    * join, no per-click probe.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("_kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(1).as("_kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clicks.unionAll(purchases)
+      .withColumn("_np",
+        min(when(col("_kind") === 1, col("ts"))).over(w))
+      .filter(col("_kind") === 0)
+      .withColumn("_conv",
+        when(col("_np") <= col("ts") + expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"), sum(col("_conv")).as("n_converted"))
+      .withColumn("conversion_rate",
+        round(col("n_converted") / col("n_clicks"), 6))
+      .orderBy("user_id")
+  }
+
   def promoAttribOf(ev: DataFrame): DataFrame = {
     val bucketUs = 1800000000L // 30 min
     val windows = ev

@@ -98,4 +98,30 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }
+
+  val ReservoirSalt = "res:v1:"
+  val ReservoirK = 10
+
+  /** Deterministic per-group uniform sample without replacement — the
+    * batch equivalent of a per-key reservoir: keep the k docs with the
+    * SMALLEST md5 draw within each source. A hash-ranked sample is
+    * uniform (md5 is uniform on doc_id), reproducible under reruns and
+    * repartitioning, and — unlike rand()-based reservoirs — stable
+    * per item as the corpus grows (a kept doc is only ever evicted by a
+    * new smaller-hash arrival, the property incremental re-curation
+    * needs).
+    *
+    * Runs through the custom bounded-heap [[graft.plans.TopK]] physical
+    * operator: per-partition heaps prune to k BEFORE the single key
+    * exchange, so a giant source ships k rows, not its population —
+    * the same mega-group-safety argument as q_cluster_sample.
+    */
+  def reservoir(docs: DataFrame, k: Int = ReservoirK): DataFrame = {
+    val drawn = docs.select(col("source"), col("doc_id"),
+      h32(ReservoirSalt, col("doc_id")).as("draw"))
+    graft.plans.TopK.perKey(drawn, Seq("source"),
+        Seq(graft.plans.TopK.asc("draw"), graft.plans.TopK.asc("doc_id")), k)
+      .select(col("source"), col("doc_id"), col("draw"))
+      .orderBy("source", "draw", "doc_id")
+  }
 }

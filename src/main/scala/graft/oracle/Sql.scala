@@ -564,6 +564,28 @@ object Sql {
        |FROM events e JOIN p ON e.ts >= p.w_start AND e.ts < p.w_end
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for q_funnel. The oracle states the declarative form — for
+    * each click, the min purchase timestamp strictly after it (left
+    * join + group) — against which the engine's union-and-window
+    * forward scan is verified. Conversion = next purchase within 1 h.
+    */
+  val funnel: String =
+    s"""WITH c AS (SELECT user_id, event_id, ts FROM events
+       |  WHERE event_type = 'click'),
+       |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       |j AS (SELECT c.user_id, c.event_id, c.ts AS cts, min(p.ts) AS np
+       |  FROM c LEFT JOIN p
+       |    ON p.user_id = c.user_id AND p.ts > c.ts
+       |  GROUP BY 1, 2, 3)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       |  CAST(sum(CASE WHEN np <= cts + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_converted,
+       |  CAST(round(CAST(
+       |      sum(CASE WHEN np <= cts + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+       |        / count(*) AS DECIMAL(38, 12)), 6) AS DOUBLE)
+       |    AS conversion_rate
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for q_hopping. Mirrors graft.ops.TimeWindows.hopping: each
     * event lands in exactly size/slide = 2 hopping windows, enumerated as
     * the epoch-aligned 30-min bucket and its predecessor. Window starts

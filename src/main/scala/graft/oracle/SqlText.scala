@@ -1133,6 +1133,24 @@ object SqlText {
        |$pqRerankSql""".stripMargin
   }
 
+  /** Oracle for q_reservoir (deterministic per-source uniform sample:
+    * k smallest md5 draws per source; the engine runs it through the
+    * bounded-heap TopK physical operator, the oracle states the
+    * row_number form).
+    */
+  val reservoir: String = {
+    val salt = graft.ops.Sampling.ReservoirSalt
+    val k = graft.ops.Sampling.ReservoirK
+    s"""WITH drawn AS (SELECT source, doc_id,
+       |    ('0x' || substr(md5(${s(salt)} ||
+       |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS draw
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY draw, doc_id) AS rn FROM drawn)
+       |SELECT source, doc_id, draw FROM r WHERE rn <= $k
+       |ORDER BY source, draw, doc_id""".stripMargin
+  }
+
   /** Oracle for q_lm_score (corpus bigram-LM predictability; mirrors
     * TextAnalysis.lmScore — MLE conditional probabilities as exact
     * long/long doubles, quantized order-independent per-doc mean).

@@ -85,6 +85,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // distinct-hour agg (broadcast subtree) + final agg + output sort;
     // the range join itself is a broadcast HASH join on the bucket band
     "q_promo_attrib" -> 3,
+    // union-and-window forward scan: one user_id exchange + per-user agg
+    // + output sort
+    "q_funnel" -> 3,
+    // TopK partial heaps + one source exchange + output sort
+    "q_reservoir" -> 2,
     "q_region_revenue" -> 2, "q_repetition" -> 1,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime
