@@ -306,6 +306,9 @@ object Queries {
     // BM25 keyword relevance (rational-idf variant — see TextAnalysis.bm25)
     "q_bm25" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25(Tables.load(s, d, "documents"))),
+    // hybrid retrieval: BM25 top-k + cosine top-k fused by reciprocal-
+    // rank fusion (rank-only fusion — no score calibration needed)
+    "q_hybrid_rank" -> (HybridRank.hybridRank _),
     "q_vocab" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocab(Tables.load(s, d, "documents"))),
     // LLM-data-pipeline: similarity search
@@ -424,6 +427,7 @@ object Queries {
     "q_lm_score" -> SqlText.lmScore,
     "q_repetition" -> SqlText.repetition,
     "q_bm25" -> SqlText.bm25,
+    "q_hybrid_rank" -> SqlText.hybridRank,
     "q_vocab" -> SqlText.vocab,
     "q_knn_brute" -> SqlText.knnBrute,
     "q_knn_ivf" -> SqlText.knnIvf,

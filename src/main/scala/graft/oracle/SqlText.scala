@@ -1133,6 +1133,39 @@ object SqlText {
        |$pqRerankSql""".stripMargin
   }
 
+  /** Oracle for q_hybrid_rank (reciprocal-rank fusion of the BM25
+    * top-k and the cosine top-k; mirrors graft.ops.HybridRank — the
+    * bm25 oracle embeds verbatim as a derived table, so the keyword
+    * ranks cannot drift between the two oracles).
+    */
+  val hybridRank: String = {
+    val K = graft.ops.HybridRank.RrfK
+    s"""WITH bmq AS (SELECT * FROM ($bm25)),
+       |br AS (SELECT doc_id, row_number() OVER (
+       |    ORDER BY bm25 DESC, doc_id) AS kw_rank FROM bmq),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |qv AS (SELECT emb AS qemb FROM e
+       |  WHERE vec_id = ${graft.ops.HybridRank.QueryVec}),
+       |cosall AS (SELECT e.vec_id AS doc_id,
+       |    CAST(round(CAST(${dotSql("e.emb", "q.qemb")} /
+       |      (sqrt(${dotSql("e.emb", "e.emb")}) *
+       |       sqrt(${dotSql("q.qemb", "q.qemb")})) AS DECIMAL(38, 12)), 6)
+       |      AS DOUBLE) AS c
+       |  FROM e, qv q WHERE e.vec_id != ${graft.ops.HybridRank.QueryVec}),
+       |cr AS (SELECT doc_id, rn AS sem_rank FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rn
+       |  FROM cosall) WHERE rn <= ${graft.ops.HybridRank.CosK})
+       |SELECT doc_id,
+       |  CAST(kw_rank AS INT) AS kw_rank, CAST(sem_rank AS INT) AS sem_rank,
+       |  CAST(round(CAST(
+       |      coalesce(1.0 / ($K + kw_rank), 0.0) +
+       |      coalesce(1.0 / ($K + sem_rank), 0.0)
+       |    AS DECIMAL(38, 12)), 6) AS DOUBLE) AS rrf
+       |FROM br FULL OUTER JOIN cr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT ${graft.ops.HybridRank.OutK}""".stripMargin
+  }
+
   /** Oracle for q_reservoir (deterministic per-source uniform sample:
     * k smallest md5 draws per source; the engine runs it through the
     * bounded-heap TopK physical operator, the oracle states the

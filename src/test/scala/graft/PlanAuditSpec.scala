@@ -56,6 +56,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // per-term tf is shuffle-free; one single-row stats agg broadcast
     // back + the global top-k (TakeOrdered needs no exchange)
     "q_bm25" -> 1,
+    // both sides reduce via TakeOrdered; rank windows + fusion join run
+    // on k-row frames (single-partition exchanges) + output sort
+    "q_hybrid_rank" -> 6,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
@@ -109,7 +112,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
-    "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25")
+    "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25",
+    // single-row query-vector broadcast + the k-row x k-row fusion join
+    "q_hybrid_rank")
 
   /** Queries whose parquet scan must carry pushed-down filters. */
   private val mustPush = Set("q1_pricing", "q3_shipping", "q_asof_purchase",
