@@ -153,6 +153,10 @@ object Queries {
     // generator — bounded 2x map-side expand, one partial-agg groupBy
     "q_hopping" -> ((s: SparkSession, d: String) =>
       TimeWindows.hopping(Tables.events(s, d))),
+    // per-type hourly volume z-scores: two partial-agg groupBys + a
+    // broadcast of the tiny per-type moment frame (never a window)
+    "q_hourly_anomaly" -> ((s: SparkSession, d: String) =>
+      Anomaly.hourlyAnomaly(Tables.events(s, d))),
     // interval/range join via the banded rewrite: bucket expand + broadcast
     // HASH join + residual range check (oracle states the plain range join)
     "q_promo_attrib" -> (Relational.promoAttrib _),
@@ -285,6 +289,10 @@ object Queries {
       TextAnalysis.tokenStats(Tables.load(s, d, "documents"))),
     "q_doc_quality" -> ((s: SparkSession, d: String) =>
       TextAnalysis.docQuality(Tables.load(s, d, "documents"))),
+    // Gopher word-level quality rules: exact-integer thresholds, first
+    // failing rule as the reject reason — shuffle-free single scan
+    "q_gopher_rules" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gopherRules(Tables.load(s, d, "documents"))),
     // corpus-statistic scoring: frequency table joined back to tokens
     "q_rare_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rareTokens(Tables.load(s, d, "documents"))),
@@ -381,6 +389,7 @@ object Queries {
     "q_event_props" -> Sql.eventPropsAgg,
     "q_sessions" -> Sql.sessions,
     "q_hopping" -> Sql.hopping,
+    "q_hourly_anomaly" -> Sql.hourlyAnomaly,
     "q_promo_attrib" -> Sql.promoAttrib,
     "q_funnel" -> Sql.funnel,
     "q_pricing_rollup" -> Sql.pricingRollup,
@@ -421,6 +430,7 @@ object Queries {
     "q_pii_scrub" -> SqlText.piiScrub,
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
+    "q_gopher_rules" -> SqlText.gopherRules,
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_dsir" -> SqlText.dsir,

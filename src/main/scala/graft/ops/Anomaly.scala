@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Volume-anomaly detection over the event stream — the batch face of the
+  * monitoring rule an operations pipeline alarms on (reference analog: the
+  * hourly stats table `faust_app.py:173-189` is what a human eyeballs for
+  * spikes; this operator scores the spike). Per (event_type, hour) counts
+  * are z-scored against that event_type's own hourly distribution and
+  * flagged when |z| > [[ZThreshold]].
+  *
+  * Exact-arithmetic contract: with n hours, s1 = Σcnt, s2 = Σcnt² (all
+  * integer sums), the population z-score algebra collapses to
+  * z = (n·cnt − s1) / sqrt(n·s2 − s1²) — integer numerator, ONE
+  * correctly-rounded sqrt and ONE division, so Spark and the DuckDB
+  * oracle produce bit-identical doubles (same policy as bm25's rational
+  * idf / dsir's single division). Zero-variance types guard to z = 0.
+  *
+  * Scale shape: two partial-agg groupBys (hour counts, then per-type
+  * moments — map-side combined, never a window over an unbounded
+  * partition), and the per-type moment frame is |event_type| rows —
+  * broadcast back onto the hourly counts. At 100 TB the hourly-count
+  * frame is ~n_types × n_hours rows (tiny), the scan is the only big
+  * stage, and nothing shuffles the raw events twice.
+  */
+object Anomaly {
+
+  val ZThreshold = 2.0
+
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("_n"),
+      sum(col("n_events")).as("_s1"),
+      sum(col("n_events") * col("n_events")).as("_s2"))
+    val num = (col("_n") * col("n_events") - col("_s1")).cast("double")
+    val den = sqrt((col("_n") * col("_s2") - col("_s1") * col("_s1"))
+      .cast("double"))
+    val z = when(den > 0, num / den).otherwise(lit(0.0))
+    hourly.join(broadcast(moments), "event_type")
+      .select(col("event_type"), col("hour"),
+        col("n_events").cast("long").as("n_events"),
+        round(z, 4).as("z_score"),
+        (z > ZThreshold || z < -ZThreshold).as("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+}

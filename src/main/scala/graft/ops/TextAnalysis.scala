@@ -447,4 +447,56 @@ object TextAnalysis {
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(topK)
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+    * word-level subset; the line-level rules are vacuous on this
+    * single-line corpus): word-count bounds [50, 100k], mean word length
+    * in [3, 10], >= 80% of words containing an alphabetic character, and
+    * >= 2 English stopwords. Every threshold comparison is EXACT INTEGER
+    * arithmetic (mean-word-length in [3,10] <=> charSum in [3*wc, 10*wc];
+    * alpha fraction >= 0.8 <=> 5*alphaWords >= 4*wc), so the keep/reject
+    * decision has no float-boundary risk cross-engine; the reported
+    * fractional diagnostics are single int/int divisions rounded once.
+    *
+    * `reject_reason` names the FIRST failing rule in the published order —
+    * the routing signal a curation pipeline logs per dropped doc.
+    *
+    * Scale shape: pure column expressions in one WholeStageCodegen span,
+    * shuffle-free until the output sort — at 100 TB this is a single scan,
+    * embarrassingly parallel, and the filter columns it emits feed a
+    * partition-pruned rejected-docs sink without a second pass.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val wc = size(w)
+    val wcSafe = greatest(wc, lit(1))
+    // total characters across words = length of the separator-free concat
+    // (one pass, no per-word transform array)
+    val chars = length(concat_ws("", w))
+    val alphaW = size(filter(w, x => x.rlike("[a-z]")))
+    val stops = regexp_count(lower(col("text")),
+      lit(graft.rules.Rules.EnStopwords))
+    val okWc = wc.between(GopherMinWords, GopherMaxWords)
+    val okMwl = chars.between(wc * GopherMinMeanWl, wc * GopherMaxMeanWl)
+    val okAlpha = alphaW * 5 >= wc * 4
+    val okStops = stops >= GopherMinStops
+    docs.select(col("doc_id"),
+      wc.as("word_count"),
+      round(chars.cast("double") / wcSafe, 4).as("mean_word_len"),
+      round(alphaW.cast("double") / wcSafe, 4).as("alpha_frac"),
+      stops.cast("long").as("stop_count"),
+      (okWc && okMwl && okAlpha && okStops).as("keep"),
+      when(!okWc, lit("word_count"))
+        .when(!okMwl, lit("mean_word_len"))
+        .when(!okAlpha, lit("alpha_frac"))
+        .when(!okStops, lit("stopwords"))
+        .otherwise(lit(null).cast("string")).as("reject_reason"))
+      .orderBy("doc_id")
+  }
+
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWl = 3
+  val GopherMaxMeanWl = 10
+  val GopherMinStops = 2
 }

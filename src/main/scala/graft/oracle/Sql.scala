@@ -586,6 +586,26 @@ object Sql {
        |    AS conversion_rate
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for q_hourly_anomaly. Mirrors graft.ops.Anomaly.hourlyAnomaly:
+    * integer moment sums per event_type, z = (n·cnt − s1)/sqrt(n·s2 − s1²)
+    * — one correctly-rounded sqrt + one division, bit-identical to Spark.
+    */
+  val hourlyAnomaly: String = {
+    val z = """CASE WHEN n * s2 - s1 * s1 > 0
+      THEN CAST(n * n_events - s1 AS DOUBLE)
+        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+      ELSE CAST(0.0 AS DOUBLE) END"""
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+       |  count(*) AS n_events FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, count(*) AS n, sum(n_events) AS s1,
+       |  sum(n_events * n_events) AS s2 FROM h GROUP BY 1)
+       |SELECT h.event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(round(CAST($z AS DECIMAL(38, 12)), 4) AS DOUBLE) AS z_score,
+       |  ($z > ${d(graft.ops.Anomaly.ZThreshold)}
+       |    OR $z < -${d(graft.ops.Anomaly.ZThreshold)}) AS is_anomaly
+       |FROM h JOIN m USING (event_type) ORDER BY 1, 2""".stripMargin
+  }
+
   /** Oracle for q_hopping. Mirrors graft.ops.TimeWindows.hopping: each
     * event lands in exactly size/slide = 2 hopping windows, enumerated as
     * the epoch-aligned 30-min bucket and its predecessor. Window starts

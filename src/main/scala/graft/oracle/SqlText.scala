@@ -1245,4 +1245,40 @@ object SqlText {
        |    < least(1.0, sc) AS kept
        |FROM j ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for q_gopher_rules. Mirrors TextAnalysis.gopherRules: every
+    * threshold test is exact integer arithmetic (no float boundaries);
+    * the fractional diagnostics are one int/int division rounded once.
+    */
+  val gopherRules: String = {
+    import graft.ops.TextAnalysis._
+    val tests = Seq(
+      "word_count" -> s"wc BETWEEN $GopherMinWords AND $GopherMaxWords",
+      "mean_word_len" ->
+        s"chars BETWEEN $GopherMinMeanWl * wc AND $GopherMaxMeanWl * wc",
+      "alpha_frac" -> "alphaw * 5 >= wc * 4",
+      "stopwords" -> s"stops >= $GopherMinStops")
+    val keep = tests.map(_._2).mkString("(", ") AND (", ")")
+    val reason = tests.map { case (name, t) =>
+      s"WHEN NOT ($t) THEN ${s(name)}"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS words,
+       |  lower(text) AS lc FROM documents),
+       |b AS (SELECT doc_id, len(words) AS wc,
+       |  length(array_to_string(words, '')) AS chars,
+       |  len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+       |    AS alphaw,
+       |  len(regexp_extract_all(lc, ${s(graft.rules.Rules.EnStopwords)}))
+       |    AS stops
+       |  FROM d)
+       |SELECT doc_id, CAST(wc AS INT) AS word_count,
+       |  CAST(round(CAST(CAST(chars AS DOUBLE) / greatest(wc, 1)
+       |    AS DECIMAL(38, 12)), 4) AS DOUBLE) AS mean_word_len,
+       |  CAST(round(CAST(CAST(alphaw AS DOUBLE) / greatest(wc, 1)
+       |    AS DECIMAL(38, 12)), 4) AS DOUBLE) AS alpha_frac,
+       |  CAST(stops AS BIGINT) AS stop_count,
+       |  $keep AS keep,
+       |  $reason AS reject_reason
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
 }

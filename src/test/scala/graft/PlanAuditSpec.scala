@@ -60,6 +60,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // on k-row frames (single-partition exchanges) + output sort
     "q_hybrid_rank" -> 6,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
+    // the hour-count agg subtree appears on BOTH sides of the self-join
+    // (2 statically; ReuseExchange collapses them at runtime) + per-type
+    // moment agg + output sort
+    "q_hourly_anomaly" -> 4,
+    // pure column expressions: output sort only
+    "q_gopher_rules" -> 1,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     // encode groupBy (via the memoized codes) + ADC partial-agg groupBy
