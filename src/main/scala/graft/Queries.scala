@@ -157,6 +157,10 @@ object Queries {
     // broadcast of the tiny per-type moment frame (never a window)
     "q_hourly_anomaly" -> ((s: SparkSession, d: String) =>
       Anomaly.hourlyAnomaly(Tables.events(s, d))),
+    // weekly cohort retention: ONE user exchange for cohorting + activity
+    // dedup (co-partitioned join), cohort sizes broadcast onto the cells
+    "q_cohort" -> ((s: SparkSession, d: String) =>
+      Cohort.retention(Tables.events(s, d))),
     // interval/range join via the banded rewrite: bucket expand + broadcast
     // HASH join + residual range check (oracle states the plain range join)
     "q_promo_attrib" -> (Relational.promoAttrib _),
@@ -390,6 +394,7 @@ object Queries {
     "q_sessions" -> Sql.sessions,
     "q_hopping" -> Sql.hopping,
     "q_hourly_anomaly" -> Sql.hourlyAnomaly,
+    "q_cohort" -> Sql.cohort,
     "q_promo_attrib" -> Sql.promoAttrib,
     "q_funnel" -> Sql.funnel,
     "q_pricing_rollup" -> Sql.pricingRollup,

@@ -586,6 +586,29 @@ object Sql {
        |    AS conversion_rate
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for q_cohort. Mirrors graft.ops.Cohort.retention: Monday
+    * date_trunc weeks in both engines; the week offset divides an exact
+    * multiple of 7, and retention is one int/int division rounded once.
+    */
+  val cohort: String =
+    s"""WITH cohorts AS (SELECT user_id, date_trunc('week', min(ts))
+       |    AS cohort_week FROM events GROUP BY 1),
+       |active AS (SELECT DISTINCT user_id, date_trunc('week', ts)
+       |    AS active_week FROM events),
+       |cells AS (SELECT cohort_week,
+       |    CAST(date_diff('day', cohort_week, active_week) / 7 AS INT)
+       |      AS week_offset,
+       |    count(*) AS n_active
+       |  FROM active JOIN cohorts USING (user_id) GROUP BY 1, 2),
+       |sizes AS (SELECT cohort_week, count(*) AS cohort_size
+       |  FROM cohorts GROUP BY 1)
+       |SELECT cohort_week, week_offset,
+       |  CAST(n_active AS BIGINT) AS n_active,
+       |  CAST(cohort_size AS BIGINT) AS cohort_size,
+       |  CAST(round(CAST(n_active / cohort_size AS DECIMAL(38, 12)), 4)
+       |    AS DOUBLE) AS retention
+       |FROM cells JOIN sizes USING (cohort_week) ORDER BY 1, 2""".stripMargin
+
   /** Oracle for q_hourly_anomaly. Mirrors graft.ops.Anomaly.hourlyAnomaly:
     * integer moment sums per event_type, z = (n·cnt − s1)/sqrt(n·s2 − s1²)
     * — one correctly-rounded sqrt + one division, bit-identical to Spark.

@@ -60,6 +60,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // on k-row frames (single-partition exchanges) + output sort
     "q_hybrid_rank" -> 6,
     "q_event_props" -> 2, "q_fingerprints" -> 1, "q_hourly_stats" -> 2,
+    // user exchange for cohorting (subtree shared with the activity
+    // distinct — statically duplicated, ReuseExchange collapses it),
+    // cell agg + broadcast sizes + output sort
+    "q_cohort" -> 6,
     // the hour-count agg subtree appears on BOTH sides of the self-join
     // (2 statically; ReuseExchange collapses them at runtime) + per-type
     // moment agg + output sort
