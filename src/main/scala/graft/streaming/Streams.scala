@@ -173,6 +173,37 @@ object Streams {
       .select(col("_w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval self-join: each click joins the purchases
+    * that follow it within [[graft.ops.Relational]]'s funnel window
+    * (strictly after, inclusive +1 h — the same boundary the batch funnel
+    * pins). This is the streaming semantic the rest of T-coverage didn't
+    * demonstrate: BOTH sides are unbounded, so Spark keeps join state per
+    * side and needs the event-time range condition + watermarks to bound
+    * it — a click can be dropped from state once the watermark passes
+    * click_ts + 1 h (no purchase can match it anymore), and a purchase
+    * once it is `delay` old. Without the range condition this state grows
+    * forever; the condition is the 100 TB contract, not an optimization.
+    *
+    * Works identically on batch frames (the operators are the same), so
+    * batch/streaming parity is provable by value (`StreamJoinSpec`).
+    */
+  def conversionJoin(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("_pu"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+      col("user_id") === col("_pu") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Hourly windowed ReviewStats in update mode (A1/A3). */
   def hourlyStats(annotated: DataFrame, delay: String = "2 hours"): DataFrame =
     annotated
