@@ -297,6 +297,10 @@ object Queries {
     // failing rule as the reject reason — shuffle-free single scan
     "q_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(Tables.load(s, d, "documents"))),
+    // URL-canonical dedup + per-domain cap (C4/RefinedWeb intake):
+    // regexp canonicalization, min-id winner, bounded-heap domain cap
+    "q_url_dedup" -> ((s: SparkSession, d: String) =>
+      Url.urlDedup(Url.withUrls(Tables.load(s, d, "documents")))),
     // corpus-statistic scoring: frequency table joined back to tokens
     "q_rare_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rareTokens(Tables.load(s, d, "documents"))),
@@ -436,6 +440,7 @@ object Queries {
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
     "q_gopher_rules" -> SqlText.gopherRules,
+    "q_url_dedup" -> SqlText.urlDedup,
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_dsir" -> SqlText.dsir,

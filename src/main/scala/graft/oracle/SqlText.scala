@@ -1246,6 +1246,39 @@ object SqlText {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_url_dedup. Mirrors Url.withUrls seeding + Url.canonical
+    * + the min-doc_id winner and per-domain cap (window formulation — the
+    * technique differs from Spark's groupBy/TopK, the values must not).
+    */
+  val urlDedup: String = {
+    val page = "'site' || CAST(doc_id % 37 AS VARCHAR) || '.com/page' " +
+      "|| CAST(doc_id % 11 AS VARCHAR)"
+    // NOTE: no line may START with `||` — the outer stripMargin would eat
+    // one pipe of the concat operator
+    val url = s"""CASE WHEN doc_id % 4 = 0 THEN 'https://www.' || $page
+      WHEN doc_id % 4 = 1 THEN 'http://' || $page || '/'
+      WHEN doc_id % 4 = 2 THEN 'https://' || $page ||
+        '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+      ELSE 'https://www.' || $page || '#section' || CAST(doc_id AS VARCHAR)
+      END"""
+    val canon = """regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lower(url), '^https?://', ''),
+      '^www\.', ''), '[?#].*$', ''), '/$', '')"""
+    s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
+       |c AS (SELECT doc_id, url, $canon AS canon FROM u),
+       |t AS (SELECT doc_id, url, canon,
+       |    regexp_replace(canon, '/.*$$', '') AS domain,
+       |    doc_id = min(doc_id) OVER (PARTITION BY canon) AS url_winner
+       |  FROM c),
+       |r AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+       |  FROM t WHERE url_winner)
+       |SELECT t.doc_id, url, canon, domain, url_winner,
+       |  coalesce(rn <= ${graft.ops.Url.DomainCap}, FALSE) AS kept
+       |FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Oracle for q_gopher_rules. Mirrors TextAnalysis.gopherRules: every
     * threshold test is exact integer arithmetic (no float boundaries);
     * the fractional diagnostics are one int/int division rounded once.

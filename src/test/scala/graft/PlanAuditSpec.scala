@@ -70,6 +70,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_hourly_anomaly" -> 4,
     // pure column expressions: output sort only
     "q_gopher_rules" -> 1,
+    // canon-winner agg + join back + TopK's single domain exchange +
+    // the kept left join + output sort
+    "q_url_dedup" -> 6,
     "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     // encode groupBy (via the memoized codes) + ADC partial-agg groupBy
