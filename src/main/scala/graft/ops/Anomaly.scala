@@ -28,19 +28,34 @@ object Anomaly {
 
   val ZThreshold = 2.0
 
-  def hourlyAnomaly(events: DataFrame): DataFrame = {
-    val hourly = events
+  /** Per-(event_type, hour) counts — the shared first stage. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
-    val moments = hourly.groupBy(col("event_type")).agg(
+
+  /** Per-type integer moment sums (n, Σcnt, Σcnt²) over hourly counts —
+    * the tiny "trained" reference frame; broadcastable at any scale and
+    * the static side of the streaming alert join
+    * ([[graft.streaming.Streams.anomalyAlerts]]).
+    */
+  def moments(events: DataFrame): DataFrame =
+    hourlyCounts(events).groupBy(col("event_type")).agg(
       count(lit(1)).as("_n"),
       sum(col("n_events")).as("_s1"),
       sum(col("n_events") * col("n_events")).as("_s2"))
-    val num = (col("_n") * col("n_events") - col("_s1")).cast("double")
+
+  /** z = (n·cnt − s1) / sqrt(n·s2 − s1²), 0 when variance is zero. */
+  def zScore(cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val num = (col("_n") * cnt - col("_s1")).cast("double")
     val den = sqrt((col("_n") * col("_s2") - col("_s1") * col("_s1"))
       .cast("double"))
-    val z = when(den > 0, num / den).otherwise(lit(0.0))
-    hourly.join(broadcast(moments), "event_type")
+    when(den > 0, num / den).otherwise(lit(0.0))
+  }
+
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val z = zScore(col("n_events"))
+    hourlyCounts(events).join(broadcast(moments(events)), "event_type")
       .select(col("event_type"), col("hour"),
         col("n_events").cast("long").as("n_events"),
         round(z, 4).as("z_score"),

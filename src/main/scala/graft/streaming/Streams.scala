@@ -204,6 +204,33 @@ object Streams {
         col("purchase_ts"), col("value"))
   }
 
+  /** Stream-STATIC broadcast join: live hourly event counts scored
+    * against a batch-trained per-type moment frame
+    * ([[graft.ops.Anomaly.moments]]) — the train-offline / score-online
+    * split every production anomaly alert runs (and the one join shape
+    * T-coverage still lacked: the static side is planned once, broadcast,
+    * and holds NO streaming state). Emits only windows breaching
+    * [[graft.ops.Anomaly.ZThreshold]], in append mode as the watermark
+    * closes them; z values are bit-identical to the batch
+    * `hourlyAnomaly` by construction (same integer-moment algebra).
+    */
+  def anomalyAlerts(events: DataFrame, moments: DataFrame,
+                    delay: String = "2 hours"): DataFrame = {
+    val hourly = events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"))
+    val z = graft.ops.Anomaly.zScore(col("n_events"))
+    hourly.join(broadcast(moments), "event_type")
+      .filter(z > graft.ops.Anomaly.ZThreshold ||
+        z < -graft.ops.Anomaly.ZThreshold)
+      .select(col("event_type"), col("hour"),
+        col("n_events").cast("long").as("n_events"),
+        round(z, 4).as("z_score"))
+  }
+
   /** Hourly windowed ReviewStats in update mode (A1/A3). */
   def hourlyStats(annotated: DataFrame, delay: String = "2 hours"): DataFrame =
     annotated

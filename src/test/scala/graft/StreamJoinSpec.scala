@@ -63,4 +63,38 @@ class StreamJoinSpec extends AnyFunSuite with Matchers with TestSpark {
       stateRows should be > 0L
     } finally q.stop()
   }
+
+  test("stream-static anomaly alerts match batch z-scores on closed " +
+      "windows") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val moments = graft.ops.Anomaly.moments(events)
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+    // batch truth: anomalous hours whose window closes under a 0s
+    // watermark (hour + 1h <= max event time)
+    val expected = graft.ops.Anomaly.hourlyAnomaly(events)
+      .filter(col("is_anomaly") &&
+        col("hour") + expr("INTERVAL 1 HOUR") <= lit(maxTs))
+      .select("event_type", "hour", "n_events", "z_score")
+      .orderBy("event_type", "hour").collect()
+    expected.length should be > 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssalert")
+    events.coalesce(4).write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val alerts = Streams.anomalyAlerts(
+      spark.readStream.schema(events.schema)
+        .parquet(dir.resolve("in").toString),
+      moments, delay = "0 seconds")
+    val q = alerts.writeStream.format("memory")
+      .queryName("ssalert_parity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssalert_parity")
+        .orderBy("event_type", "hour").collect()
+      got.length shouldBe expected.length
+      got.zip(expected).foreach { case (s, b) =>
+        (0 until 4).foreach(i => s.get(i) shouldBe b.get(i))
+      }
+    } finally q.stop()
+  }
 }
