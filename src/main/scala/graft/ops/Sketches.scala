@@ -55,4 +55,30 @@ object Sketches {
       new java.io.ByteArrayInputStream(sketch))
     cms.estimateCount(item)
   }
+
+  /** approx_percentile's accuracy knob: rank error <= 1/accuracy of the
+    * group size (Greenwald-Khanna style mergeable summary — the quantile
+    * member of the sketch tier; like CMS/HLL it rides the normal
+    * partial/final shuffle with bounded state per group).
+    */
+  val PctAccuracy = 100
+
+  /** Per-group approximate percentiles beside the exact ones — the same
+    * validate-the-estimator inspection shape as [[approxDistinct]]. The
+    * guarantee (pinned in SketchesSpec): the approximate p-quantile's
+    * RANK lies within n/PctAccuracy of rank p·n, for every group and
+    * every requested p.
+    */
+  def approxPercentiles(df: DataFrame, group: String, value: String,
+                        ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    df.groupBy(col(group))
+      .agg(
+        approx_percentile(col(value), pArr, lit(PctAccuracy))
+          .as("approx_pct"),
+        expr(s"percentile($value, array(${ps.mkString(",")}))")
+          .as("exact_pct"),
+        count(col(value)).as("n"))
+      .orderBy(group)
+  }
 }

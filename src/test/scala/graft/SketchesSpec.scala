@@ -56,4 +56,27 @@ class SketchesSpec extends AnyFunSuite with Matchers with TestSpark {
       Sketches.cmsEstimate(s1, uid) shouldBe Sketches.cmsEstimate(s2, uid)
     }
   }
+
+  test("approx percentiles: rank error within n/accuracy on every group") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+    val out = Sketches.approxPercentiles(ev, "event_type", "value")
+    // rank of the approximate quantile among the group's exact values
+    // must sit within n/accuracy of the target rank p*n
+    val values = ev.collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    out.collect().foreach { r =>
+      val (et, n) = (r.getString(0), r.getLong(3))
+      val approx = r.getSeq[Double](1)
+      val sortedVals = values(et)
+      Seq(0.5, 0.9, 0.99).zipWithIndex.foreach { case (p, i) =>
+        val rank = sortedVals.count(_ <= approx(i))
+        val tol = n.toDouble / Sketches.PctAccuracy + 1
+        withClue(s"$et p=$p: ") {
+          math.abs(rank - p * n) should be <= tol
+        }
+      }
+    }
+  }
 }
