@@ -297,6 +297,10 @@ object Queries {
     // failing rule as the reject reason — shuffle-free single scan
     "q_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(Tables.load(s, d, "documents"))),
+    // n-gram novelty (memorization-risk axis): gram-hash df table
+    // joined back — grams travel as h56 hashes, never text
+    "q_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ngramNovelty(Tables.load(s, d, "documents"))),
     // URL-canonical dedup + per-domain cap (C4/RefinedWeb intake):
     // regexp canonicalization, min-id winner, bounded-heap domain cap
     "q_url_dedup" -> ((s: SparkSession, d: String) =>
@@ -441,6 +445,7 @@ object Queries {
     "q_doc_quality" -> SqlText.docQuality,
     "q_gopher_rules" -> SqlText.gopherRules,
     "q_url_dedup" -> SqlText.urlDedup,
+    "q_ngram_novelty" -> SqlText.ngramNovelty,
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_dsir" -> SqlText.dsir,

@@ -250,6 +250,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** N-gram novelty — the memorization-risk axis of data curation
+    * (Carlini et al.: text whose n-grams recur across the corpus is what
+    * a model memorizes verbatim; near-dup detection catches whole-doc
+    * copies, THIS catches the templated-boilerplate tail that survives
+    * it). Per doc: the fraction of its DISTINCT [[NoveltyK]]-gram
+    * shingles that also appear in at least one other doc; novelty = 1 −
+    * that fraction (empty-gram docs are vacuously novel).
+    *
+    * Scale shape: grams travel as h56 hashes (16 bytes of md5 prefix,
+    * never gram text) through ONE partial-agg groupBy for document
+    * frequency; the join back is on the same gram-hash key; the per-doc
+    * collapse is a second partial-agg groupBy. All fractions are one
+    * int/int division rounded once.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val grams = docs
+      .select(col("doc_id"),
+        explode(when(size(w) >= NoveltyK,
+          TextHash.shingles(w, NoveltyK)).otherwise(array()))
+          .as("gram"))
+      .select(col("doc_id"), TextHash.h56(col("gram")).as("_g"))
+    val df = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val scored = grams.join(df, "_g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        round(lit(1.0) - coalesce(col("shared_grams"), lit(0L)) /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val NoveltyK = 5
+
   /** Corpus bigram-LM predictability score — the exact-arithmetic form
     * of KenLM-style perplexity filtering (CCNet scores documents by a
     * language model; the signal is "how predictable is this text under

@@ -1246,6 +1246,33 @@ object SqlText {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_ngram_novelty. Mirrors TextAnalysis.ngramNovelty:
+    * distinct k-gram shingles hashed h56, document frequency by GROUP BY,
+    * one int/int division rounded once.
+    */
+  val ngramNovelty: String = {
+    val k = TextAnalysis.NoveltyK
+    s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(words) - ${k - 1}),
+       |      i -> list_aggregate(list_slice(words, i + 1, i + $k),
+       |             'string_agg', ' ')))) AS gram
+       |  FROM d WHERE len(words) >= $k),
+       |h AS (SELECT doc_id, ${h56("gram")} AS gh FROM g),
+       |f AS (SELECT gh, count(*) AS df FROM h GROUP BY 1),
+       |s AS (SELECT doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS shared
+       |  FROM h JOIN f USING (gh) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(shared, 0) AS BIGINT) AS shared_grams,
+       |  CAST(round(CAST(${d(1.0)} - coalesce(shared, 0)
+       |      / greatest(coalesce(n_grams, 0), 1)
+       |    AS DECIMAL(38, 12)), 6) AS DOUBLE) AS novelty
+       |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_url_dedup. Mirrors Url.withUrls seeding + Url.canonical
     * + the min-doc_id winner and per-domain cap (window formulation — the
     * technique differs from Spark's groupBy/TopK, the values must not).

@@ -70,6 +70,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_hourly_anomaly" -> 4,
     // pure column expressions: output sort only
     "q_gopher_rules" -> 1,
+    // gram-hash df agg + join back on the same key + per-doc agg +
+    // corpus left join + output sort
+    "q_ngram_novelty" -> 5,
     // canon-winner agg + join back + TopK's single domain exchange +
     // the kept left join + output sort
     "q_url_dedup" -> 6,

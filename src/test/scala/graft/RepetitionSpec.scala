@@ -8,6 +8,25 @@ import graft.ops.TextAnalysis
 /** Gopher-style repetition signals: exact fractions on crafted docs. */
 class RepetitionSpec extends AnyFunSuite with Matchers with TestSpark {
 
+  test("ngram novelty: shared 5-grams across docs lower novelty") {
+    import spark.implicits._
+    // docs 1 and 2 share their first 5-gram ("a b c d e"); doc 3 is
+    // fully unique; doc 4 is too short for any 5-gram
+    val out = TextAnalysis.ngramNovelty(Seq(
+      (1L, "a b c d e f"),          // grams: abcde, bcdef -> 1 shared
+      (2L, "a b c d e x"),          // grams: abcde, bcdex -> 1 shared
+      (3L, "p q r s t u v"),        // 3 grams, none shared
+      (4L, "one two"))              // no grams
+      .toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((2L, 1L, 0.5))
+    out(2L) shouldBe ((2L, 1L, 0.5))
+    out(3L) shouldBe ((3L, 0L, 1.0))
+    out(4L) shouldBe ((0L, 0L, 1.0))
+  }
+
   private def rows(rs: (Long, String)*) = {
     import spark.implicits._
     TextAnalysis.repetition(rs.toDF("doc_id", "text"))
