@@ -64,6 +64,45 @@ class StreamJoinSpec extends AnyFunSuite with Matchers with TestSpark {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: the buffered click side survives and " +
+      "joins a purchase arriving in the second incarnation (T1)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    def frame = in.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft-ssjoin-ckpt")
+    val checkpoint = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    // memory sinks cannot recover a checkpoint — a file sink is the
+    // restartable shape (and the production one)
+    def startQuery() = Streams.conversionJoin(frame)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      in.addData((1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0))
+      q1.processAllAvailable()
+      spark.read.parquet(outDir).count() shouldBe 0L // no purchase yet
+    } finally q1.stop()
+
+    // second incarnation, SAME checkpoint: the click sits only in the
+    // restored join state — if state were lost the purchase would find
+    // nothing to attribute to
+    val q2 = startQuery()
+    try {
+      in.addData((2L, 1L, ts("2024-01-01 10:30:00"), "purchase", 9.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+      rows.length shouldBe 1
+      rows.head.getAs[Long]("click_id") shouldBe 1L // from incarnation 1
+      rows.head.getAs[Double]("value") shouldBe 9.0
+    } finally q2.stop()
+  }
+
   test("stream-static anomaly alerts match batch z-scores on closed " +
       "windows") {
     import org.apache.spark.sql.functions._
