@@ -297,6 +297,9 @@ object Queries {
     // failing rule as the reject reason — shuffle-free single scan
     "q_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(Tables.load(s, d, "documents"))),
+    // per-doc TF-IDF keyterms: rational idf, bounded-heap TopK per doc
+    "q_keyterms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.keyterms(Tables.load(s, d, "documents"))),
     // n-gram novelty (memorization-risk axis): gram-hash df table
     // joined back — grams travel as h56 hashes, never text
     "q_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -446,6 +449,7 @@ object Queries {
     "q_gopher_rules" -> SqlText.gopherRules,
     "q_url_dedup" -> SqlText.urlDedup,
     "q_ngram_novelty" -> SqlText.ngramNovelty,
+    "q_keyterms" -> SqlText.keyterms,
     "q_rare_tokens" -> SqlText.rareTokens,
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_dsir" -> SqlText.dsir,

@@ -290,6 +290,41 @@ object TextAnalysis {
 
   val NoveltyK = 5
 
+  /** Per-doc TF-IDF keyterms — the "what is this document about" surface
+    * a retrieval/labeling pipeline extracts per item. Rational idf
+    * (tf·N/df — integer products, ONE IEEE-identical division, the
+    * bm25/DSIR no-transcendentals policy); top [[KeytermsK]] terms per
+    * doc selected by the bounded-heap [[graft.plans.TopK]] operator on
+    * the ROUNDED score (so the cross-engine tiebreak is exact), word as
+    * the total-order tiebreak.
+    *
+    * Scale shape: tf is one (doc_id, word) partial-agg groupBy; df
+    * aggregates tf's output on the same word key; the corpus size is a
+    * single broadcast row; TopK prunes per-partition before its one
+    * doc_id exchange — a million-term doc ships k rows.
+    */
+  def keyterms(docs: DataFrame, k: Int = KeytermsK): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val tf = toks.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tf") * col("_n")).cast("double") / col("df"), 6))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq(graft.plans.TopK.desc("tfidf"), graft.plans.TopK.asc("word")), k)
+      .select(col("doc_id"), col("word"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), org.apache.spark.sql.functions.desc("tfidf"),
+        col("word"))
+  }
+
+  val KeytermsK = 3
+
   /** Corpus bigram-LM predictability score — the exact-arithmetic form
     * of KenLM-style perplexity filtering (CCNet scores documents by a
     * language model; the signal is "how predictable is this text under

@@ -1246,6 +1246,27 @@ object SqlText {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_keyterms. Mirrors TextAnalysis.keyterms: rational
+    * tf·N/df idf, rank on the ROUNDED score with word as tiebreak (the
+    * window formulation of the Spark side's bounded-heap TopK).
+    */
+  val keyterms: String =
+    s"""WITH t AS (SELECT doc_id, unnest(${wordsOf("text")}) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |s AS (SELECT doc_id, word, tf, df,
+       |    CAST(round(CAST(CAST(tf * n AS DOUBLE) / df
+       |      AS DECIMAL(38, 12)), 6) AS DOUBLE) AS tfidf
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, word) AS rn FROM s)
+       |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+       |  CAST(df AS BIGINT) AS df, tfidf
+       |FROM r WHERE rn <= ${TextAnalysis.KeytermsK}
+       |ORDER BY doc_id, tfidf DESC, word""".stripMargin
+
   /** Oracle for q_ngram_novelty. Mirrors TextAnalysis.ngramNovelty:
     * distinct k-gram shingles hashed h56, document frequency by GROUP BY,
     * one int/int division rounded once.

@@ -70,6 +70,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_hourly_anomaly" -> 4,
     // pure column expressions: output sort only
     "q_gopher_rules" -> 1,
+    // tf groupBy + df agg on the same word key + join back + TopK's
+    // one doc_id exchange + output sort (corpus size: broadcast row)
+    "q_keyterms" -> 6,
     // gram-hash df agg + join back on the same key + per-doc agg +
     // corpus left join + output sort
     "q_ngram_novelty" -> 5,
@@ -128,7 +131,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
-    "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25",
+    "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25", "q_keyterms",
     // single-row query-vector broadcast + the k-row x k-row fusion join
     "q_hybrid_rank")
 

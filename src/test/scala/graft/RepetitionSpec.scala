@@ -34,6 +34,29 @@ class RepetitionSpec extends AnyFunSuite with Matchers with TestSpark {
         ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
   }
 
+  test("tfidf keyterms: rarer words outrank common ones; k bounds output") {
+    import spark.implicits._
+    // "x" appears in 1 of 3 docs, "common" in all 3: idf 3/1 vs 3/3.
+    // doc 1 has 4 distinct words -> only top 3 survive the heap.
+    val out = TextAnalysis.keyterms(Seq(
+      (1L, "common x x zeta omega"),
+      (2L, "common other words"),
+      (3L, "common more words"))
+      .toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val d1 = out.filter(_._1 == 1L)
+    d1.length shouldBe 3
+    // tf=2, df=1, N=3 -> 2*3/1 = 6.0 for "x"; zeta/omega tf=1 df=1 -> 3.0
+    d1.head shouldBe ((1L, "x", 2L, 1L, 6.0))
+    d1.map(_._2) shouldBe Array("x", "omega", "zeta") // score, then word
+    // "common": tf=1, df=3 -> 1.0 everywhere; dropped from doc 1 (rank 4)
+    d1.map(_._2) should not contain "common"
+    out.filter(_._1 == 2L).map(_._2).toSet shouldBe
+      Set("common", "other", "words")
+  }
+
   test("looped generation scores high; varied text scores low") {
     val m = rows(
       1L -> "buy now buy now buy now buy now",       // 8 words, 4 distinct... 2
