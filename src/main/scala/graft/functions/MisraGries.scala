@@ -113,7 +113,13 @@ case class MisraGries(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    // length-prefixed UTF-8 (writeUTF caps items at 64 KiB encoded and
+    // throws on longer — a pathological crawl token would fail shuffle
+    // serde)
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -122,7 +128,13 @@ case class MisraGries(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach { _ => val s = in.readUTF(); buf.update(s, in.readLong()) }
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(s, in.readLong())
+    }
     buf
   }
 }

@@ -43,12 +43,20 @@ object Anomaly {
     hourlyCounts(events).groupBy(col("event_type")).agg(
       count(lit(1)).as("_n"),
       sum(col("n_events")).as("_s1"),
-      sum(col("n_events") * col("n_events")).as("_s2"))
+      // Σcnt² and the n·s2 − s1² discriminant as DECIMAL(38,0): hourly
+      // counts ~1e9 over years of hours would silently overflow Long
+      // (cnt² alone is ~1e18); decimal keeps the moment algebra exact at
+      // any scale, and at non-overflowing scale the values — hence the
+      // doubles they cast to — are bit-identical to the integer form
+      // (DuckDB's sum(BIGINT) is already HUGEINT on the oracle side)
+      sum((col("n_events").cast("decimal(19,0)") * col("n_events"))
+        .cast("decimal(38,0)")).as("_s2"))
 
   /** z = (n·cnt − s1) / sqrt(n·s2 − s1²), 0 when variance is zero. */
   def zScore(cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val num = (col("_n") * cnt - col("_s1")).cast("double")
-    val den = sqrt((col("_n") * col("_s2") - col("_s1") * col("_s1"))
+    val den = sqrt((col("_n").cast("decimal(38,0)") * col("_s2") -
+        (col("_s1").cast("decimal(19,0)") * col("_s1")).cast("decimal(38,0)"))
       .cast("double"))
     when(den > 0, num / den).otherwise(lit(0.0))
   }

@@ -11,8 +11,8 @@ import graft.functions.DotProduct
   * Quantization for Nearest Neighbor Search", TPAMI 2011) — the memory
   * side of the ANN story: [[EmbedSim.knnIvf]] cuts how many vectors a
   * query SCORES; PQ cuts how many bytes each scored vector COSTS. The
-  * 64-dim double vector compresses to [[SubSpaces]] = 4 codebook codes
-  * (4 bytes vs 512: 128×), which is what lets a 100 TB embedding corpus
+  * 64-dim double vector compresses to [[SubSpaces]] = 8 codebook codes
+  * (8 bytes vs 512: 64×), which is what lets a 100 TB embedding corpus
   * hold its index in executor memory, with scoring done against the
   * codes alone via ADC (asymmetric distance computation): the query
   * precomputes its dot product with every codebook entry (M·K = 64 dots
@@ -121,7 +121,7 @@ object EmbedPq {
   }
 
   /** PQ codes (vec_id, m, code) — the PQ INDEX half 2: the whole corpus
-    * encoded against the trained codebooks (4 codes per vector).
+    * encoded against the trained codebooks (8 codes per vector).
     */
   def pqCodes(spark: SparkSession, dir: String, cb: DataFrame): DataFrame =
     assign(subVectors(emb(spark, dir)), cb)
@@ -143,8 +143,6 @@ object EmbedPq {
     val codes = codesIn.getOrElse(pqCodes(spark, dir, cb))
     val queries = emb(spark, dir)
       .filter(col("vec_id") % EmbedSim.QueryMod === 0)
-    val qnorms = queries.select(col("vec_id").as("query_id"),
-      sqrt(dot(col("emb"), col("emb"))).as("qnorm"))
     val qsubs = subVectors(queries)
       .select(col("vec_id").as("query_id"), col("m"), col("semb").as("qsemb"))
     val lut = qsubs.join(broadcast(cb), Seq("m"))
@@ -163,7 +161,7 @@ object EmbedPq {
   /** IVF-PQ: the production composition — the coarse IVF index prunes
     * WHICH vectors a query scores ([[EmbedSim.Probes]] inverted lists
     * instead of the corpus), the PQ codes price WHAT each scored vector
-    * costs (M lookups against 4 bytes of codes), and the exact rerank
+    * costs (M lookups against 8 bytes of codes), and the exact rerank
     * restores the true metric on the [[Rerank]]-deep shortlist. This is
     * the non-residual IVFADC variant (codes quantize raw vectors, not
     * per-list residuals, so the coarse index and the codebooks stay

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -56,11 +57,16 @@ class StreamJoinSpec extends AnyFunSuite with Matchers with TestSpark {
       got.zip(batch).foreach { case (s, b) =>
         (0 until 5).foreach(i => s.get(i) shouldBe b.get(i))
       }
-      // the range condition + watermark bound the join state: far fewer
-      // rows retained than the total clicks+purchases ingested
+      // the range condition + watermark bound the join state: only rows
+      // within the final watermark horizon survive, so the retained count
+      // must be strictly below the clicks+purchases actually ingested
+      // (an unbounded-state regression would hold every row and fail)
+      val ingested = events
+        .filter(col("event_type").isin("click", "purchase")).count()
       val prog = q.lastProgress
       val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
       stateRows should be > 0L
+      stateRows should be < ingested
     } finally q.stop()
   }
 
