@@ -79,13 +79,32 @@ object Queries {
     TextDedup.clearClusterState()
   }
 
+  /** Session memo over the durable [[IndexStore]]: standing indexes (IVF
+    * centroids, PQ codebooks/codes, the MinHash band index, dedup cluster
+    * labels) load from disk when this corpus snapshot was already indexed
+    * — by an earlier query in this session (memo) or by a PREVIOUS
+    * session (parquet keyed by corpus content signature) — and train +
+    * publish otherwise. Builds are deterministic, so load and build are
+    * value-identical and every consumer stays oracle-exact either way.
+    */
+  private def durableIndex(spark: SparkSession, dir: String, what: String,
+      sourceTable: String)(build: => DataFrame): DataFrame =
+    memoize(spark, dir, what) {
+      IndexStore.loadOrBuild(spark, what,
+        Tables.load(spark, dir, sourceTable))(build)
+    }
+
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
       Clean.annotate(Reviews.docsAsReviews(Tables.load(spark, dir, "documents")))
     }
 
+  /** The standing MinHash band index (doc_id, shingles, mh, bands) —
+    * durable: [[graft.ops.TextDedup.incrementalDups]]'s daily-increment
+    * contract joins this index across sessions.
+    */
   private def nearSignatures(spark: SparkSession, dir: String): DataFrame =
-    memoize(spark, dir, "sigs") {
+    durableIndex(spark, dir, "sigs", "documents") {
       TextDedup.signatures(Corpus.withNearDups(spark, dir))
         .select("doc_id", "shingles", "mh", "bands")
     }
@@ -277,7 +296,7 @@ object Queries {
     "q_dedup_keep_best" -> ((s: SparkSession, d: String) => {
       val corpus = Corpus.withNearDups(s, d)
       TextDedup.keepBest(
-        memoize(s, d, "dedup_clusters") {
+        durableIndex(s, d, "dedup_clusters", "documents") {
           TextDedup.dedupClusters(corpus,
             TextDedup.jaccardPairsOf(nearSignatures(s, d)))
         },
@@ -340,32 +359,48 @@ object Queries {
     // amortized over probe passes — the production train-once contract
     "q_knn_ivf" -> ((s: SparkSession, d: String) =>
       EmbedSim.knnIvf(s, d, EmbedSim.IvfSalts,
-        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+          EmbedSim.ivfCentroids(s, d)
+        }))),
     // semantic clustering (SemDeDup-style grouping stage): trained
     // k-means assignment + cluster populations, same memoized index
     "q_kmeans" -> ((s: SparkSession, d: String) =>
       EmbedSim.kmeansAssign(s, d,
-        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+          EmbedSim.ivfCentroids(s, d)
+        }))),
     // within-cluster diversity sampling (keep the k farthest-from-centroid
     // members per cluster) through the custom bounded-heap TopK operator
     "q_cluster_sample" -> ((s: SparkSession, d: String) =>
       EmbedSim.clusterSample(s, d,
-        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))))),
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+          EmbedSim.ivfCentroids(s, d)
+        }))),
     // product-quantized ANN: trained per-subspace codebooks + the encoded
     // corpus are the memoized PQ INDEX; queries score codes alone via ADC
     "q_knn_pq" -> ((s: SparkSession, d: String) => {
-      val cb = memoize(s, d, "pq_codebooks")(EmbedPq.pqCodebooks(s, d))
+      val cb = durableIndex(s, d, "pq_codebooks", "embeddings") {
+        EmbedPq.pqCodebooks(s, d)
+      }
       EmbedPq.knnPq(s, d, Some(cb),
-        Some(memoize(s, d, "pq_codes")(EmbedPq.pqCodes(s, d, cb))))
+        Some(durableIndex(s, d, "pq_codes", "embeddings") {
+          EmbedPq.pqCodes(s, d, cb)
+        }))
     }),
     // IVF-PQ: coarse probes prune WHICH vectors get scored, PQ codes
     // price WHAT each costs — both memoized indexes compose
     "q_knn_ivfpq" -> ((s: SparkSession, d: String) => {
-      val cb = memoize(s, d, "pq_codebooks")(EmbedPq.pqCodebooks(s, d))
+      val cb = durableIndex(s, d, "pq_codebooks", "embeddings") {
+        EmbedPq.pqCodebooks(s, d)
+      }
       EmbedPq.knnIvfPq(s, d,
-        Some(memoize(s, d, "ivf_centroids")(EmbedSim.ivfCentroids(s, d))),
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+          EmbedSim.ivfCentroids(s, d)
+        }),
         Some(cb),
-        Some(memoize(s, d, "pq_codes")(EmbedPq.pqCodes(s, d, cb))))
+        Some(durableIndex(s, d, "pq_codes", "embeddings") {
+          EmbedPq.pqCodes(s, d, cb)
+        }))
     }),
     "q_embed_dups" -> ((s: SparkSession, d: String) =>
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
