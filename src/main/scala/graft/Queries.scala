@@ -209,6 +209,12 @@ object Queries {
     // occurrence wins, survivors reassembled per doc
     "q_chunk_dedup" -> ((s: SparkSession, d: String) =>
       TextDedup.chunkDedup(Tables.load(s, d, "documents"))),
+    // Lee et al. 2022 sliding-window substring dedup: any >= K-token
+    // verbatim repeat removed wherever it starts — closes chunkDedup's
+    // alignment blind spot (the injected boilerplate crosses chunk
+    // boundaries on purpose)
+    "q_substring_dedup" -> ((s: SparkSession, d: String) =>
+      TextDedup.substringDedup(Corpus.withBoilerplate(s, d))),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
@@ -455,6 +461,7 @@ object Queries {
     "q_price_stats" -> Sql.priceStats,
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_chunk_dedup" -> SqlText.chunkDedup,
+    "q_substring_dedup" -> SqlText.substringDedup,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_edit_pairs" -> SqlText.editPairs,

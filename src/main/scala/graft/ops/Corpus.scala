@@ -25,6 +25,37 @@ object Corpus {
           col("source")))
   }
 
+  /** The shared boilerplate span [[withBoilerplate]] injects — 12 words,
+    * longer than [[TextDedup.SubstrGram]], so every pure-boilerplate
+    * K-window repeats corpus-wide while the windows straddling its edges
+    * stay document-unique.
+    */
+  val Boilerplate: Seq[String] =
+    ("subscribe to our newsletter for the latest updates " +
+      "terms of service apply").split(" ").toSeq
+
+  /** documents with a VERBATIM boilerplate span spliced into every
+    * doc_id % 10 == 0 document at a word offset that varies per doc
+    * (doc_id % 7 + 1) — deliberately NOT aligned to any chunk grid, so
+    * chunk-level dedup ([[TextDedup.chunkDedup]]) cannot see the repeat
+    * but sliding-window substring dedup ([[TextDedup.substringDedup]])
+    * must. Injected docs are rebuilt from their (lowered) word array;
+    * others pass through untouched. Mirrored in
+    * [[graft.oracle.SqlText.substringDedup]].
+    */
+  def withBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val w = TextHash.words(col("text"))
+    val off = (col("doc_id") % 7 + 1).cast("int")
+    val bp = array(Boilerplate.map(lit): _*)
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat_ws(" ",
+          concat(slice(w, lit(1), off), bp,
+            slice(w, off + 1, greatest(size(w) - off, lit(0))))))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** documents + NEAR duplicates: every doc_id % 13 == 0 is repeated under
     * doc_id + 100000 with its last word removed.
     */

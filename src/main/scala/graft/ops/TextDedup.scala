@@ -948,4 +948,81 @@ object TextDedup {
         coalesce(col("_kept"), lit(0L)).as("n_kept"))
       .orderBy("doc_id")
   }
+
+  /** Sliding-window gram length for [[substringDedup]] — any verbatim
+    * repeat of >= this many tokens is removed (Lee et al. 2022 use 50 BPE
+    * tokens at web scale; 8 suits the short synthetic docs).
+    */
+  val SubstrGram = 8
+
+  /** EXACT substring dedup at sliding-window granularity — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * pass: remove every token that lies inside a verbatim repeat of >=
+    * [[SubstrGram]] tokens, keeping only the corpus-global FIRST
+    * occurrence. This closes [[chunkDedup]]'s alignment blind spot: chunk
+    * dedup removes repeats only when they tile the K-token chunk grid, so
+    * a long verbatim span straddling two chunk boundaries survives it —
+    * here every K-token WINDOW of the span is keyed, so any >= K-token
+    * repeat is caught regardless of position ([[chunkDedup]] stays as the
+    * cheaper aligned tier).
+    *
+    * Mechanics: a window starting at token p is a duplicate occurrence
+    * iff its gram is not the corpus-global minimal (doc_id, p); tokens
+    * covered by any duplicate window [p, p+K-1] are removed; survivors
+    * reassemble in document order. Within-doc self-repeats dedupe the
+    * same way (the earlier start wins). Grams travel as [[TextHash.h56]]
+    * hashes of the window text — never the text itself.
+    *
+    * Scale shape (100 TB): window expansion is a narrow per-row explode
+    * (doc_id, p, h56); the first-occurrence pass is ONE partial-aggregated
+    * groupBy on the 8-byte gram hash; duplicate spans expand to covered
+    * positions bounded by K x duplicate-starts; the token anti-join and
+    * the reassembly groupBy are both keyed by doc_id (co-partitioned, one
+    * exchange each, per-group state bounded by document length). No
+    * window over an unbounded key, no driver round-trip.
+    */
+  def substringDedup(corpus: DataFrame, k: Int = SubstrGram): DataFrame = {
+    val base = corpus
+      .withColumn("_words", words(col("text")))
+      .withColumn("n_words", size(col("_words")).cast("long"))
+    val grams = base
+      .filter(col("n_words") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_words") - k).cast("int")),
+          i => TextHash.h56(concat_ws(" ", slice(col("_words"), i + 1, lit(k))))))
+          .as(Seq("p", "gh")))
+      .withColumn("_ord", {
+        val ord = col("doc_id") * ChunkPosBase + col("p")
+        when(col("p") >= ChunkPosBase,
+          raise_error(lit("substringDedup: position overflows ChunkPosBase")))
+          .otherwise(ord)
+      })
+    val keeper = grams.groupBy(col("gh")).agg(min(col("_ord")).as("_keeper"))
+    val covered = grams
+      .join(keeper, "gh")
+      .filter(col("_ord") =!= col("_keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), posexplode(col("_words")).as(Seq("pos", "w")))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s("w"))).as("_clean"),
+        count(lit(1)).as("_nk"))
+    base
+      .select(col("doc_id"), col("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), lit("")).as("clean_text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("_nk"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
 }

@@ -378,6 +378,55 @@ object SqlText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_substring_dedup (Lee et al. 2022 sliding-window exact
+    * substring dedup over the boilerplate-injected corpus). Mirrors
+    * Corpus.withBoilerplate + TextDedup.substringDedup: same tokenizer,
+    * same h56 gram keys, same doc_id*base+p keeper encoding, same
+    * covered-span expansion; zero-word docs pass through.
+    */
+  val substringDedup: String = {
+    import graft.ops.TextDedup
+    val k = TextDedup.SubstrGram
+    val base = TextDedup.ChunkPosBase
+    val bp = graft.ops.Corpus.Boilerplate.map(s(_)).mkString("[", ", ", "]")
+    s"""WITH w0 AS (SELECT doc_id, ${wordsOf("text")} AS w FROM documents),
+       |inj AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 0 THEN
+       |    list_slice(w, 1, CAST(doc_id % 7 + 1 AS INTEGER)) || $bp ||
+       |      list_slice(w, CAST(doc_id % 7 + 2 AS INTEGER), len(w))
+       |  ELSE w END AS words FROM w0),
+       |base AS (SELECT doc_id, words,
+       |  CAST(len(words) AS BIGINT) AS n_words FROM inj),
+       |gp AS (SELECT doc_id, words, unnest(range(len(words) - ${k - 1})) AS p
+       |  FROM base WHERE n_words >= $k),
+       |grams AS (SELECT doc_id, p,
+       |  ${h56(s"list_aggregate(list_slice(words, p + 1, p + $k), " +
+          "'string_agg', ' ')")} AS gh,
+       |  doc_id * $base + p AS _ord
+       |  FROM gp),
+       |keeper AS (SELECT gh, min(_ord) AS _k FROM grams GROUP BY 1),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT g.doc_id, g.p + unnest(range($k)) AS pos
+       |  FROM grams g JOIN keeper USING (gh) WHERE _ord != _k)),
+       |tp AS (SELECT doc_id, words, unnest(range(len(words))) AS pos
+       |  FROM base WHERE n_words > 0),
+       |toks AS (SELECT doc_id, pos, words[CAST(pos AS INTEGER) + 1] AS w
+       |  FROM tp),
+       |kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |rebuilt AS (SELECT doc_id,
+       |  string_agg(w, ' ' ORDER BY pos) AS _clean,
+       |  CAST(count(*) AS BIGINT) AS _nk
+       |  FROM kept GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(r._clean, '') AS clean_text,
+       |  b.n_words,
+       |  b.n_words - coalesce(r._nk, 0) AS n_removed
+       |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_quality_classifier: same md5 feature hash, bucket count,
     * Knuth-cycle weight table and keep rule as
     * TextAnalysis.qualityClassifier — integer arithmetic end-to-end (exact

@@ -34,6 +34,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_business_stats" -> 2, "q_clean_docs" -> 1,
     "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
     "q_chunk_dedup" -> 3,
+    // gram-hash keeper agg + covered distinct + doc_id reassembly agg +
+    // output sort; the token anti-join and final left join broadcast
+    "q_substring_dedup" -> 4,
     // assignment argmax + cluster-cos broadcast join + custom TopK's one
     // key exchange + output sort
     "q_cluster_sample" -> 3,
@@ -135,11 +138,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // single-row query-vector broadcast + the k-row x k-row fusion join
     "q_hybrid_rank")
 
-  /** Queries whose parquet scan must carry pushed-down filters. */
+  /** Queries whose parquet scan must carry pushed-down filters.
+    * (q_minhash_pairs/q_jaccard_pairs left r5: they now scan the durable
+    * band INDEX — already exactly the rows needed, nothing to push.)
+    */
   private val mustPush = Set("q1_pricing", "q3_shipping", "q_asof_purchase",
     "q_region_revenue", "q_click_and_purchase", "q_click_no_purchase",
     "q_knn_brute", "q_knn_ivf", "q_embed_dups", "q_embed_dups_lsh",
-    "q_semdedup", "q_minhash_pairs", "q_jaccard_pairs", "q_dedup_exact")
+    "q_semdedup", "q_dedup_exact")
 
   /** Broadcast-join floor: star joins must broadcast their dims. */
   private val mustBroadcast = Set("q3_shipping", "q_region_revenue",
