@@ -258,6 +258,19 @@ object Queries {
       Sampling.mixedSample(Tables.load(s, d, "documents"))),
     "q_seq_pack" -> ((s: SparkSession, d: String) =>
       Packing.seqPack(Tables.load(s, d, "documents"))),
+    // the same packing chain chopping at REAL trained-BPE boundaries —
+    // the tokenizer every production token budget actually runs on
+    "q_seq_pack_bpe" -> ((s: SparkSession, d: String) =>
+      Packing.seqPack(Tables.load(s, d, "documents"),
+        tokenizer = graft.functions.BpeTokenCount(_))),
+    // per-source budget allocation under trained-BPE counts
+    "q_corpus_mix_bpe" -> ((s: SparkSession, d: String) =>
+      Sampling.corpusMix(Tables.load(s, d, "documents"),
+        tokenizer = graft.functions.BpeTokenCount(_))),
+    // per-doc trained-merges BPE counts (frozen merges shared verbatim
+    // with the oracle's recursive-CTE encoder)
+    "q_bpe_tokens" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeTokens(Tables.load(s, d, "documents"))),
     // deterministic per-source uniform sample (hash-ranked "reservoir")
     // through the bounded-heap TopK physical operator
     "q_reservoir" -> ((s: SparkSession, d: String) =>
@@ -477,6 +490,9 @@ object Queries {
     "q_corpus_mix" -> SqlText.corpusMix,
     "q_mixed_sample" -> SqlText.mixedSample,
     "q_seq_pack" -> SqlText.seqPack,
+    "q_seq_pack_bpe" -> SqlText.seqPackBpe,
+    "q_corpus_mix_bpe" -> SqlText.corpusMixBpe,
+    "q_bpe_tokens" -> SqlText.bpeTokens,
     "q_reservoir" -> SqlText.reservoir,
     "q_decontaminate" -> SqlText.decontaminate,
     "q_decontaminate_k8" -> SqlText.decontaminateK8,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,14 +45,22 @@ object Packing {
     * @param parts range partitions for the prefix sum; 0 = the session's
     *              shuffle parallelism
     */
+  /** Whitespace token count — the default packing tokenizer. */
+  val WsTokens: Column => Column = c => size(words(c)).cast("long")
+
+  /** @param tokenizer token-count column over the text — defaults to the
+    *                  whitespace count; pass
+    *                  [[graft.functions.BpeTokenCount]] to chop at REAL
+    *                  trained-BPE token boundaries (q_seq_pack_bpe)
+    */
   def seqPack(docs: DataFrame, seqLen: Int = SeqLen,
-      parts: Int = 0): DataFrame = {
+      parts: Int = 0, tokenizer: Column => Column = WsTokens): DataFrame = {
     val n = if (parts > 0) parts
       else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // phase 1: contiguous slices of the (source, doc_id) order
     val ranged = docs
       .select(col("doc_id"), col("source"),
-        size(words(col("text"))).cast("long").as("n_tokens"))
+        tokenizer(col("text")).as("n_tokens"))
       .repartitionByRange(n, col("source"), col("doc_id"))
       .withColumn("_pid", spark_partition_id())
     // phase 2a: within-group running sum — groups bounded by partition size

@@ -62,16 +62,18 @@ object Sampling {
     * it is rounded to 6dp for DISPLAY only.
     */
   def corpusMix(docs: DataFrame,
-      budget: Double = MixBudgetTokens): DataFrame =
-    mixAllocation(docs, budget)
+      budget: Double = MixBudgetTokens,
+      tokenizer: Column => Column = Packing.WsTokens): DataFrame =
+    mixAllocation(docs, budget, tokenizer)
       .select(col("source"), col("n_docs"), col("total_tokens"),
         round(col("target_tokens"), 2).as("target_tokens"),
         round(col("sample_frac"), 6).as("sample_frac"))
       .orderBy("source")
 
-  private def mixAllocation(docs: DataFrame, budget: Double): DataFrame = {
+  private def mixAllocation(docs: DataFrame, budget: Double,
+      tokenizer: Column => Column = Packing.WsTokens): DataFrame = {
     val perSource = docs
-      .select(col("source"), size(words(col("text"))).as("_ws"))
+      .select(col("source"), tokenizer(col("text")).as("_ws"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_ws")).cast("long").as("total_tokens"))

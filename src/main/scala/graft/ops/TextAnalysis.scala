@@ -165,6 +165,27 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-doc counts under the REAL trained-merges BPE tokenizer
+    * ([[graft.rules.Bpe]] — frozen merges shared verbatim with the
+    * oracle's recursive-CTE encoder), beside the whitespace count. This
+    * is the count every token-budget decision should run on: corpusMix
+    * allocates BY TOKENS and seqPack chops AT 512 TOKENS, and both now
+    * accept this tokenizer (q_seq_pack_bpe / q_corpus_mix_bpe).
+    * Shuffle-free codegen'd corpus scan — the per-word encode loop
+    * memoizes on the Zipf vocabulary, so cost tracks distinct words.
+    */
+  def bpeTokens(docs: DataFrame): DataFrame = {
+    import graft.functions.BpeTokenCount
+    docs
+      .withColumn("n_words", size(words(col("text"))).cast("long"))
+      .withColumn("n_bpe_tokens", BpeTokenCount(col("text")))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+          .otherwise(lit(0.0)).as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic document quality score in [0,1]:
     * 0.4·min(1, words/100) + 0.4·min(1, 5·stopword_density)
     * + 0.2·(1 − min(1, 5·punct_ratio)), rounded to 3dp.

@@ -244,10 +244,9 @@ object SqlText {
     * IEEE-double allocation fraction (unrounded — the SAMPLE filter
     * compares raw doubles; display rounding happens only in q_corpus_mix).
     */
-  private val mixCtes: String = {
+  private def mixCtesFrom(tCte: String): String = {
     val budget = d(graft.ops.Sampling.MixBudgetTokens)
-    s"""t AS (SELECT doc_id, source, len(${wordsOf("text")}) AS ws
-       |  FROM documents),
+    s"""$tCte,
        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(ws) AS BIGINT) AS total_tokens FROM t GROUP BY 1),
        |k AS (SELECT count(*) AS _n FROM agg),
@@ -257,15 +256,29 @@ object SqlText {
        |  FROM agg, k)""".stripMargin
   }
 
+  private val mixCtes: String = mixCtesFrom(
+    s"""t AS (SELECT doc_id, source, len(${wordsOf("text")}) AS ws
+       |  FROM documents)""".stripMargin)
+
+  private val mixSelect: String =
+    """SELECT source, n_docs, total_tokens,
+      |  CAST(round(CAST(target_tokens AS DECIMAL(38, 12)), 2) AS DOUBLE)
+      |    AS target_tokens,
+      |  CAST(round(CAST(sample_frac AS DECIMAL(38, 12)), 6) AS DOUBLE)
+      |    AS sample_frac
+      |FROM f ORDER BY source""".stripMargin
+
   /** Oracle for q_corpus_mix (per-source budget allocation). */
-  val corpusMix: String =
-    s"""WITH $mixCtes
-       |SELECT source, n_docs, total_tokens,
-       |  CAST(round(CAST(target_tokens AS DECIMAL(38, 12)), 2) AS DOUBLE)
-       |    AS target_tokens,
-       |  CAST(round(CAST(sample_frac AS DECIMAL(38, 12)), 6) AS DOUBLE)
-       |    AS sample_frac
-       |FROM f ORDER BY source""".stripMargin
+  val corpusMix: String = s"WITH $mixCtes\n$mixSelect"
+
+  /** Oracle for q_corpus_mix_bpe: the same allocation under REAL
+    * trained-BPE token counts.
+    */
+  lazy val corpusMixBpe: String =
+    s"WITH RECURSIVE $bpeCtes,\n" +
+      mixCtesFrom(
+        "t AS (SELECT doc_id, source, n_bpe_tokens AS ws FROM bpe)") +
+      s"\n$mixSelect"
 
   /** Oracle for q_mixed_sample (budgeted deterministic per-source sample;
     * the filter compares the SAME IEEE doubles Spark computes, so the kept
@@ -522,11 +535,13 @@ object SqlText {
   /** Oracle for q_seq_pack (per-source concat-and-chop packing at
     * SeqLen-token boundaries; running sum excludes the current row).
     */
-  val seqPack: String = {
+  /** The packing chain given a `t(doc_id, source, n_tokens)` CTE body —
+    * shared by the whitespace (q_seq_pack) and trained-BPE
+    * (q_seq_pack_bpe) tokenizers.
+    */
+  private def seqPackFrom(withClause: String, tCte: String): String = {
     val L = graft.ops.Packing.SeqLen
-    s"""WITH t AS (SELECT doc_id, source,
-       |  CAST(len(${wordsOf("text")}) AS BIGINT) AS n_tokens
-       |  FROM documents),
+    s"""$withClause $tCte,
        |c AS (SELECT doc_id, source, n_tokens,
        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -538,6 +553,72 @@ object SqlText {
        |    AS seq_last
        |FROM c ORDER BY source, doc_id""".stripMargin
   }
+
+  val seqPack: String = seqPackFrom("WITH",
+    s"""t AS (SELECT doc_id, source,
+       |  CAST(len(${wordsOf("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents)""".stripMargin)
+
+  /** Frozen-merges BPE encoder as reusable CTE text (ends with
+    * `bpe(doc_id, source, n_words, n_bpe_tokens)`). Mirrors
+    * graft.rules.Bpe exactly: same merges table (interpolated from the
+    * same Vector), same lowest-rank-first loop — each recursion step
+    * applies ONE replace-all of the minimum-priority applicable merge,
+    * terminating when none applies (DuckDB replace() and Java
+    * String.replace share left-to-right continue-after-match semantics).
+    * The encoder runs over DISTINCT words (the Zipf vocabulary), then
+    * joins counts back onto word occurrences. Requires WITH RECURSIVE.
+    */
+  private lazy val bpeCtes: String = {
+    val mergeRows = graft.rules.Bpe.Merges.zipWithIndex.map {
+      case ((x, y), i) => s"($i, ${s(s" $x $y ")}, ${s(s" $x$y ")})"
+    }.mkString(",\n|    ").stripMargin
+    s"""merges AS (SELECT * FROM (VALUES
+       |    $mergeRows) m(pri, pat, rep)),
+       |w0 AS (SELECT doc_id, source, ${wordsOf("text")} AS words
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT unnest(words) AS word FROM w0),
+       |enc AS (
+       |  SELECT word,
+       |    ' ' || list_aggregate(regexp_extract_all(word, '.'),
+       |      'string_agg', ' ') || ' ' AS s
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word, replace(s, pat, rep) AS s FROM (
+       |    SELECT e.word, e.s, m.pat, m.rep,
+       |      row_number() OVER (PARTITION BY e.word ORDER BY m.pri) AS rn
+       |    FROM enc e JOIN merges m ON contains(e.s, m.pat)) z
+       |  WHERE rn = 1),
+       |fin AS (SELECT word,
+       |  CAST(len(list_filter(string_split(s, ' '), x -> x != ''))
+       |    AS BIGINT) AS n_tok
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE contains(e.s, m.pat))),
+       |occ AS (SELECT doc_id, unnest(words) AS word FROM w0),
+       |db AS (SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_bpe
+       |  FROM occ JOIN fin USING (word) GROUP BY 1),
+       |bpe AS (SELECT w0.doc_id, w0.source,
+       |  CAST(len(words) AS BIGINT) AS n_words,
+       |  coalesce(db.n_bpe, 0) AS n_bpe_tokens
+       |  FROM w0 LEFT JOIN db USING (doc_id))""".stripMargin
+  }
+
+  /** Oracle for q_bpe_tokens (per-doc trained-BPE vs whitespace counts). */
+  val bpeTokens: String =
+    s"""WITH RECURSIVE $bpeCtes
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  CASE WHEN n_words > 0 THEN CAST(round(CAST(
+       |    CAST(n_bpe_tokens AS DOUBLE) / n_words
+       |    AS DECIMAL(38, 12)), 4) AS DOUBLE)
+       |  ELSE ${d(0.0)} END AS tokens_per_word
+       |FROM bpe ORDER BY doc_id""".stripMargin
+
+  /** Oracle for q_seq_pack_bpe: the same packing chain chopping at REAL
+    * trained-BPE token boundaries.
+    */
+  val seqPackBpe: String = seqPackFrom(s"WITH RECURSIVE $bpeCtes,",
+    "t AS (SELECT doc_id, source, n_bpe_tokens AS n_tokens FROM bpe)")
 
   /** Oracle for q_simhash (56-bit simhash bit-string per doc). */
   val simhash: String =

@@ -119,6 +119,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime
     "q_seq_pack" -> 6,
+    // identical chains under the trained-BPE tokenizer (a codegen'd
+    // scalar — tokenizer choice must never change the data movement)
+    "q_seq_pack_bpe" -> 6, "q_corpus_mix_bpe" -> 4,
+    // shuffle-free codegen'd corpus scan + output sort
+    "q_bpe_tokens" -> 1,
     "q_simhash" -> 1, "q_simhash_dups" -> 3,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 1,
@@ -134,7 +139,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
-    "q_corpus_mix", "q_mixed_sample", "q_vocab", "q_bm25", "q_keyterms",
+    "q_corpus_mix", "q_corpus_mix_bpe", "q_mixed_sample", "q_vocab",
+    "q_bm25", "q_keyterms",
     // single-row query-vector broadcast + the k-row x k-row fusion join
     "q_hybrid_rank")
 
