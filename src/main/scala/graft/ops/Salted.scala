@@ -33,11 +33,18 @@ object Salted {
     * per-row variance (any id/value column — only its hash matters).
     */
   def join(left: DataFrame, right: DataFrame, key: String,
+           saltSource: String, salts: Int): DataFrame =
+    join(left, right, Seq(key), saltSource, salts)
+
+  /** Composite-key variant (e.g. lmScore's (w1, w2) bigram-count join).
+    * salts = 1 degenerates to the plain join (constant salt column).
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            saltSource: String, salts: Int): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
       pmod(hash(col(saltSource)), lit(salts)))
     val explodedRight = right.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
-    saltedLeft.join(explodedRight, Seq(key, "_salt")).drop("_salt")
+    saltedLeft.join(explodedRight, keys :+ "_salt").drop("_salt")
   }
 }

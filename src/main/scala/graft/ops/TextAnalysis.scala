@@ -236,6 +236,13 @@ object TextAnalysis {
   /** Corpus frequency at or below which a token counts as rare. */
   val RareMax = 2
 
+  /** Salt fan-out for the Zipf-head token joins in [[rareTokens]] /
+    * [[lmScore]] (same budget as EmbedSim.IvfSalts): a hot token's
+    * occurrences spread over this many shuffle tasks on the join back —
+    * AQE cannot split identical join keys, so the key itself must change.
+    */
+  val TokenSalts = 4
+
   /** Rare-token density — the exact-arithmetic cousin of perplexity
     * filtering (CCNet-style): documents dominated by tokens the corpus
     * has barely seen are disproportionately OCR noise, gibberish, or
@@ -245,19 +252,24 @@ object TextAnalysis {
     *
     * Unlike the per-row signals above, this is CORPUS-STATISTIC scoring:
     * the frequency table must come back to every token occurrence. Scale
-    * shape: one explode feeding a partially-aggregated groupBy(token),
-    * then one shuffle join token-stream ⋈ frequencies (both sides
-    * key-partitioned on the token; AQE handles the Zipf head's skew,
-    * and a hot-token salt is the documented next step if one token ever
-    * dominates a task), then one groupBy(doc_id) collapse. The frequency
-    * table is vocabulary-sized — when it fits, a broadcast hint removes
-    * the join shuffle entirely; the default stays shuffle-safe for the
-    * open-vocabulary 100 TB case where typos make the vocab itself huge.
+    * shape: one explode feeding a partially-aggregated groupBy(token)
+    * (the Zipf head is harmless HERE — map-side combine collapses each
+    * partition's "the" to one row before the exchange), then the join
+    * back token-stream ⋈ frequencies, which is where the head bites: all
+    * occurrences of "the" hash to ONE task. That join is SALTED
+    * [[TokenSalts]]× on (tok, salt) — the frequency table replicates
+    * S× (vocabulary-sized, bounded), the hot token spreads over S tasks,
+    * and the result set is provably identical (SkewSpec). Then one
+    * groupBy(doc_id) collapse. When the vocab fits, a broadcast hint
+    * removes the join shuffle entirely; the default stays shuffle-safe
+    * for the open-vocabulary 100 TB case where typos make the vocab
+    * itself huge.
     */
-  def rareTokens(docs: DataFrame): DataFrame = {
+  def rareTokens(docs: DataFrame,
+      salts: Int = TokenSalts): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("_f"))
-    val scored = toks.join(freq, "tok")
+    val scored = Salted.join(toks, freq, Seq("tok"), "doc_id", salts)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(when(col("_f") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
@@ -362,13 +374,16 @@ object TextAnalysis {
     * mean is summation-order-independent and oracle-hash-exact.
     *
     * Scale shape: one bigram explode feeds two partial-agg groupBys (the
-    * bigram and prefix count tables), the stream re-joins both keyed on
-    * the bigram/prefix (AQE handles the Zipf head; hot-prefix salting is
-    * the documented escalation), one groupBy(doc_id) collapse, one left
-    * join back. Same family as [[rareTokens]], with the conditional
-    * two-table structure.
+    * bigram and prefix count tables — partial agg absorbs the Zipf head
+    * there), and the stream re-joins both SALTED [[TokenSalts]]× — the
+    * c_prefix("the") group is otherwise a one-task straggler at web
+    * scale, and AQE cannot split identical join keys. Count tables
+    * replicate S× (vocabulary²-bounded); results provably identical
+    * (SkewSpec / the oracle states the unsalted declarative join). Then
+    * one groupBy(doc_id) collapse, one left join back. Same family as
+    * [[rareTokens]], with the conditional two-table structure.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame, salts: Int = TokenSalts): DataFrame = {
     val w = words(col("text"))
     val bigrams = docs.select(col("doc_id"),
         explode(when(size(w) >= 2,
@@ -379,8 +394,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bgCount = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
     val prefCount = bigrams.groupBy("w1").agg(count(lit(1)).as("_cp"))
-    val scored = bigrams
-      .join(bgCount, Seq("w1", "w2")).join(prefCount, Seq("w1"))
+    val scored = Salted.join(
+        Salted.join(bigrams, bgCount, Seq("w1", "w2"), "doc_id", salts),
+        prefCount, Seq("w1"), "doc_id", salts)
       .select(col("doc_id"),
         floor(col("_cb") / col("_cp") * lit(1000000000.0) + lit(0.5))
           .cast("long").as("_q"))

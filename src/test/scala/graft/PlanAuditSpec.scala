@@ -96,10 +96,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
     // + corpus left join + output sort
     "q_dsir" -> 5,
-    // bigram explode -> 2 count-table aggs + keyed re-joins + doc
+    // bigram explode -> 2 count-table aggs + SALTED re-joins (the
+    // vocabulary-sized count tables broadcast at audit scale) + doc
     // collapse + corpus left join + output sort
-    "q_lm_score" -> 7,
-    "q_quality_issues" -> 1, "q_rare_tokens" -> 3,
+    "q_lm_score" -> 5,
+    // r5: the frequency join back is salted on (tok, salt) — the salt
+    // exchange no longer reuses the groupBy(tok) exchange (+1)
+    "q_quality_issues" -> 1, "q_rare_tokens" -> 4,
     "q_recent_reviews" -> 0,
     // session_window: one user_id exchange for session assembly + the
     // output sort; the agg itself is within-partition

@@ -83,4 +83,34 @@ class SkewSpec extends AnyFunSuite with Matchers with TestSpark {
     custom.zip(viaWindow).foreach { case (a, b) => a shouldBe b }
     df.unpersist()
   }
+
+  test("salted token joins leave rareTokens/lmScore values unchanged " +
+      "and bound the hot token's per-key group") {
+    import graft.ops.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    // salts = 1 is the plain unsalted join path (constant salt column)
+    Seq[(String, Int => org.apache.spark.sql.DataFrame)](
+      "rareTokens" -> (s => TextAnalysis.rareTokens(docs, salts = s)),
+      "lmScore" -> (s => TextAnalysis.lmScore(docs, salts = s))
+    ).foreach { case (name, run) =>
+      withClue(s"$name: ") {
+        val plain = run(1).collect()
+        val salted = run(TextAnalysis.TokenSalts).collect()
+        salted.length shouldBe plain.length
+        salted.zip(plain).foreach { case (a, b) => a shouldBe b }
+      }
+    }
+    // the Zipf head: the hottest token's (tok, salt) groups each carry a
+    // bounded share of its occurrences — the shuffle-task input bound
+    import spark.implicits._
+    val toks = docs.select(explode(
+      graft.ops.TextHash.words(col("text"))).as("tok"))
+      .withColumn("_salt", pmod(hash(monotonically_increasing_id()),
+        lit(TextAnalysis.TokenSalts)))
+    val hot = toks.groupBy("tok").count().agg(max("count")).head.getLong(0)
+    val saltedMax = toks.groupBy("tok", "_salt").count()
+      .agg(max("count")).head.getLong(0)
+    saltedMax should be <= (hot / TextAnalysis.TokenSalts * 3 / 2)
+  }
 }
