@@ -527,18 +527,22 @@ object Queries {
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,
     // q_media_features reads no sf table: its input is the deterministic
     // synthetic media set (Media.mediaTable(300)), so the expected
-    // aggregate is a constant — pinned as literals. The video row and
-    // every image PIXEL / audio SAMPLE statistic are independently derived
-    // from the generator arithmetic (constant-gray g(i) = (i*37)%256
-    // rasters decoded by REAL ImageIO: avg_mean_byte = mean g(i) = 126.18,
-    // total_px = sum w(i)*h(i) = 66752; constant-amplitude a(i) =
-    // (i*53)%1000 PCM16 WAVs decoded by REAL javax.sound: avg_mean_byte =
-    // mean a(i) = 493.5, total_px = total samples = sum n(i) = 32000,
-    // total_bytes = 100 WAV headers (44 B) + 2*sum n(i) = 68400). The one
-    // encoder-dependent literal is the image total_bytes (9726): the
-    // summed size of the JDK 17 PNG encoder's output, pinned from a real
-    // run — deterministic under this environment's fixed JDK, and decode
-    // truth itself is pinned pixel/sample-level in MediaSpec, not here.
+    // aggregate is a constant — pinned as literals. Every PIXEL / SAMPLE
+    // / FRAME statistic is independently derived from the generator
+    // arithmetic (constant-gray g(i) = (i*37)%256 rasters decoded by REAL
+    // ImageIO: avg_mean_byte = mean g(i) = 126.18, total_px =
+    // sum w(i)*h(i) = 66752; constant-amplitude a(i) = (i*53)%1000 PCM16
+    // WAVs decoded by REAL javax.sound: avg_mean_byte = mean a(i) =
+    // 493.5, total_px = total samples = sum n(i) = 32000, total_bytes =
+    // 100 WAV headers (44 B) + 2*sum n(i) = 68400; r5: constant-gray raw
+    // DIB frames in REAL pure-JDK-parsed RIFF/AVI: per-video mean =
+    // sum_f g(i,f)/nF(i) -> avg 126.3353, total_frames = sum nF(i) = 350
+    // TRUE decoded frames, total_px = sum wV(i)*hV(i) = 22424,
+    // total_bytes = sum container sizes = 259608 — all from the writer's
+    // size arithmetic, no codec involved). The one encoder-dependent
+    // literal is the image total_bytes (9726): the summed size of the
+    // JDK 17 PNG encoder's output, pinned from a real run — decode truth
+    // itself is pinned pixel/sample/frame-level in MediaSpec, not here.
     "q_media_features" ->
       """SELECT kind,
         |       n::BIGINT AS n,
@@ -549,7 +553,7 @@ object Queries {
         |FROM (VALUES
         |  ('audio', 100, 68400, 493.5, 3150, 32000),
         |  ('image', 100, 9726, 126.18, 100, 66752),
-        |  ('video', 100, 6416, 128.0956, 3250, 0))
+        |  ('video', 100, 259608, 126.3353, 350, 22424))
         |  AS t(kind, n, total_bytes, avg_mean_byte, total_frames, total_px)
         |ORDER BY kind""".stripMargin
   )

@@ -14,14 +14,19 @@ import org.apache.spark.sql.functions._
   * PIXELS (not the encoded bytes). Audio decode is REAL too: payloads are
   * WAV (RIFF) PCM16 mono and go through JDK `javax.sound.sampled`,
   * emitting the decoded sample count and mean |amplitude| computed over
-  * the SAMPLES. Video decode stays STUBBED (the JDK ships no video
-  * codec): `fakeDecode` derives deterministic features from the payload
-  * bytes, and the same fallback catches any image/audio payload the
-  * decoder rejects (unsupported codec / corrupt file — flagged by
-  * decoded_w = decoded_h = 0). Everything around the stub — schema,
-  * partition-parallel batch iteration, feature struct shape, downstream
-  * aggregation — is the production shape: swap `fakeDecode` for an
-  * FFmpeg-equivalent, keep the signature.
+  * the SAMPLES. Video decode is REAL for uncompressed RIFF/AVI (r5): the
+  * JDK ships no video CODEC, but an uncompressed container needs none —
+  * payloads are AVI files holding raw 24-bit DIB frames ('DIB ' vids
+  * stream, '00db' movi chunks), and [[tryDecodeVideo]] is a from-scratch
+  * RIFF chunk walker + BITMAPINFOHEADER parse + bottom-up BGR raster
+  * decode emitting the true frame count, frame dimensions, and mean
+  * luminance over every decoded PIXEL. `fakeDecode` remains only as the
+  * unknown-codec fallback (compressed streams, corrupt files — flagged
+  * by decoded_w = decoded_h = 0). Everything around the decoders —
+  * schema, partition-parallel batch iteration, feature struct shape,
+  * downstream aggregation — is the production shape: swap the DIB branch
+  * for an FFmpeg-equivalent to read compressed codecs, keep the
+  * signature.
   *
   * Scale notes: media payloads dominate row size, so the pipeline keeps the
   * binary column out of every shuffle (features are extracted in a
@@ -57,8 +62,12 @@ object Media {
     * Audio carries REAL WAV payloads on the same principle: PCM16 mono
     * 8 kHz, n(i) = 160 + (i % 5) * 80 samples all at constant amplitude
     * a(i) = (i * 53) % 1000 — so the decoded mean |sample| equals a(i)
-    * exactly and the aggregate stays generator-derivable. Video payloads
-    * remain repeated md5 bytes of the id (stable across runs and engines).
+    * exactly and the aggregate stays generator-derivable. Video carries
+    * REAL uncompressed AVI payloads on the same principle: nF(i) =
+    * 2 + (i % 4) raw 24-bit DIB frames of wV(i) × hV(i), frame f a
+    * constant gray g(i, f) = (i*37 + f*11) % 256 — integer luma of a
+    * gray pixel is exactly the gray, so the decoded per-video mean is
+    * Σf g / nF and the aggregate stays generator-derivable.
     */
   def mediaTable(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -76,11 +85,11 @@ object Media {
             64 + (i % 64).toInt * 8, 64 + (i % 48).toInt * 8,
             1000 + (i % 60).toInt * 500)
         case _ =>
-          val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"media:$i".getBytes("UTF-8"))
-          val payload = Array.fill((i % 7).toInt + 1)(seed).flatten
-          MediaRecord(i, "video", payload, 64 + (i % 64).toInt * 8,
-            64 + (i % 48).toInt * 8, 1000 + (i % 60).toInt * 500)
+          val w = 8 + (i % 5).toInt * 4
+          val h = 8 + (i % 7).toInt * 2
+          val nF = 2 + (i % 4).toInt
+          val grays = Array.tabulate(nF)(f => ((i * 37 + f * 11) % 256).toInt)
+          MediaRecord(i, "video", encodeAvi(w, h, grays), w, h, nF * 500)
       }
     }
   }
@@ -104,6 +113,129 @@ object Media {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** Minimal spec-shaped RIFF/AVI with raw 24-bit DIB frames: standard
+    * chunk layout (RIFF 'AVI ' → LIST hdrl [avih, LIST strl [strh 'vids'
+    * / 'DIB ', strf BITMAPINFOHEADER]] → LIST movi ['00db' frames]),
+    * little-endian sizes, even-boundary alignment, bottom-up BGR rows
+    * padded to 4-byte stride — the uncompressed-container subset any
+    * real AVI reader accepts, written with no codec because raw DIB
+    * needs none. Each frame is constant gray, so decoded stats stay
+    * generator-derivable.
+    */
+  private[graft] def encodeAvi(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val nF = grays.length
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + nF * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    cc("RIFF"); le32(riffSize); cc("AVI ")
+    cc("LIST"); le32(hdrlSize); cc("hdrl")
+    cc("avih"); le32(56)
+    le32(500000); le32(0); le32(0); le32(0) // usec/frame, maxbps, pad, flags
+    le32(nF); le32(0); le32(1); le32(frameBytes) // frames, init, streams, buf
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved
+    cc("LIST"); le32(strlSize); cc("strl")
+    cc("strh"); le32(56)
+    cc("vids"); cc("DIB "); le32(0); le32(0) // type, handler, flags, prio+lang
+    le32(0); le32(1); le32(2); le32(0) // initframes, scale, rate, start
+    le32(nF); le32(frameBytes); le32(0); le32(0) // length, buf, quality, smpsz
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    cc("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24) // bi: size, w, h, planes, bpp
+    le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0) // BI_RGB...
+    cc("LIST"); le32(moviSize); cc("movi")
+    grays.foreach { g =>
+      cc("00db"); le32(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { bos.write(g); bos.write(g); bos.write(g); x += 1 }
+        var p = w * 3
+        while (p < stride) { bos.write(0); p += 1 } // row pad
+        y += 1
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** REAL pure-JDK video decode for the uncompressed-DIB AVI subset: a
+    * from-scratch RIFF walker (fourcc + LE size + even alignment), the
+    * strf BITMAPINFOHEADER (requires biBitCount = 24, biCompression =
+    * BI_RGB, bottom-up), then every '00db'/'00dc' movi frame decoded
+    * row-by-row (BGR, 4-byte stride) into a luma digest + mean — the
+    * exact rasterStats arithmetic, over every frame. Anything else
+    * (compressed fourcc, truncated chunks) returns None → the declared
+    * fallback, same contract as the image/audio decoders.
+    */
+  private[graft] def tryDecodeVideo(
+      p: Array[Byte]): Option[(Long, Double, Int, Int, Int)] =
+    try {
+      def le32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def cc(o: Int): String = new String(p, o, 4, "US-ASCII")
+      if (p.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+      var w = 0; var h = 0; var ok = false
+      var cks = 0L; var sum = 0L; var px = 0L; var nFrames = 0
+      def decodeFrame(off: Int, size: Int): Boolean = {
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (size < stride * h) return false
+        var y = 0
+        while (y < h) { // bottom-up row order (positive biHeight)
+          val row = off + (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val b = p(row + 3 * x) & 0xff
+            val g = p(row + 3 * x + 1) & 0xff
+            val r = p(row + 3 * x + 2) & 0xff
+            val lum = (r * 299 + g * 587 + b * 114) / 1000
+            cks = cks * 31 + lum
+            sum += lum
+            x += 1
+          }
+          y += 1
+        }
+        px += w.toLong * h
+        nFrames += 1
+        true
+      }
+      // walk a chunk range [from, to); LISTs recurse into their payload
+      def walk(from: Int, to: Int): Boolean = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = cc(o)
+          val size = le32(o + 4)
+          if (size < 0 || o + 8 + size > to) return false
+          if (id == "LIST") {
+            if (size < 4 || !walk(o + 12, o + 8 + size)) return false
+          } else if (id == "strf") {
+            if (size < 40) return false
+            val biW = le32(o + 8 + 4); val biH = le32(o + 8 + 8)
+            val planes = le16(o + 8 + 12); val bpp = le16(o + 8 + 14)
+            val comp = le32(o + 8 + 16)
+            if (planes != 1 || bpp != 24 || comp != 0 || biW <= 0 || biH <= 0)
+              return false
+            w = biW; h = biH; ok = true
+          } else if (id.endsWith("db") || id.endsWith("dc")) {
+            if (!ok || !decodeFrame(o + 8, size)) return false
+          }
+          o += 8 + size + (size & 1) // even alignment
+        }
+        true
+      }
+      if (!walk(12, 12 + le32(4) - 4) || !ok || nFrames == 0) None
+      else Some((cks, sum.toDouble / px, nFrames, w, h))
+    } catch { case _: Exception => None }
 
   private def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -150,6 +282,15 @@ object Media {
             case Some((cks, meanAbs, nSamples)) =>
               MediaFeatures(m.media_id, m.kind, m.payload.length, cks,
                 meanAbs, frameCount(m), nSamples, 1)
+            case None => fallback
+          }
+          case "video" => tryDecodeVideo(m.payload) match {
+            case Some((cks, mean, nFrames, w, h)) =>
+              // frames_sampled is the TRUE decoded frame count; total_px
+              // aggregates w*h (per-frame raster), so a silent fallback
+              // (decoded_w = 0) stays visible exactly like image/audio
+              MediaFeatures(m.media_id, m.kind, m.payload.length, cks,
+                mean, nFrames, w, h)
             case None => fallback
           }
           case _ => fallback

@@ -6,7 +6,7 @@ import org.scalatest.matchers.should.Matchers
 import graft.ops.Media
 
 /** Multimodal plumbing: deterministic synthetic media, partition-batched
-  * decode (REAL ImageIO for images, deterministic stub for audio/video),
+  * decode (REAL ImageIO images, REAL javax.sound WAV audio, REAL pure-JDK RIFF/AVI raw-DIB video; stub only for unknown codecs),
   * payload-free aggregation.
   */
 class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
@@ -39,11 +39,16 @@ class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
           f.mean_byte shouldBe ((i * 53) % 1000).toDouble
           f.n_bytes shouldBe 44 + 2 * f.decoded_w // RIFF header + PCM16
         case _ =>
-          f.mean_byte should (be >= 0.0 and be <= 255.0)
-          f.n_bytes % 16 shouldBe 0 // payload = whole md5 blocks
-          f.frames_sampled should be >= 2
-          f.decoded_w shouldBe 0 // stub path is flagged, not silent
-          f.decoded_h shouldBe 0
+          // the RIFF/AVI walker recovered the generator's raw DIB frames:
+          // true frame count, frame dims, and per-frame constant-gray
+          // means averaging to Σf g(i,f) / nF exactly
+          val nF = 2 + (i % 4).toInt
+          f.frames_sampled shouldBe nF
+          f.decoded_w shouldBe 8 + (i % 5).toInt * 4
+          f.decoded_h shouldBe 8 + (i % 7).toInt * 2
+          val px = f.decoded_w.toLong * f.decoded_h
+          val lumaSum = (0 until nF).map(fr => ((i * 37 + fr * 11) % 256) * px).sum
+          f.mean_byte shouldBe lumaSum.toDouble / (px * nF)
       }
     }
   }
@@ -103,6 +108,31 @@ class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
     // 4 junk bytes are not a PNG: stub features, zero decoded dims
     val fb = out(2L)
     fb.decoded_w shouldBe 0
+    fb.decoded_h shouldBe 0
+    fb.n_bytes shouldBe 4
+  }
+
+  test("video decode is frame-true: hand-built 2-frame AVI with known " +
+      "pixels, and junk video bytes fall back flagged") {
+    import spark.implicits._
+    // 2 frames of 2x1 gray rasters (gray 10, gray 200): stride pads 2*3=6
+    // to 8 bytes, luma of (g,g,g) is exactly g
+    val avi = Media.encodeAvi(2, 1, Array(10, 200))
+    val records = Seq(
+      Media.MediaRecord(1L, "video", avi, 2, 1, 1000),
+      Media.MediaRecord(2L, "video", Array[Byte](7, 7, 7, 7), 9, 9, 1000))
+      .toDS()
+    val out = Media.decode(records).collect().map(f => f.media_id -> f).toMap
+    val real = out(1L)
+    real.decoded_w shouldBe 2
+    real.decoded_h shouldBe 1
+    real.frames_sampled shouldBe 2 // TRUE decoded count, not duration/500
+    real.mean_byte shouldBe 105.0 // (10 + 10 + 200 + 200) / 4
+    // digest in frame-then-raster order: ((10*31+10)*31+200)*31+200
+    real.checksum shouldBe (((10L * 31 + 10) * 31 + 200) * 31 + 200)
+    real.n_bytes shouldBe avi.length
+    val fb = out(2L)
+    fb.decoded_w shouldBe 0 // unknown codec: flagged fallback, not silent
     fb.decoded_h shouldBe 0
     fb.n_bytes shouldBe 4
   }
