@@ -204,6 +204,40 @@ object Streams {
         col("purchase_ts"), col("value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: [[conversionJoin]] keeps
+    * only converting clicks, but the production funnel needs the
+    * NON-converting majority too (the reference's routing fork always
+    * emits both outcomes — faust_app.py:131-170's accept AND reject
+    * paths). Same keys, same strictly-after / inclusive-+1h range
+    * condition, same per-side watermarks bounding two-sided state; a
+    * click with no purchase in its window is emitted EXACTLY ONCE with
+    * null purchase columns — when the watermark passes the end of its
+    * match window and the engine can prove no future purchase can join,
+    * i.e. on state eviction, which is why the watermark is a correctness
+    * contract here, not just a state bound. Batch parity: the identical
+    * frame through a batch left join, proven by value on closed windows
+    * in StreamJoinSpec (incl. exactly-once across checkpoint restart).
+    */
+  def conversionJoinLeft(events: DataFrame,
+      delay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("_pu"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+        col("user_id") === col("_pu") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"),
+        col("purchase_ts").isNotNull.as("converted"))
+  }
+
   /** Stream-STATIC broadcast join: live hourly event counts scored
     * against a batch-trained per-type moment frame
     * ([[graft.ops.Anomaly.moments]]) — the train-offline / score-online

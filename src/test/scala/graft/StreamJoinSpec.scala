@@ -142,4 +142,127 @@ class StreamJoinSpec extends AnyFunSuite with Matchers with TestSpark {
       }
     } finally q.stop()
   }
+
+  test("left-outer: unmatched clicks emit EXACTLY ONCE on watermark " +
+      "expiry, matched ones with their purchase") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val streamed = Streams.conversionJoinLeft(in.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("ssjoin_left").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+        (2L, 2L, ts("2024-01-01 10:05:00"), "click", 0.0),
+        (3L, 1L, ts("2024-01-01 10:30:00"), "purchase", 5.0))
+      q.processAllAvailable()
+      // user 2's click window [10:05, 11:05] is still open: no verdict yet
+      def rowsFor(id: Long) = spark.table("ssjoin_left")
+        .filter(col("click_id") === id).collect()
+      rowsFor(2L).length shouldBe 0
+      // sentinels push BOTH watermarks past 11:05 -> the window closes
+      in.addData(
+        (90L, 99L, ts("2024-01-01 14:00:00"), "click", 0.0),
+        (91L, 98L, ts("2024-01-01 14:00:00"), "purchase", 1.0))
+      q.processAllAvailable()
+      val matched = rowsFor(1L)
+      matched.length shouldBe 1
+      matched.head.getAs[Boolean]("converted") shouldBe true
+      matched.head.getAs[Double]("value") shouldBe 5.0
+      val unmatched = rowsFor(2L)
+      unmatched.length shouldBe 1
+      unmatched.head.getAs[Boolean]("converted") shouldBe false
+      unmatched.head.getAs[Timestamp]("purchase_ts") shouldBe null
+      // further watermark advances must NOT re-emit the closed verdict
+      in.addData((92L, 97L, ts("2024-01-01 16:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      rowsFor(2L).length shouldBe 1
+    } finally q.stop()
+  }
+
+  test("left-outer streaming matches the batch left join exactly on " +
+      "closed windows (real events + window-closing sentinels)") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+    val maxTs = base.agg(max(col("ts"))).head.getTimestamp(0)
+    val far = new Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
+    import spark.implicits._
+    // one sentinel click + purchase for an out-of-band user close every
+    // real window once both watermarks pass maxTs + 1h
+    val sentinels = Seq(
+      (900000001L, -1L, far, "click", 0.0),
+      (900000002L, -2L, far, "purchase", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val events = base
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .unionAll(sentinels)
+    val batch = Streams.conversionJoinLeft(events)
+      .filter(col("user_id") >= 0) // sentinel windows never close
+      .orderBy("click_id", "purchase_ts").collect()
+    batch.length should be > 0
+    batch.exists(r => !r.getAs[Boolean]("converted")) shouldBe true
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin-left")
+    events.coalesce(4).write.mode("overwrite")
+      .parquet(dir.resolve("in").toString)
+    val q = Streams.conversionJoinLeft(
+        spark.readStream.schema(events.schema)
+          .parquet(dir.resolve("in").toString))
+      .writeStream.format("memory")
+      .queryName("ssjoin_left_parity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_left_parity")
+        .filter(col("user_id") >= 0)
+        .orderBy("click_id", "purchase_ts").collect()
+      got.length shouldBe batch.length
+      got.zip(batch).foreach { case (s, b) =>
+        (0 until 6).foreach(i => s.get(i) shouldBe b.get(i))
+      }
+    } finally q.stop()
+  }
+
+  test("left-outer restart from checkpoint: the pending unmatched click " +
+      "survives and its verdict emits exactly once in the second " +
+      "incarnation (T1)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    def frame = in.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft-ssjoin-lckpt")
+    val checkpoint = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    def startQuery() = Streams.conversionJoinLeft(frame)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      in.addData((1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0))
+      q1.processAllAvailable()
+      spark.read.parquet(outDir).count() shouldBe 0L // window still open
+    } finally q1.stop()
+
+    // second incarnation, SAME checkpoint: only the restored state knows
+    // the click exists — the sentinels close its window and the
+    // unmatched verdict must emit here, exactly once
+    val q2 = startQuery()
+    try {
+      in.addData(
+        (90L, 99L, ts("2024-01-01 14:00:00"), "click", 0.0),
+        (91L, 98L, ts("2024-01-01 14:00:00"), "purchase", 1.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .filter(org.apache.spark.sql.functions.col("click_id") === 1L)
+        .collect()
+      rows.length shouldBe 1
+      rows.head.getAs[Boolean]("converted") shouldBe false
+      rows.head.getAs[Timestamp]("purchase_ts") shouldBe null
+    } finally q2.stop()
+  }
 }
