@@ -255,6 +255,11 @@ object StreamBench {
     val sortedBatch = batchSec.sorted
     val medianBatch = sortedBatch(sortedBatch.size / 2)
     val steadyRps = batchSize / medianBatch
+    // p95 batch latency (nearest-rank): the tail a latency SLO would pin —
+    // flat p95 vs median is the "no state-growth, no watermark stall"
+    // evidence at the 1M-event scale
+    val p95Batch = sortedBatch(
+      math.min(sortedBatch.size - 1, math.ceil(sortedBatch.size * 0.95).toInt - 1))
     // post-timing accounting reads (not part of the measured window)
     val upserted =
       if (jdbcMode) {
@@ -271,6 +276,7 @@ object StreamBench {
     val line = s"""{"metric":"stream_throughput","value":$rps,""" +
       s""""unit":"records/sec","records":$total,"batches":$nBatches,""" +
       s""""seconds":$sec,"steady_state_rps":$steadyRps,""" +
+      s""""median_batch_sec":$medianBatch,"p95_batch_sec":$p95Batch,""" +
       s""""upserted":$upserted,""" +
       s""""sink":"${if (jdbcMode) "jdbc" else "memory"}",""" +
       s""""issues":$issueCount,""" +
