@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *  - a regenerated/changed corpus changes the signature and forces a
   *    rebuild — a stale index can never be served against new data
   *    (the snapshot-versioned index layout of a real feature store);
+  *  - a changed BUILD (format version bump or different build parameters —
+  *    the `params` argument) changes the directory name, so persisted
+  *    indexes trained by an older binary are never served to newer code;
   *  - index builds are deterministic (quantized order-independent means,
   *    md5/xxhash64 portable hashing throughout), so a loaded index is
   *    value-identical to a rebuilt one and every consumer query stays
@@ -39,6 +42,12 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Bumped whenever the signature or directory layout changes — folded
+    * into every directory name so indexes persisted by an incompatible
+    * binary are simply never looked up.
+    */
+  val FormatVersion = 2
+
   /** Test hook: redirect the store root (specs point this at a temp dir
     * so they control freshness).
     */
@@ -52,52 +61,146 @@ object IndexStore {
       Paths.get(sys.props("java.io.tmpdir"), "graft-index").toString))
 
   /** Observability for specs and ops: how many indexes were served from
-    * disk vs built this JVM.
+    * disk vs built vs assembled by increment-merge this JVM.
     */
   val loads = new java.util.concurrent.atomic.AtomicLong
   val builds = new java.util.concurrent.atomic.AtomicLong
+  val merges = new java.util.concurrent.atomic.AtomicLong
 
-  /** Order-independent content signature of a source frame: row count +
-    * xor of xxhash64 over every column. Any row added, removed, or
-    * changed flips the signature; partitioning and row order cannot.
-    * One cheap column-pruned scan of the (skinny) source projection.
+  /** Modulus for the additive signature components — prime, ~2^30, so
+    * per-row terms and their pairwise products stay in exact Long range.
     */
-  def signature(source: DataFrame): String = {
+  private val P = 1000000007L
+
+  /** Order-independent multiset signature of a source frame. Components:
+    *
+    *  - `n`  row count
+    *  - `x`  XOR of per-row xxhash64 over all columns
+    *  - `s1` Σ (h mod P) mod P
+    *  - `s2` Σ ((h mod P)² mod P) mod P
+    *
+    * XOR alone is blind to even-multiplicity changes (duplicate rows
+    * self-cancel — and duplicate rows are EXPECTED in this dedup-focused
+    * domain), so the additive power sums are kept alongside: replacing
+    * rows {A,A} by {B,B} keeps n and x but moves s1/s2 unless the row
+    * hashes collide mod P twice over. All four fold componentwise
+    * ([[Sig.combine]]), which is what makes the increment-merge path
+    * ([[mergeOrBuild]]) able to sign corpus ∪ increment WITHOUT rescanning
+    * the corpus. Empty frames sign as Sig(0,0,0,0) (aggregates coalesced —
+    * an empty source builds an empty index instead of throwing).
+    */
+  final case class Sig(n: Long, x: Long, s1: Long, s2: Long) {
+    def render: String = f"$n%x-$x%016x-$s1%08x-$s2%08x"
+    def combine(o: Sig): Sig =
+      Sig(n + o.n, x ^ o.x, (s1 + o.s1) % P, (s2 + o.s2) % P)
+  }
+
+  /** One cheap column-pruned scan of the (skinny) source projection. */
+  def sigOf(source: DataFrame): Sig = {
     val cols = source.columns.map(col).toSeq
     val row = source
       .select(xxhash64(cols: _*).as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"))
+      .withColumn("hp", pmod(col("h"), lit(P)))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+        coalesce(sum(col("hp").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s1"),
+        coalesce(sum(pmod(col("hp") * col("hp"), lit(P))
+          .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("s2"))
       .head()
-    f"${row.getLong(0)}%x-${row.getLong(1)}%016x"
+    def modP(d: java.math.BigDecimal): Long =
+      d.toBigInteger.mod(java.math.BigInteger.valueOf(P)).longValueExact()
+    Sig(row.getLong(0), row.getLong(1),
+      modP(row.getDecimal(2)), modP(row.getDecimal(3)))
   }
 
-  private def indexDir(name: String, sig: String): Path =
-    Paths.get(root, s"$name-$sig")
+  def signature(source: DataFrame): String = sigOf(source).render
 
-  /** Serve the index for (name, signature-of-source) from disk, building
-    * and publishing it first if this corpus snapshot has never been
-    * indexed. Always returns the DISK copy so first-build and reuse
-    * sessions read byte-identical data.
+  /** Short build fingerprint: format version + build parameters. A code
+    * change that alters what a build would produce (subspace count,
+    * centroid budget, minhash shape, …) changes `params` at the call
+    * site and thereby the directory — the persisted index trained under
+    * the old parameters is never looked up, let alone served.
     */
-  def loadOrBuild(spark: SparkSession, name: String, source: DataFrame)
+  private def fingerprint(params: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"v$FormatVersion|$params".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
+  private def indexDir(name: String, params: String, sig: Sig): Path =
+    Paths.get(root, s"$name-${fingerprint(params)}-${sig.render}")
+
+  /** Build into a process-unique temp dir, publish with an atomic rename;
+    * racing publishers of identical content are idempotent.
+    */
+  private def publish(dir: Path, content: DataFrame): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root,
+      s".tmp-${dir.getFileName}-${ProcessHandle.current.pid}-${System.nanoTime}")
+    content.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        // a racing publisher won; our build is identical — discard it
+        deleteRecursively(tmp)
+    }
+  }
+
+  /** Serve the index for (name, params, signature-of-source) from disk,
+    * building and publishing it first if this corpus snapshot has never
+    * been indexed under these build parameters. Always returns the DISK
+    * copy so first-build and reuse sessions read byte-identical data.
+    */
+  def loadOrBuild(spark: SparkSession, name: String, source: DataFrame,
+                  params: String = "")
                  (build: => DataFrame): DataFrame = {
     if (!enabled) return build
-    val sig = signature(source)
-    val dir = indexDir(name, sig)
+    val dir = indexDir(name, params, sigOf(source))
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       builds.incrementAndGet()
-      Files.createDirectories(Paths.get(root))
-      val tmp = Paths.get(root,
-        s".tmp-$name-$sig-${ProcessHandle.current.pid}-${System.nanoTime}")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          // a racing publisher won; our build is identical — discard it
-          deleteRecursively(tmp)
-      }
+      publish(dir, build)
+    } else loads.incrementAndGet()
+    spark.read.parquet(dir.toString)
+  }
+
+  /** The daily-increment path: serve the index for corpus ∪ increment by
+    * APPENDING the increment's index rows to the standing base index and
+    * republishing under the COMBINED signature — day N+1 never rebuilds
+    * over the full corpus, and the combined signature is computed from
+    * the two source signatures alone ([[Sig.combine]]: all four
+    * components fold), so the corpus source is scanned only the first
+    * time its base index is built.
+    *
+    * Correctness contract: valid for indexes whose rows are a per-source-
+    * row deterministic map (the MinHash band index: one signature row per
+    * document), where build(A ∪ B) ≡ build(A) ∪ build(B) as multisets —
+    * the merged index is value-identical to a full rebuild
+    * (IndexStoreSpec pins this), so every consumer stays oracle-exact.
+    * NOT valid for trained global indexes (IVF centroids, PQ codebooks),
+    * whose builds see all rows at once — those rebuild on change.
+    *
+    * Scale shape: the published merge re-writes base + increment rows
+    * once (a copy, not a retrain — no shingling/hashing over the corpus);
+    * at 100 TB the same contract is an object-store append of increment
+    * partitions plus a manifest update, with the signature maintained
+    * incrementally exactly as here.
+    */
+  def mergeOrBuild(spark: SparkSession, name: String,
+                   baseSource: DataFrame, incrementSource: DataFrame,
+                   params: String = "")
+                  (buildBase: => DataFrame)
+                  (buildIncrement: => DataFrame): DataFrame = {
+    if (!enabled) return buildBase.unionByName(buildIncrement)
+    val dir = indexDir(name, params,
+      sigOf(baseSource).combine(sigOf(incrementSource)))
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      merges.incrementAndGet()
+      val base = loadOrBuild(spark, name, baseSource, params)(buildBase)
+      publish(dir, base.unionByName(buildIncrement))
     } else loads.incrementAndGet()
     spark.read.parquet(dir.toString)
   }

@@ -83,16 +83,33 @@ object Queries {
     * centroids, PQ codebooks/codes, the MinHash band index, dedup cluster
     * labels) load from disk when this corpus snapshot was already indexed
     * — by an earlier query in this session (memo) or by a PREVIOUS
-    * session (parquet keyed by corpus content signature) — and train +
-    * publish otherwise. Builds are deterministic, so load and build are
-    * value-identical and every consumer stays oracle-exact either way.
+    * session (parquet keyed by corpus content signature + build params) —
+    * and train + publish otherwise. Builds are deterministic, so load and
+    * build are value-identical and every consumer stays oracle-exact
+    * either way.
     */
   private def durableIndex(spark: SparkSession, dir: String, what: String,
-      sourceTable: String)(build: => DataFrame): DataFrame =
+      sourceTable: String, params: String)(build: => DataFrame): DataFrame =
     memoize(spark, dir, what) {
       IndexStore.loadOrBuild(spark, what,
-        Tables.load(spark, dir, sourceTable))(build)
+        Tables.load(spark, dir, sourceTable), params)(build)
     }
+
+  /** Build-parameter fingerprints for each persisted index: any change to
+    * these constants (exactly the r5 SubSpaces 4→8 case) renames the
+    * store directory, so an index trained under old parameters is never
+    * served to new code.
+    */
+  private val sigParams =
+    s"shingleK=${TextDedup.ShingleK},minhashK=${TextDedup.MinhashK}," +
+      s"bands=${TextDedup.Bands},rows=${TextDedup.BandRows}"
+  private val ivfParams =
+    s"mod=${EmbedSim.CentroidMod},iters=${EmbedSim.LloydIters}," +
+      s"q=${EmbedSim.QuantScale}"
+  private val pqParams =
+    s"m=${EmbedPq.SubSpaces},k=${EmbedPq.CodebookK}," +
+      s"iters=${EmbedPq.PqIters},q=${EmbedSim.QuantScale}"
+  private val clusterParams = s"$sigParams,jaccard=0.5"
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
@@ -100,13 +117,29 @@ object Queries {
     }
 
   /** The standing MinHash band index (doc_id, shingles, mh, bands) —
-    * durable: [[graft.ops.TextDedup.incrementalDups]]'s daily-increment
-    * contract joins this index across sessions.
+    * durable AND incrementally maintained: the base corpus (documents) is
+    * signed and indexed once; the near-dup increment
+    * ([[graft.ops.Corpus.nearDupIncrement]] — "today's crawl") is signed,
+    * row-mapped, and APPENDED via [[IndexStore.mergeOrBuild]], publishing
+    * the merged index under the combined signature. Day N+1 never
+    * re-shingles the corpus; every consumer (q_dedup_incremental,
+    * q_minhash_pairs, q_dedup_clusters, …) reads the merged index, which
+    * is value-identical to a full rebuild because signatures() is a
+    * per-document map (IndexStoreSpec pins the equivalence).
     */
   private def nearSignatures(spark: SparkSession, dir: String): DataFrame =
-    durableIndex(spark, dir, "sigs", "documents") {
-      TextDedup.signatures(Corpus.withNearDups(spark, dir))
-        .select("doc_id", "shingles", "mh", "bands")
+    memoize(spark, dir, "sigs") {
+      def sigRows(corpus: DataFrame) =
+        TextDedup.signatures(corpus).select("doc_id", "shingles", "mh", "bands")
+      IndexStore.mergeOrBuild(spark, "sigs",
+        Tables.load(spark, dir, "documents")
+          .select("doc_id", "text", "source"),
+        Corpus.nearDupIncrement(spark, dir), sigParams) {
+        sigRows(Tables.load(spark, dir, "documents")
+          .select("doc_id", "text", "source"))
+      } {
+        sigRows(Corpus.nearDupIncrement(spark, dir))
+      }
     }
 
   def cleanDocs(spark: SparkSession, dir: String): DataFrame =
@@ -315,7 +348,7 @@ object Queries {
     "q_dedup_keep_best" -> ((s: SparkSession, d: String) => {
       val corpus = Corpus.withNearDups(s, d)
       TextDedup.keepBest(
-        durableIndex(s, d, "dedup_clusters", "documents") {
+        durableIndex(s, d, "dedup_clusters", "documents", clusterParams) {
           TextDedup.dedupClusters(corpus,
             TextDedup.jaccardPairsOf(nearSignatures(s, d)))
         },
@@ -378,46 +411,46 @@ object Queries {
     // amortized over probe passes — the production train-once contract
     "q_knn_ivf" -> ((s: SparkSession, d: String) =>
       EmbedSim.knnIvf(s, d, EmbedSim.IvfSalts,
-        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings", ivfParams) {
           EmbedSim.ivfCentroids(s, d)
         }))),
     // semantic clustering (SemDeDup-style grouping stage): trained
     // k-means assignment + cluster populations, same memoized index
     "q_kmeans" -> ((s: SparkSession, d: String) =>
       EmbedSim.kmeansAssign(s, d,
-        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings", ivfParams) {
           EmbedSim.ivfCentroids(s, d)
         }))),
     // within-cluster diversity sampling (keep the k farthest-from-centroid
     // members per cluster) through the custom bounded-heap TopK operator
     "q_cluster_sample" -> ((s: SparkSession, d: String) =>
       EmbedSim.clusterSample(s, d,
-        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings", ivfParams) {
           EmbedSim.ivfCentroids(s, d)
         }))),
     // product-quantized ANN: trained per-subspace codebooks + the encoded
     // corpus are the memoized PQ INDEX; queries score codes alone via ADC
     "q_knn_pq" -> ((s: SparkSession, d: String) => {
-      val cb = durableIndex(s, d, "pq_codebooks", "embeddings") {
+      val cb = durableIndex(s, d, "pq_codebooks", "embeddings", pqParams) {
         EmbedPq.pqCodebooks(s, d)
       }
       EmbedPq.knnPq(s, d, Some(cb),
-        Some(durableIndex(s, d, "pq_codes", "embeddings") {
+        Some(durableIndex(s, d, "pq_codes", "embeddings", pqParams) {
           EmbedPq.pqCodes(s, d, cb)
         }))
     }),
     // IVF-PQ: coarse probes prune WHICH vectors get scored, PQ codes
     // price WHAT each costs — both memoized indexes compose
     "q_knn_ivfpq" -> ((s: SparkSession, d: String) => {
-      val cb = durableIndex(s, d, "pq_codebooks", "embeddings") {
+      val cb = durableIndex(s, d, "pq_codebooks", "embeddings", pqParams) {
         EmbedPq.pqCodebooks(s, d)
       }
       EmbedPq.knnIvfPq(s, d,
-        Some(durableIndex(s, d, "ivf_centroids", "embeddings") {
+        Some(durableIndex(s, d, "ivf_centroids", "embeddings", ivfParams) {
           EmbedSim.ivfCentroids(s, d)
         }),
         Some(cb),
-        Some(durableIndex(s, d, "pq_codes", "embeddings") {
+        Some(durableIndex(s, d, "pq_codes", "embeddings", pqParams) {
           EmbedPq.pqCodes(s, d, cb)
         }))
     }),

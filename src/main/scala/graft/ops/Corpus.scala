@@ -56,16 +56,26 @@ object Corpus {
         .otherwise(col("text")).as("text"))
   }
 
+  /** The NEW-batch half of the near-dup corpus alone: every doc_id % 13
+    * == 0 document repeated under doc_id + 100000 with its last word
+    * removed — "today's crawl contains near-copies of already-indexed
+    * docs". [[withNearDups]] = documents ∪ this, and the increment-merge
+    * index path ([[graft.IndexStore.mergeOrBuild]]) signs and indexes the
+    * two halves separately.
+    */
+  def nearDupIncrement(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+      .filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), """\s+\S+\s*$""", "").as("text"),
+        col("source"))
+
   /** documents + NEAR duplicates: every doc_id % 13 == 0 is repeated under
     * doc_id + 100000 with its last word removed.
     */
-  def withNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def withNearDups(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
       .select("doc_id", "text", "source")
-    docs.unionAll(
-      docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          regexp_replace(col("text"), """\s+\S+\s*$""", "").as("text"),
-          col("source")))
-  }
+      .unionAll(nearDupIncrement(spark, dir))
 }

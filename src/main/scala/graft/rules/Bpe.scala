@@ -45,7 +45,8 @@ object Bpe {
     * the corpus; bounded so crawl-scale open vocabularies cannot grow it
     * unboundedly.
     */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val CacheCap = 1 << 16
 
   /** Final space-delimited symbol string of one word (the apply loop). */
@@ -72,8 +73,10 @@ object Bpe {
   /** Token count of one word = symbols in its final encoding. */
   def tokenCount(word: String): Long = {
     if (word.isEmpty) return 0L
+    // boxed get: the absent sentinel is null, not 0 — cache correctness
+    // must not hinge on 0 being an unrepresentable count
     val hit = cache.get(word)
-    if (hit != 0L) return hit
+    if (hit ne null) return hit.longValue
     val s = encodeSpaced(word)
     var n = 0L
     var i = 0

@@ -33,6 +33,95 @@ class IndexStoreSpec extends AnyFunSuite with Matchers with TestSpark {
     IndexStore.signature(a) should not be IndexStore.signature(d)
   }
 
+  test("signature sees even-multiplicity changes (XOR-blind case) and " +
+      "empty frames") {
+    import spark.implicits._
+    // {A,A} -> {B,B}: count unchanged, per-row XOR self-cancels both ways —
+    // only the additive power sums can tell these apart
+    val aa = Seq((1L, "x"), (1L, "x")).toDF("id", "v")
+    val bb = Seq((2L, "y"), (2L, "y")).toDF("id", "v")
+    IndexStore.signature(aa) should not be IndexStore.signature(bb)
+    // duplicating a row changes the multiset even though XOR cancels it
+    val a1 = Seq((1L, "x")).toDF("id", "v")
+    val a3 = Seq((1L, "x"), (1L, "x"), (1L, "x")).toDF("id", "v")
+    IndexStore.signature(a1) should not be IndexStore.signature(a3)
+    // empty frame: signs (not throws), and an empty index builds fine
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    noException should be thrownBy IndexStore.signature(empty)
+    withFreshRoot {
+      val served = IndexStore.loadOrBuild(spark, "empty", empty) {
+        empty.select(col("id"), expr("length(v)").as("n"))
+      }
+      served.count() shouldBe 0L
+    }
+  }
+
+  test("changed build params invalidate the persisted index (stale-binary " +
+      "guard)") {
+    withFreshRoot {
+      import spark.implicits._
+      val src = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+      var built = 0
+      def serve(params: String) =
+        IndexStore.loadOrBuild(spark, "toy", src, params) {
+          built += 1
+          src.select(col("doc_id"), expr("length(text)").as("n"))
+        }.count()
+      serve("m=4")
+      serve("m=4") // same params + content: disk
+      built shouldBe 1
+      serve("m=8") // the r5 SubSpaces-style change: must NOT serve stale
+      built shouldBe 2
+    }
+  }
+
+  test("increment merge: merged index is value-identical to a full " +
+      "rebuild and is served from disk on re-request") {
+    withFreshRoot {
+      import spark.implicits._
+      val base = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+        .toDF("doc_id", "text")
+      val inc = Seq((3L, "alpha beta"), (1L, "epsilon"))
+        .toDF("doc_id", "text") // duplicate doc_id rows allowed (multiset)
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), expr("length(text)").as("n"))
+      val m0 = IndexStore.merges.get
+      val merged = IndexStore.mergeOrBuild(spark, "inc", base, inc) {
+        rowsOf(base)
+      } { rowsOf(inc) }
+      (IndexStore.merges.get - m0) shouldBe 1L
+      val full = rowsOf(base.unionAll(inc))
+      merged.orderBy("doc_id", "n").collect() shouldBe
+        full.orderBy("doc_id", "n").collect()
+      // re-request: combined signature hits — no rebuild, no re-merge
+      val l0 = IndexStore.loads.get
+      IndexStore.mergeOrBuild(spark, "inc", base, inc) {
+        fail("base rebuilt on a served merge"): org.apache.spark.sql.DataFrame
+      } { fail("increment rebuilt on a served merge"): org.apache.spark.sql.DataFrame }
+        .count() shouldBe 4L
+      (IndexStore.loads.get - l0) shouldBe 1L
+      (IndexStore.merges.get - m0) shouldBe 1L
+    }
+  }
+
+  test("the registry band index assembled by increment-merge equals a " +
+      "full signatures() rebuild") {
+    import org.apache.spark.sql.DataFrame
+    def sigRows(c: DataFrame) = graft.ops.TextDedup.signatures(c)
+      .select("doc_id", "shingles", "mh", "bands")
+    withFreshRoot {
+      val docs = Tables.load(spark, sf, "documents")
+        .select("doc_id", "text", "source")
+      val inc = graft.ops.Corpus.nearDupIncrement(spark, sf)
+      val merged = IndexStore.mergeOrBuild(spark, "sigs-eq", docs, inc) {
+        sigRows(docs)
+      } { sigRows(inc) }
+      val full = sigRows(graft.ops.Corpus.withNearDups(spark, sf))
+      merged.orderBy("doc_id").collect() shouldBe
+        full.orderBy("doc_id").collect()
+    }
+  }
+
   test("ANN + band-index queries are hash-identical served from a " +
       "disk-loaded index in a fresh session") {
     withFreshRoot {
