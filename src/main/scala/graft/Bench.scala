@@ -43,27 +43,48 @@ object Bench {
     val nPasses = 3
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = selected.map(_._1)
-    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
-      names.map(_ -> Vector.empty[Double]): _*)
-    for (_ <- 1 to nPasses; name <- names) {
+    // each sample carries provenance: (duration, pass index, start offset
+    // since the timed phase began) — so a dispersion outlier can be
+    // checked for co-occurrence with other queries' outliers in the SAME
+    // pass/time window (a box-wide stall) instead of being inferred
+    // (round-5 adjudication of the 39.6 s q_dedup_clusters max needed
+    // exactly this field)
+    final case class Sample(sec: Double, pass: Int, at: Double)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Sample]](
+      names.map(_ -> Vector.empty[Sample]): _*)
+    val timed0 = System.nanoTime()
+    for (pass <- 1 to nPasses; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); samples(name) :+= (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).count()
+        samples(name) :+= Sample((System.nanoTime() - t0) / 1e9, pass,
+          (t0 - timed0) / 1e9)
+      }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
     }
-    def median(v: Vector[Double]): Double =
-      if (v.isEmpty) -1.0 else v.sorted.apply(v.size / 2)
+    def median(v: Vector[Sample]): Double =
+      if (v.isEmpty) -1.0 else v.map(_.sec).sorted.apply(v.size / 2)
     val results = names.map(n => n -> median(samples(n)))
     def jstr(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    def r2(d: Double) = math.round(d * 100) / 100.0
     val disp = names.map { n =>
       val v = samples(n)
-      val (mn, mx) = if (v.isEmpty) (-1.0, -1.0) else (v.min, v.max)
-      jstr(n) + ":{\"min\":" + mn + ",\"max\":" + mx + ",\"n\":" + v.size + "}"
+      if (v.isEmpty)
+        jstr(n) + ":{\"min\":-1.0,\"max\":-1.0,\"n\":0}"
+      else {
+        val mn = v.minBy(_.sec)
+        val mx = v.maxBy(_.sec)
+        jstr(n) + ":{\"min\":" + mn.sec + ",\"max\":" + mx.sec +
+          ",\"n\":" + v.size +
+          ",\"min_pass\":" + mn.pass + ",\"max_pass\":" + mx.pass +
+          ",\"min_at\":" + r2(mn.at) + ",\"max_at\":" + r2(mx.at) + "}"
+      }
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
