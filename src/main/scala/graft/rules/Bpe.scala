@@ -70,6 +70,26 @@ object Bpe {
     s
   }
 
+  /** Per-word final SYMBOL STRING cache (single-space-delimited, no
+    * leading/trailing delimiter) — the sub-word surface
+    * [[graft.ops.TextDedup.substringDedupBpe]] windows over. Bounded like
+    * the count cache and for the same Zipf reason.
+    */
+  private val symCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Final symbols of one word as a compact "sym1 sym2 ..." string
+    * (split on one space to get the symbol list). Empty word → "".
+    */
+  def encodeCompact(word: String): String = {
+    if (word.isEmpty) return ""
+    val hit = symCache.get(word)
+    if (hit ne null) return hit
+    val s = encodeSpaced(word).trim
+    if (symCache.size < CacheCap) symCache.put(word, s)
+    s
+  }
+
   /** Token count of one word = symbols in its final encoding. */
   def tokenCount(word: String): Long = {
     if (word.isEmpty) return 0L

@@ -92,6 +92,32 @@ class DecontaminateSpec extends AnyFunSuite with Matchers with TestSpark {
     exact should not be empty
   }
 
+  test("auto tier: gram bound picks exact for a small benchmark, bloom " +
+      "above the threshold, and both tiers stay value-identical") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val k = TextDedup.ContamGramSynthetic
+    // the decision input: a linear-scan upper bound on benchmark grams
+    val bound = TextDedup.contamGramBound(bench, k)
+    bound should be > 0L
+    bound should be < TextDedup.ContamAutoMaxBroadcastGrams // real sf sizes pick exact
+    val exact = TextDedup.decontaminate(docs, bench, k).collect().toSeq
+    // default threshold: selector takes the broadcast-exact tier
+    TextDedup.decontaminateAuto(docs, bench, k)
+      .collect().toSeq shouldBe exact
+    // forced-low threshold: selector takes the bloom tier — same values
+    TextDedup.decontaminateAuto(docs, bench, k, maxBroadcastGrams = 1L)
+      .collect().toSeq shouldBe exact
+  }
+
+  test("auto tier gram bound: empty benchmark is 0 and short docs " +
+      "contribute no windows") {
+    val bench = df(1L -> "a b", 2L -> "") // both under k=3 words
+    TextDedup.contamGramBound(bench, 3) shouldBe 0L
+    TextDedup.contamGramBound(bench.filter(col("doc_id") === 99L), 3) shouldBe 0L
+    TextDedup.contamGramBound(df(1L -> "a b c d"), 3) shouldBe 2L
+  }
+
   test("bloom path with an empty benchmark flags nothing") {
     val corpus = df(
       1L -> "the quick brown fox jumps over the lazy dog",

@@ -43,6 +43,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_corpus_mix" -> 4,
     "q_decontaminate" -> 4, "q_decontaminate_k8" -> 4,
     "q_decontaminate_bloom" -> 4,
+    // tier-selected: resolves to one of the two plans above
+    "q_decontaminate_auto" -> 4,
     // bench-gram distinct (inside the broadcast subtree) + per-doc gram
     // dedup groupBy + per-doc fold + output sort
     "q_contam_overlap" -> 4,
