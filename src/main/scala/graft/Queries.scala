@@ -248,6 +248,11 @@ object Queries {
     // boundaries on purpose)
     "q_substring_dedup" -> ((s: SparkSession, d: String) =>
       TextDedup.substringDedup(Corpus.withBoilerplate(s, d))),
+    // the same pass at PRODUCTION granularity: windows slide over the
+    // trained-BPE token sequence (sub-word exact removal) — catches
+    // repeats word-level windows cannot see once OOV words split
+    "q_substring_dedup_bpe" -> ((s: SparkSession, d: String) =>
+      TextDedup.substringDedupBpe(Corpus.withBoilerplate(s, d))),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
@@ -517,6 +522,7 @@ object Queries {
     "q_dedup_exact" -> SqlText.exactDedup,
     "q_chunk_dedup" -> SqlText.chunkDedup,
     "q_substring_dedup" -> SqlText.substringDedup,
+    "q_substring_dedup_bpe" -> SqlText.substringDedupBpe,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_edit_pairs" -> SqlText.editPairs,

@@ -1064,4 +1064,100 @@ object TextDedup {
         (col("n_words") - coalesce(col("_nk"), lit(0L))).as("n_removed"))
       .orderBy("doc_id")
   }
+
+  /** Sliding-window gram length for [[substringDedupBpe]], in TRAINED-BPE
+    * tokens — Lee et al. 2022's production granularity is 50 BPE tokens;
+    * 20 suits the short synthetic docs while still sitting well inside
+    * the injected boilerplate span's ~3× token inflation (words outside
+    * the trained vocabulary split into several sub-word symbols).
+    */
+  val SubstrBpeGram = 20
+
+  /** [[substringDedup]] at PRODUCTION granularity: windows slide over the
+    * TRAINED-BPE token sequence ([[graft.rules.Bpe]] frozen merges — the
+    * tokenizer every real token-budget decision runs on), not whitespace
+    * words. This is the r5 pieces composing: any verbatim repeat of >=
+    * [[SubstrBpeGram]] BPE tokens is removed wherever it starts,
+    * INCLUDING repeats that word-level windows cannot see — a short
+    * phrase of < SubstrGram words can still span >= SubstrBpeGram
+    * sub-word tokens once out-of-vocabulary words split (spec pins such
+    * a case), and removal is sub-word exact: a word partially inside a
+    * duplicate span keeps only its uncovered symbols.
+    *
+    * Mechanics: per-word symbols come from the codegen'd
+    * [[graft.functions.BpeEncode]] (bounded Zipf-vocabulary cache, no
+    * UDF serde), flattened doc-wide as (word_index, symbol) structs —
+    * pure array ops, no per-token explode until gram generation, no
+    * window over any key. First-occurrence / covered-position / rebuild
+    * logic is [[substringDedup]]'s, with one extra doc-keyed groupBy to
+    * reassemble words from their surviving symbols (BPE symbols
+    * partition the word's codepoints, so full survivors rebuild
+    * verbatim).
+    *
+    * Scale shape (100 TB): identical to [[substringDedup]] — narrow
+    * (doc_id, p, h56) gram explode, ONE partial-agg groupBy on the
+    * 8-byte gram hash, covered expansion bounded by K×dup-starts, both
+    * reassembly groupBys keyed by doc_id with per-group state bounded by
+    * document length. BPE cost itself tracks the vocabulary, not the
+    * corpus.
+    */
+  def substringDedupBpe(corpus: DataFrame, k: Int = SubstrBpeGram): DataFrame = {
+    val base = corpus
+      .withColumn("_words", words(col("text")))
+      // (wi, sym) structs for the whole doc: word boundaries survive into
+      // reassembly while windows see the flat token stream
+      .withColumn("_syms", flatten(transform(col("_words"), (w, wi) =>
+        transform(split(graft.functions.BpeEncode(w), " "),
+          s => struct(wi.as("wi"), s.as("sym"))))))
+      .withColumn("n_tokens", size(col("_syms")).cast("long"))
+    val symsOf = transform(col("_syms"), s => s("sym"))
+    val grams = base
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_tokens") - k).cast("int")),
+          i => TextHash.h56(concat_ws(" ", slice(symsOf, i + 1, lit(k))))))
+          .as(Seq("p", "gh")))
+      .withColumn("_ord", {
+        val ord = col("doc_id") * ChunkPosBase + col("p")
+        when(col("p") >= ChunkPosBase,
+          raise_error(lit("substringDedupBpe: position overflows ChunkPosBase")))
+          .otherwise(ord)
+      })
+    val keeper = grams.groupBy(col("gh")).agg(min(col("_ord")).as("_keeper"))
+    val covered = grams
+      .join(keeper, "gh")
+      .filter(col("_ord") =!= col("_keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), posexplode(col("_syms")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        col("s")("wi").as("wi"), col("s")("sym").as("sym"))
+    val keptWords = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"), col("wi"))
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          s => s("sym"))).as("word"),
+        min(col("pos")).as("wpos"),
+        count(lit(1)).as("nk"))
+    val rebuilt = keptWords.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("word")))),
+          s => s("word"))).as("_clean"),
+        sum(col("nk")).as("_nk"))
+    base
+      .select(col("doc_id"), col("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
 }

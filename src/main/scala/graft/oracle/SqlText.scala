@@ -440,6 +440,99 @@ object SqlText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_substring_dedup_bpe: the sliding-window pass at
+    * TRAINED-BPE granularity. Mirrors Corpus.withBoilerplate +
+    * TextDedup.substringDedupBpe end-to-end: the same recursive-CTE
+    * frozen-merges encoder as [[bpeTokens]] (applied to the INJECTED
+    * corpus's vocabulary, yielding per-word symbol lists), flat token
+    * positions via a per-doc cumulative symbol count, then the h56
+    * window / first-occurrence / covered-position chain of
+    * [[substringDedup]], and sub-word reassembly (symbols regroup into
+    * words by word index, words rejoin by position).
+    */
+  val substringDedupBpe: String = {
+    import graft.ops.TextDedup
+    val k = TextDedup.SubstrBpeGram
+    val base = TextDedup.ChunkPosBase
+    val bp = graft.ops.Corpus.Boilerplate.map(s(_)).mkString("[", ", ", "]")
+    val mergeRows = graft.rules.Bpe.Merges.zipWithIndex.map {
+      case ((x, y), i) => s"($i, ${s(s" $x $y ")}, ${s(s" $x$y ")})"
+    }.mkString(",\n|    ").stripMargin
+    s"""WITH RECURSIVE
+       |merges AS (SELECT * FROM (VALUES
+       |    $mergeRows) m(pri, pat, rep)),
+       |w0 AS (SELECT doc_id, ${wordsOf("text")} AS w FROM documents),
+       |inj AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 0 THEN
+       |    list_slice(w, 1, CAST(doc_id % 7 + 1 AS INTEGER)) || $bp ||
+       |      list_slice(w, CAST(doc_id % 7 + 2 AS INTEGER), len(w))
+       |  ELSE w END AS words FROM w0),
+       |dw AS (SELECT DISTINCT unnest(words) AS word FROM inj),
+       |enc AS (
+       |  SELECT word,
+       |    ' ' || list_aggregate(regexp_extract_all(word, '.'),
+       |      'string_agg', ' ') || ' ' AS s
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word, replace(s, pat, rep) AS s FROM (
+       |    SELECT e.word, e.s, m.pat, m.rep,
+       |      row_number() OVER (PARTITION BY e.word ORDER BY m.pri) AS rn
+       |    FROM enc e JOIN merges m ON contains(e.s, m.pat)) z
+       |  WHERE rn = 1),
+       |fin AS (SELECT word,
+       |  list_filter(string_split(s, ' '), x -> x != '') AS syms
+       |  FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |    WHERE contains(e.s, m.pat))),
+       |wt AS (SELECT doc_id, wi, words[CAST(wi AS INTEGER) + 1] AS word
+       |  FROM (SELECT doc_id, words, unnest(range(len(words))) AS wi
+       |        FROM inj)),
+       |ws AS (SELECT wt.doc_id, wt.wi, f.syms, len(f.syms) AS ns
+       |  FROM wt JOIN fin f USING (word)),
+       |woff AS (SELECT doc_id, wi, syms,
+       |  coalesce(sum(ns) OVER (PARTITION BY doc_id ORDER BY wi
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |  FROM ws),
+       |toks AS (SELECT doc_id, wi, o + si AS pos,
+       |  syms[CAST(si AS INTEGER) + 1] AS sym
+       |  FROM (SELECT doc_id, wi, o, syms, unnest(range(len(syms))) AS si
+       |        FROM woff)),
+       |base AS (SELECT i.doc_id,
+       |  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_tokens
+       |  FROM inj i LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks
+       |    GROUP BY 1) tc USING (doc_id)),
+       |ds AS (SELECT doc_id, list(sym ORDER BY pos) AS syms FROM toks
+       |  GROUP BY 1),
+       |gp AS (SELECT doc_id, syms, unnest(range(len(syms) - ${k - 1})) AS p
+       |  FROM ds WHERE len(syms) >= $k),
+       |grams AS (SELECT doc_id, p,
+       |  ${h56(s"list_aggregate(list_slice(syms, p + 1, p + $k), " +
+          "'string_agg', ' ')")} AS gh,
+       |  doc_id * $base + p AS _ord
+       |  FROM gp),
+       |keeper AS (SELECT gh, min(_ord) AS _k FROM grams GROUP BY 1),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT g.doc_id, g.p + unnest(range($k)) AS pos
+       |  FROM grams g JOIN keeper USING (gh) WHERE _ord != _k)),
+       |kept AS (SELECT t.doc_id, t.wi, t.pos, t.sym FROM toks t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |kw AS (SELECT doc_id, wi,
+       |  string_agg(sym, '' ORDER BY pos) AS word,
+       |  min(pos) AS wpos, count(*) AS nk
+       |  FROM kept GROUP BY 1, 2),
+       |rebuilt AS (SELECT doc_id,
+       |  string_agg(word, ' ' ORDER BY wpos) AS _clean,
+       |  CAST(sum(nk) AS BIGINT) AS _nk
+       |  FROM kw GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(r._clean, '') AS clean_text,
+       |  b.n_tokens,
+       |  b.n_tokens - coalesce(r._nk, 0) AS n_removed
+       |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_quality_classifier: same md5 feature hash, bucket count,
     * Knuth-cycle weight table and keep rule as
     * TextAnalysis.qualityClassifier — integer arithmetic end-to-end (exact

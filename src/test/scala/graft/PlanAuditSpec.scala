@@ -37,6 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // gram-hash keeper agg + covered distinct + doc_id reassembly agg +
     // output sort; the token anti-join and final left join broadcast
     "q_substring_dedup" -> 4,
+    // + the per-word symbol-reassembly groupBy over the word version
+    "q_substring_dedup_bpe" -> 6,
     // assignment argmax + cluster-cos broadcast join + custom TopK's one
     // key exchange + output sort
     "q_cluster_sample" -> 3,
