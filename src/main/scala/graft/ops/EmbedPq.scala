@@ -53,6 +53,27 @@ object EmbedPq {
   val TopK = EmbedSim.TopK
   val Rerank = 64 // ADC shortlist size fed to the exact rerank
 
+  /** Probe count for the COMPOSED IVF-PQ path — escalated over the plain
+    * IVF's [[EmbedSim.Probes]] because the composition stacks two losses
+    * (coarse pruning × code quantization): at the shared probe budget the
+    * production shape retrieved WORSE than flat PQ (measured recall@10
+    * 0.78 vs 0.92 on the isotropic stress corpus — the wrong trade for
+    * the path users actually deploy). The measured probe-coverage curve
+    * (ProbeCurveSpec, isotropic corpus, 10 lists) is the recall CEILING
+    * any IVF composition can reach: 2→0.80, 4→0.88, 6→0.96 — so 6 probes
+    * is the smallest budget whose ceiling clears the 0.90 floor after
+    * the measured ~0.04 quantization loss (PqSpec pins recall@10 ≥ 0.9).
+    * Candidate volume stays Probes/|lists| of the corpus, and |lists|
+    * GROWS with corpus size (√n-scaled centroid budget), so the
+    * escalated fraction shrinks at scale — the stress cost is confined
+    * to exactly the tiny-corpus case that needs it. (The standard
+    * alternative, residual IVFADC, attacks the quantization loss — the
+    * 0.04, not the 0.16 pruning loss that dominates here — and would
+    * couple the PQ index to the coarse index, breaking their independent
+    * memoization/reuse.)
+    */
+  val IvfPqProbes = EmbedSim.Probes * 3
+
   private def dot(a: Column, b: Column): Column = DotProduct(a, b)
   private def r6(c: Column): Column = round(c, 6)
 
@@ -189,7 +210,7 @@ object EmbedPq {
       .withColumn("_qc",
         r6(dot(col("qemb"), col("cemb")) / (col("qnorm") * col("cnorm"))))
       .withColumn("_rn", row_number().over(wP))
-      .filter(col("_rn") <= EmbedSim.Probes)
+      .filter(col("_rn") <= IvfPqProbes)
       .select(col("query_id"), col("centroid_id"))
     val cands = probes.join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -1339,7 +1339,7 @@ object SqlText {
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY CAST(round(CAST(${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
        |  FROM qv q CROSS JOIN lcent${EmbedSim.LloydIters} c)
-       |  WHERE rn <= ${EmbedSim.Probes}),
+       |  WHERE rn <= ${EmbedPq.IvfPqProbes}),
        |cand AS (SELECT p.query_id, a.vec_id
        |  FROM probes p JOIN assigned a USING (centroid_id)
        |  WHERE a.vec_id != p.query_id),

@@ -49,8 +49,10 @@ class PqSpec extends AnyFunSuite with Matchers with TestSpark {
       ivfpq.intersect(exact).count().toDouble / (nQ * EmbedSim.TopK)
     info(s"IVF-PQ recall@10 vs exact brute force = $recall")
     // the coarse probe prunes candidates, so IVF-PQ recall is bounded by
-    // IVF recall; the floor reflects both prune + quantization losses
-    recall should be >= 0.4
+    // the probed lists' true-neighbor coverage (ProbeCurveSpec measures
+    // the ceiling: 0.96 at the escalated IvfPqProbes = 6); the floor
+    // leaves room for the measured ~0.04 ADC quantization loss
+    recall should be >= 0.9
     ivfpq.groupBy("query_id").count()
       .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
       .toInt should be <= EmbedSim.TopK
