@@ -257,9 +257,20 @@ object StreamBench {
     val steadyRps = batchSize / medianBatch
     // p95 batch latency (nearest-rank): the tail a latency SLO would pin —
     // flat p95 vs median is the "no state-growth, no watermark stall"
-    // evidence at the 1M-event scale
-    val p95Batch = sortedBatch(
-      math.min(sortedBatch.size - 1, math.ceil(sortedBatch.size * 0.95).toInt - 1))
+    // evidence at scale
+    def p95(v: Seq[Double]): Double = {
+      val s = v.sorted
+      s(math.min(s.size - 1, math.ceil(s.size * 0.95).toInt - 1))
+    }
+    val p95Batch = p95(batchSec)
+    // The first timed batches still carry JIT/codegen/RocksDB-open tails
+    // the 1000-record warmup cannot fully absorb (r5 measured 6.4-10.2 s
+    // first batches vs 3.1-4.7 s steady — the warm-up WAS the p95). The
+    // steady percentile DECLARES that exclusion instead of folding ramp-up
+    // into the SLO number; both are reported, and the excluded count is in
+    // the output so the declaration is auditable.
+    val WarmBatches = math.min(2, batchSec.size - 1)
+    val p95Steady = p95(batchSec.drop(WarmBatches))
     // post-timing accounting reads (not part of the measured window)
     val upserted =
       if (jdbcMode) {
@@ -277,6 +288,7 @@ object StreamBench {
       s""""unit":"records/sec","records":$total,"batches":$nBatches,""" +
       s""""seconds":$sec,"steady_state_rps":$steadyRps,""" +
       s""""median_batch_sec":$medianBatch,"p95_batch_sec":$p95Batch,""" +
+      s""""p95_batch_sec_steady":$p95Steady,"warm_batches_excluded":$WarmBatches,""" +
       s""""upserted":$upserted,""" +
       s""""sink":"${if (jdbcMode) "jdbc" else "memory"}",""" +
       s""""issues":$issueCount,""" +

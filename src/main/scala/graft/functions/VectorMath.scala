@@ -44,6 +44,23 @@ object VectorMathUtil {
     }
     false
   }
+
+  /** Quantized ADC sum: Σ_m floor(lut[m·k + codes[m]] · scale + 0.5) as an
+    * exact integer — the per-candidate inner loop of PQ scoring
+    * ([[graft.ops.EmbedPq]]), identical arithmetic to the SQL form
+    * `sum(cast(floor(v * scale + 0.5) as long))` per subspace.
+    */
+  def adcSum(codes: ArrayData, lut: ArrayData, k: Int, scale: Double): Long = {
+    val m = codes.numElements()
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val v = lut.getDouble(i * k + codes.getLong(i).toInt)
+      s += math.floor(v * scale + 0.5).toLong
+      i += 1
+    }
+    s
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -96,4 +113,51 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Native quantized ADC sum over a packed code array (`array<bigint>`,
+  * codes[m] = the candidate's code for subspace m) and a dense per-query
+  * LUT (`array<double>`, slot m·k + code). One primitive loop per
+  * (query, candidate) pair — this runs at candidate volume, exactly like
+  * [[DotProduct]], and for the same reason must not be written with
+  * interpreted higher-order functions (measured at sf3: HOF form 69 s,
+  * unrolled element_at chain 20 s, this expression — see SCALING.md).
+  * The integer result ÷ scale is the caller's quantized double; summation
+  * order is irrelevant (exact longs), matching the DuckDB oracle's
+  * per-subspace `sum(cast(floor(v·scale + 0.5) as bigint))`.
+  */
+case class AdcSum(codes: Expression, lut: Expression, k: Int, scale: Double)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum requires (array<bigint>, array<double>), got $l and $r")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "adc_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMathUtil.adcSum(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], k, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMathUtil.adcSum($a, $b, $k, ${scale}d)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcSum = copy(codes = newLeft, lut = newRight)
+}
+
+object AdcSum {
+  def apply(codes: Column, lut: Column, k: Int, scale: Double): Column =
+    GraftBridge.column(AdcSum(GraftBridge.expression(codes),
+      GraftBridge.expression(lut), k, scale))
 }

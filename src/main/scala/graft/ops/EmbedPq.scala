@@ -141,11 +141,75 @@ object EmbedPq {
     cb.localCheckpoint(false)
   }
 
+  /** Encode an arbitrary (vec_id, embedding) frame against trained
+    * codebooks — public because encoding is a PER-ROW map once the
+    * codebooks are frozen: codes(A ∪ B) ≡ codes(A) ∪ codes(B), which is
+    * exactly the [[graft.IndexStore.mergeOrBuild]] contract. A daily
+    * embedding increment encodes against the standing codebooks and its
+    * codes APPEND to the standing code index — no corpus re-encode
+    * (IndexStoreSpec pins merge ≡ full-encode value identity).
+    */
+  def encode(vecs: DataFrame, cb: DataFrame): DataFrame =
+    assign(subVectors(
+      vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))), cb)
+
   /** PQ codes (vec_id, m, code) — the PQ INDEX half 2: the whole corpus
     * encoded against the trained codebooks (8 codes per vector).
     */
   def pqCodes(spark: SparkSession, dir: String, cb: DataFrame): DataFrame =
-    assign(subVectors(emb(spark, dir)), cb)
+    encode(Tables.load(spark, dir, "embeddings"), cb)
+
+  /** Codes packed one row per vector, `codes[m]` = the code for subspace
+    * m — the M-bytes-per-vector layout a real PQ index ships. The skinny
+    * (vec_id, m, code) frame stays the persisted/merged INDEX form
+    * (per-row map → [[graft.IndexStore.mergeOrBuild]]-able); packing is
+    * one partial-agg groupBy at query time.
+    */
+  private def packedCodes(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s("code")).as("codes"))
+
+  /** Dense per-query ADC lookup tables: slot m·K+code → (qdot, cn2) as
+    * flat arrays, built once per query (M·K map probes). Scoring a
+    * candidate then costs M O(1) `element_at`s inside ONE codegen'd
+    * projection row — the in-memory-LUT shape of real ADC — instead of
+    * the former relational join on (m, code), which materialized M rows
+    * PER (query, candidate) pair before a groupBy could fold them
+    * (measured at sf3: 47.7 s, 2.7× the brute-force baseline it exists
+    * to undercut; packed: see SCALING.md).
+    */
+  private def denseLut(lut: DataFrame): DataFrame = {
+    val slots = SubSpaces * CodebookK
+    lut
+      .withColumn("slot", (col("m") * CodebookK + col("code")).cast("int"))
+      .groupBy("query_id")
+      .agg(
+        map_from_entries(collect_list(struct(col("slot"), col("qdot"))))
+          .as("_qm"),
+        map_from_entries(collect_list(struct(col("slot"), col("cn2"))))
+          .as("_cm"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(slots - 1)),
+          i => coalesce(element_at(col("_qm"), i), lit(0.0))).as("qd"),
+        transform(sequence(lit(0), lit(slots - 1)),
+          i => coalesce(element_at(col("_cm"), i), lit(0.0))).as("cn"))
+  }
+
+  /** M-term ADC sum over a packed code array and a dense LUT, with the
+    * SAME quantize-to-1e-6 / integer-sum arithmetic as the former
+    * per-(m) aggregation (order-independent, cross-engine exact — the
+    * oracle is unchanged). One native codegen'd expression
+    * ([[graft.functions.AdcSum]]) — the per-pair inner loop of the
+    * operator, same rationale as [[graft.functions.DotProduct]]: it runs
+    * at candidate volume, so interpreted higher-order functions (69 s at
+    * sf3) or a 16-term element_at chain (20 s) multiply per-pair
+    * overhead by the corpus.
+    */
+  private def qsumArr(codes: Column, lutArr: Column): Column =
+    graft.functions.AdcSum(codes, lutArr, CodebookK, EmbedSim.QuantScale)
+      .cast("double") / lit(EmbedSim.QuantScale)
 
   /** ADC top-k: each query (vec_id % QueryMod == 0) precomputes its
     * lookup table (dot with every codebook entry), candidates are scored
@@ -156,6 +220,13 @@ object EmbedPq {
     * Both M-term sums are quantized to 1e-6 and summed as integers
     * (order-independent, cross-engine exact); rank by (approx desc,
     * vec_id).
+    *
+    * Scale shape: the query×corpus pairing is the operator's labeled
+    * cost (flat PQ scores EVERY vector — IVF-PQ is the pruned tier);
+    * what must NOT grow is the per-pair cost, so candidates ship as one
+    * packed code array and score via [[qsumArr]] against broadcast dense
+    * LUTs — one projected row per (query, candidate), no (m, code) join,
+    * no M-row expansion, no groupBy.
     */
   def knnPq(spark: SparkSession, dir: String,
       cbIn: Option[DataFrame] = None,
@@ -169,13 +240,12 @@ object EmbedPq {
     val lut = qsubs.join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         dot(col("qsemb"), col("cemb")).as("qdot"), col("cn2"))
-    def qsumL(c: Column): Column =
-      sum(floor(c * lit(EmbedSim.QuantScale) + lit(0.5)).cast("long"))
-        .cast("double") / lit(EmbedSim.QuantScale)
-    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+    val scored = packedCodes(codes)
+      .join(broadcast(denseLut(lut)), lit(true))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(qsumL(col("qdot")).as("adot"), qsumL(col("cn2")).as("rn2"))
+      .select(col("query_id"), col("vec_id"),
+        qsumArr(col("codes"), col("qd")).as("adot"),
+        qsumArr(col("codes"), col("cn")).as("rn2"))
     rerankTail(spark, dir, scored, queries)
   }
 
@@ -220,13 +290,14 @@ object EmbedPq {
     val lut = qsubs.join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         dot(col("qsemb"), col("cemb")).as("qdot"), col("cn2"))
-    def qsumL(c: Column): Column =
-      sum(floor(c * lit(EmbedSim.QuantScale) + lit(0.5)).cast("long"))
-        .cast("double") / lit(EmbedSim.QuantScale)
-    val scored = cands.join(codes, Seq("vec_id"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(qsumL(col("qdot")).as("adot"), qsumL(col("cn2")).as("rn2"))
+    // packed candidates score against broadcast dense LUTs — one row per
+    // (query, candidate), M O(1) lookups, no (m, code) join expansion
+    // (same arithmetic as knnPq; see qsumArr)
+    val scored = cands.join(packedCodes(codes), Seq("vec_id"))
+      .join(broadcast(denseLut(lut)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        qsumArr(col("codes"), col("qd")).as("adot"),
+        qsumArr(col("codes"), col("cn")).as("rn2"))
     rerankTail(spark, dir,
       scored, queries.select(col("vec_id"), col("emb")))
   }
@@ -241,13 +312,19 @@ object EmbedPq {
       scored: DataFrame, queries: DataFrame): DataFrame = {
     val qnorms = queries.select(col("vec_id").as("query_id"),
       sqrt(dot(col("emb"), col("emb"))).as("qnorm"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(desc("_a6"), col("vec_id"))
-    val shortlist = scored.join(broadcast(qnorms), Seq("query_id"))
+    // shortlist via the bounded-heap TopK physical operator, NOT a
+    // row_number window: the window sorts EVERY (query, candidate) score
+    // inside each query partition — at flat-PQ candidate volume
+    // (|Q|·|corpus| rows) that sort IS the query's cost ceiling, while
+    // the heap keeps Rerank rows per key with map-side pruning before
+    // the one shuffle. Same total order (score desc, vec_id tiebreak) →
+    // identical rows, oracle unchanged.
+    val withA6 = scored.join(broadcast(qnorms), Seq("query_id"))
       .withColumn("_a6",
         r6(col("adot") / (col("qnorm") * sqrt(col("rn2")))))
-      .withColumn("_ar", row_number().over(wAdc))
-      .filter(col("_ar") <= Rerank)
+    val shortlist = graft.plans.TopK.perKey(withA6, Seq("query_id"),
+        Seq(graft.plans.TopK.desc("_a6"), graft.plans.TopK.asc("vec_id")),
+        k = Rerank)
       .select(col("query_id"), col("vec_id"))
     val all = emb(spark, dir)
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))

@@ -104,6 +104,30 @@ class IndexStoreSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("PQ codes merge: a daily embedding increment encoded against the " +
+      "standing codebooks and appended equals a full re-encode") {
+    import org.apache.spark.sql.DataFrame
+    withFreshRoot {
+      val sfDir = sf
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      // frozen codebooks = the trained global index (NOT merged — trained
+      // indexes rebuild on change; only per-row maps merge)
+      val cb = graft.ops.EmbedPq.pqCodebooks(spark, sfDir)
+      val mid = emb.agg(expr("percentile_approx(vec_id, 0.5)"))
+        .head().getLong(0)
+      val base = emb.filter(col("vec_id") <= mid)
+      val inc = emb.filter(col("vec_id") > mid) // "today's embeddings"
+      def codesOf(v: DataFrame) = graft.ops.EmbedPq.encode(v, cb)
+      val merged = IndexStore.mergeOrBuild(spark, "pq-codes-inc", base, inc) {
+        codesOf(base)
+      } { codesOf(inc) }
+      val full = codesOf(emb)
+      merged.count() shouldBe full.count()
+      merged.orderBy("vec_id", "m").collect() shouldBe
+        full.orderBy("vec_id", "m").collect()
+    }
+  }
+
   test("the registry band index assembled by increment-merge equals a " +
       "full signatures() rebuild") {
     import org.apache.spark.sql.DataFrame

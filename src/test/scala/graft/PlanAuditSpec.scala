@@ -142,6 +142,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     * products only (brute-force KNN baseline; C-centroid IVF assignment).
     */
   private val bnljAllowed = Set("q_knn_brute", "q_knn_ivf", "q_knn_ivfpq",
+    // flat PQ scores every (query, vector) pair BY CONTRACT (IVF-PQ is
+    // the pruned tier); the packed-ADC pairing is a broadcast nested
+    // loop exactly like q_knn_brute's
+    "q_knn_pq",
     "q_embed_dups",
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
