@@ -182,19 +182,25 @@ object EmbedPq {
     */
   private def denseLut(lut: DataFrame): DataFrame = {
     val slots = SubSpaces * CodebookK
-    lut
-      .withColumn("slot", (col("m") * CodebookK + col("code")).cast("int"))
+    // dense assembly by GRID LEFT-JOIN + one sorted collect per query —
+    // NOT per-slot element_at over a map column: Spark's map lookup is a
+    // linear entry scan, so the map form costs O(slots²) interpreted
+    // comparisons per query inside one AQE-coalesced task (measured as a
+    // flat ~4 s serial floor on every knnPq pass at sf1). The grid join
+    // is |Q|·slots tiny rows through codegen'd hash join + partial agg.
+    val grid = lut.select("query_id").distinct()
+      .join(broadcast(
+        lut.sparkSession.range(slots).toDF("slot")), lit(true))
+    val withSlot = lut.withColumn("slot",
+      (col("m") * CodebookK + col("code")).cast("long"))
+    grid.join(withSlot.drop("m", "code"), Seq("query_id", "slot"), "left")
       .groupBy("query_id")
-      .agg(
-        map_from_entries(collect_list(struct(col("slot"), col("qdot"))))
-          .as("_qm"),
-        map_from_entries(collect_list(struct(col("slot"), col("cn2"))))
-          .as("_cm"))
+      .agg(array_sort(collect_list(struct(col("slot"),
+        coalesce(col("qdot"), lit(0.0)).as("q"),
+        coalesce(col("cn2"), lit(0.0)).as("c")))).as("_a"))
       .select(col("query_id"),
-        transform(sequence(lit(0), lit(slots - 1)),
-          i => coalesce(element_at(col("_qm"), i), lit(0.0))).as("qd"),
-        transform(sequence(lit(0), lit(slots - 1)),
-          i => coalesce(element_at(col("_cm"), i), lit(0.0))).as("cn"))
+        transform(col("_a"), s => s("q")).as("qd"),
+        transform(col("_a"), s => s("c")).as("cn"))
   }
 
   /** M-term ADC sum over a packed code array and a dense LUT, with the

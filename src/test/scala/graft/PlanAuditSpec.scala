@@ -91,10 +91,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // encode groupBy (via the memoized codes) + ADC partial-agg groupBy
     // + per-query rank window + output sort; codebook training is
     // lineage-truncated behind the localCheckpoint leaf
-    "q_knn_pq" -> 6,
+    "q_knn_pq" -> 9, // +3: packedCodes groupBy, denseLut grid distinct+agg (512-row frames)
     // + the coarse assignment argmax, probe window, and candidate join
     // on top of the PQ tail
-    "q_knn_ivfpq" -> 9,
+    "q_knn_ivfpq" -> 12, // +3: packedCodes groupBy, denseLut grid distinct+agg (512-row frames)
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
