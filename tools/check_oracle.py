@@ -26,7 +26,11 @@ def fresh_con(sf_dir):
     # of RAM) makes mallocs sporadically fail ("Failed to allocate block
     # ... bad allocation") even with 100+ GB free. sf0.01 needs well under
     # a GB; 16 GB keeps the check comfortable and deterministic.
-    con.execute("SET memory_limit='16GB'")
+    # sf0.01 needs well under a GB; larger local sweeps (sf3+) can raise
+    # the cap via GRAFT_DUCKDB_MEM (the ANN-family oracles' Lloyd CTEs
+    # legitimately need tens of GB at 60k+ vectors)
+    con.execute("SET memory_limit='%s'" % os.environ.get(
+        "GRAFT_DUCKDB_MEM", "16GB"))
     con.execute("SET threads TO 16")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
@@ -42,7 +46,11 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for q in sorted(oracles):
+        if only is not None and q.removesuffix(".parquet") not in only \
+                and q not in only:
+            continue
         res_dir = os.path.join(out_dir, q + ".parquet")
         if not os.path.isdir(res_dir):
             res_dir = os.path.join(out_dir, q)  # legacy layout
