@@ -257,6 +257,11 @@ object Queries {
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+    // asymmetric containment over the EXCERPT corpus: catches
+    // quote/extract duplication (one doc inside another) that symmetric
+    // Jaccard dilutes by the length ratio
+    "q_containment_pairs" -> ((s: SparkSession, d: String) =>
+      TextDedup.containmentPairs(Corpus.withExcerpts(s, d))),
     // character-level verification of the same candidates (bounded
     // levenshtein short-circuits the DP at EditMax)
     "q_edit_pairs" -> ((s: SparkSession, d: String) =>
@@ -313,6 +318,10 @@ object Queries {
     // through the bounded-heap TopK physical operator
     "q_reservoir" -> ((s: SparkSession, d: String) =>
       Sampling.reservoir(Tables.load(s, d, "documents"))),
+    // deterministic Efraimidis-Spirakis WEIGHTED sample (token-count
+    // weights — selection mass proportional to token-budget cost)
+    "q_weighted_sample" -> ((s: SparkSession, d: String) =>
+      Sampling.weightedSample(Tables.load(s, d, "documents"))),
     // train/eval decontamination: benchmark = doc_id % 97 == 0 stand-in
     "q_decontaminate" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
@@ -525,6 +534,7 @@ object Queries {
     "q_substring_dedup_bpe" -> SqlText.substringDedupBpe,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
+    "q_containment_pairs" -> SqlText.containmentPairs,
     "q_edit_pairs" -> SqlText.editPairs,
     "q_dedup_incremental" -> SqlText.incrementalDups,
     "q_dedup_clusters" -> SqlText.dedupClusters,
@@ -542,6 +552,7 @@ object Queries {
     "q_corpus_mix_bpe" -> SqlText.corpusMixBpe,
     "q_bpe_tokens" -> SqlText.bpeTokens,
     "q_reservoir" -> SqlText.reservoir,
+    "q_weighted_sample" -> SqlText.weightedSample,
     "q_decontaminate" -> SqlText.decontaminate,
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
     // bloom prefilter + exact verify == exact semantics, same oracle

@@ -78,4 +78,28 @@ object Corpus {
     Tables.load(spark, dir, "documents")
       .select("doc_id", "text", "source")
       .unionAll(nearDupIncrement(spark, dir))
+
+  /** documents + EXCERPT copies: every doc_id % 9 == 0 document is
+    * repeated under doc_id + 200000 keeping only its first
+    * max(ShingleK+1, ⌊3·len/5⌋) words — "a quote/extract of an indexed
+    * document re-appears as its own document". The excerpt's shingle set
+    * is a strict SUBSET of the original's, which is the asymmetric
+    * relation [[TextDedup.containmentPairs]] exists to catch (symmetric
+    * Jaccard dilutes it by the length ratio). Integer-only length
+    * arithmetic (3·len then floor-div 5 — `3*n/5.0` is exact-enough in
+    * IEEE double that floor never straddles, and the oracle mirrors it
+    * verbatim).
+    */
+  def withExcerpts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    val w = TextHash.words(col("text"))
+    val keep = greatest(lit(TextDedup.ShingleK + 1),
+      floor(size(w) * 3 / lit(5)).cast("int"))
+    docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), keep)).as("text"),
+          col("source")))
+  }
 }

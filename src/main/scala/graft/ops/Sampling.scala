@@ -126,4 +126,39 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("draw"))
       .orderBy("source", "draw", "doc_id")
   }
+
+  val WeightedSalt = "wres:v1:"
+  val WeightedK = ReservoirK
+
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis &
+    * Spirakis 2006's exponential-key A-ES, hash-derandomized): per doc
+    * draw u = (h32+1)/2^32 ∈ (0,1], key = ln(u)/w with w = whitespace
+    * token count (>= 1), and the k LARGEST keys per source win —
+    * inclusion probability proportional to w, which is the right
+    * selection rule when a TOKEN budget (not a doc count) is being
+    * filled: a 10k-token doc and ten 1k-token docs cost the budget the
+    * same, so they should carry the same selection mass. ln(u)/w is the
+    * log of the textbook u^(1/w) key — same order, no pow, and the
+    * only transcendental (ln of an exact dyadic rational) feeds a
+    * 6dp-quantized display column while RANKING uses the raw double
+    * (adjacent order-statistic gaps at any real corpus size are ~1e-5,
+    * ten orders above ulp drift).
+    *
+    * Same scale shape as [[reservoir]]: per-partition bounded heaps via
+    * the custom TopK physical operator prune to k BEFORE the single key
+    * exchange — a giant source ships k rows, not its population.
+    */
+  def weightedSample(docs: DataFrame, k: Int = WeightedK): DataFrame = {
+    val u = (h32(WeightedSalt, col("doc_id")) + lit(1L)) /
+      lit(4294967296.0)
+    val drawn = docs.select(col("source"), col("doc_id"),
+        greatest(lit(1L), Packing.WsTokens(col("text"))).as("weight"),
+        log(u).as("_lnu"))
+      .withColumn("_k", col("_lnu") / col("weight"))
+    graft.plans.TopK.perKey(drawn, Seq("source"),
+        Seq(graft.plans.TopK.desc("_k"), graft.plans.TopK.asc("doc_id")), k)
+      .select(col("source"), col("doc_id"), col("weight"),
+        round(col("_k"), 6).as("es_key"))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -161,6 +161,46 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Minimum max-direction containment for [[containmentPairsOf]]. */
+  val ContainMin = 0.9
+
+  def containmentPairs(corpus: DataFrame): DataFrame =
+    containmentPairsOf(
+      signatures(corpus).select("doc_id", "shingles", "mh", "bands"))
+
+  /** Asymmetric shingle containment |A∩B| / |A| (both directions) for the
+    * LSH candidates, kept when either direction >= [[ContainMin]] —
+    * separates "one document essentially INSIDE the other" (quotes,
+    * excerpts, boilerplate-wrapped reposts; see
+    * [[Corpus.withExcerpts]]) from the sibling-edit relation symmetric
+    * Jaccard measures: an excerpt at 60% of the original has containment
+    * 1.0 but Jaccard only ~0.6, and the gap widens as the excerpt
+    * shrinks. Candidate recall is the documented LSH trade — band
+    * collision probability falls with Jaccard (~0.97 at j≈0.6 for 8
+    * bands × 2 rows), and the oracle mirrors bands + cap exactly, so
+    * discovered pairs are bit-identical even where recall < 1.
+    *
+    * Scale shape: identical to [[jaccardPairsOf]] — candidates only,
+    * never all-pairs; two key-partitioned joins back to the shingle
+    * store; the intersection computed once and reused for both
+    * directions.
+    */
+  def containmentPairsOf(sigs: DataFrame): DataFrame = {
+    val pairs = candidatePairs(sigs)
+    val shOf = sigs.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(shOf.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shOf.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("_i",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))))
+      .withColumn("contain_a", col("_i") / size(col("sa.shingles")))
+      .withColumn("contain_b", col("_i") / size(col("sb.shingles")))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= ContainMin)
+      .select(col("doc_a"), col("doc_b"), col("contain_a"),
+        col("contain_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Id base separating the standing index from the new batch in
     * [[incrementalDups]]' registry form: [[graft.ops.Corpus.withNearDups]]
     * injects near-copies at doc_id + 100000, which is exactly the

@@ -51,12 +51,35 @@ object SqlText {
        |  doc_id != min(doc_id) OVER (PARTITION BY _h) AS is_dup
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** documents + excerpt copies (mirrors Corpus.withExcerpts: first
+    * max(ShingleK+1, floor(3·len/5)) words of every doc_id % 9 == 0
+    * document re-appear under doc_id + 200000).
+    */
+  val excerptCorpusCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000,
+       |    array_to_string(list_slice(w, 1,
+       |      greatest(${TextDedup.ShingleK + 1},
+       |        CAST(floor(len(w) * 3 / 5) AS INTEGER))), ' '),
+       |    source
+       |  FROM (SELECT doc_id, ${wordsOf("text")} AS w, source
+       |        FROM documents)
+       |  WHERE doc_id % 9 = 0
+       |)""".stripMargin
+
   /** Shared MinHash signature CTEs over the near-dup corpus: words ->
     * distinct 3-shingles -> 16 minhashes -> 8 band keys -> candidate pairs.
     */
-  val signatureCtes: String = {
+  val signatureCtes: String = signatureCtesOver(nearCorpusCte)
+
+  /** The same CTE chain over any corpus CTE (the chain only needs a
+    * `corpus(doc_id, text, source)` relation).
+    */
+  def signatureCtesOver(corpusCte: String): String = {
     val k = TextDedup.ShingleK
-    s"""$nearCorpusCte,
+    s"""$corpusCte,
        |docs AS (SELECT doc_id, ${wordsOf("text")} AS words FROM corpus),
        |sh AS (SELECT doc_id,
        |  list_distinct(list_transform(range(len(words) - ${k - 1}),
@@ -114,6 +137,24 @@ object SqlText {
        |  JOIN sh sa ON p.doc_a = sa.doc_id
        |  JOIN sh sb ON p.doc_b = sb.doc_id)
        |WHERE jaccard >= ${d(0.5)}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for q_containment_pairs (asymmetric shingle containment on
+    * LSH candidates over the excerpt corpus, either direction >=
+    * ContainMin).
+    */
+  val containmentPairs: String =
+    s"""WITH ${signatureCtesOver(excerptCorpusCte)}
+       |SELECT * FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) /
+       |      len(sa.shingles) AS contain_a,
+       |    len(list_intersect(sa.shingles, sb.shingles)) /
+       |      len(sb.shingles) AS contain_b
+       |  FROM pairs p
+       |  JOIN sh sa ON p.doc_a = sa.doc_id
+       |  JOIN sh sb ON p.doc_b = sb.doc_id)
+       |WHERE greatest(contain_a, contain_b) >= ${d(TextDedup.ContainMin)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Oracle for q_dedup_incremental: the new batch (doc_id >= NewIdBase)
@@ -1405,6 +1446,28 @@ object SqlText {
        |    ORDER BY draw, doc_id) AS rn FROM drawn)
        |SELECT source, doc_id, draw FROM r WHERE rn <= $k
        |ORDER BY source, draw, doc_id""".stripMargin
+  }
+
+  /** Oracle for q_weighted_sample (deterministic Efraimidis-Spirakis
+    * weighted sample: key = ln((h32+1)/2^32)/weight, k largest per
+    * source; mirrors graft.ops.Sampling.weightedSample — ranking on the
+    * raw double, display quantized to 6dp through DECIMAL(38,12) like
+    * the idf precedent).
+    */
+  val weightedSample: String = {
+    val salt = graft.ops.Sampling.WeightedSalt
+    val k = graft.ops.Sampling.WeightedK
+    s"""WITH drawn AS (SELECT source, doc_id,
+       |    greatest(1, len(${wordsOf("text")})) AS weight,
+       |    ln((${h32(salt, "doc_id")} + 1) / 4294967296.0) /
+       |      greatest(1, len(${wordsOf("text")})) AS _k
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY _k DESC, doc_id) AS rn FROM drawn)
+       |SELECT source, doc_id, CAST(weight AS BIGINT) AS weight,
+       |  CAST(round(CAST(_k AS DECIMAL(38, 12)), 6) AS DOUBLE) AS es_key
+       |FROM r WHERE rn <= $k
+       |ORDER BY source, doc_id""".stripMargin
   }
 
   /** Oracle for q_lm_score (corpus bigram-LM predictability; mirrors

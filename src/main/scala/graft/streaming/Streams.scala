@@ -137,7 +137,7 @@ object Streams {
     }
   }
 
-  private def parseDelayMs(delay: String): Long = {
+  private[streaming] def parseDelayMs(delay: String): Long = {
     val Array(n, unit) = delay.trim.split("\\s+")
     val base = unit.toLowerCase match {
       case u if u.startsWith("hour") => 3600000L

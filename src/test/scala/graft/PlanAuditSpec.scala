@@ -86,7 +86,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // canon-winner agg + join back + TopK's single domain exchange +
     // the kept left join + output sort
     "q_url_dedup" -> 6,
-    "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3, "q_knn_brute" -> 2,
+    "q_issue_histogram" -> 2, "q_jaccard_pairs" -> 3,
+    // inline signature build: one pinned band exchange feeding the
+    // bucket agg + verify join backs (broadcast at audit scale) + sort
+    "q_containment_pairs" -> 3,
+    "q_knn_brute" -> 2,
     "q_kmeans" -> 5, "q_knn_ivf" -> 6, "q_lang_id" -> 1, "q_media_features" -> 2,
     // encode groupBy (via the memoized codes) + ADC partial-agg groupBy
     // + per-query rank window + output sort; codebook training is
@@ -122,6 +126,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_funnel" -> 3,
     // TopK partial heaps + one source exchange + output sort
     "q_reservoir" -> 2,
+    // same TopK shape under Efraimidis-Spirakis keys
+    "q_weighted_sample" -> 2,
     "q_region_revenue" -> 2, "q_repetition" -> 1,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime

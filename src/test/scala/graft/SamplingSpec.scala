@@ -62,4 +62,41 @@ class SamplingSpec extends AnyFunSuite with Matchers with TestSpark {
     // full budget keeps everything
     Sampling.mixedSample(docs, budget = 1e9).count() shouldBe docs.count()
   }
+
+  test("weightedSample keeps exactly k docs per source, rerun-identical, " +
+      "with nonpositive keys and weights >= 1") {
+    val a = Sampling.weightedSample(docs).collect()
+    val b = Sampling.weightedSample(docs).collect()
+    a shouldBe b
+    val bySource = a.groupBy(_.getString(0))
+    bySource.size shouldBe 20
+    bySource.values.foreach(_.length shouldBe Sampling.WeightedK)
+    a.foreach { r =>
+      r.getLong(2) should be >= 1L
+      r.getDouble(3) should be <= 0.0
+    }
+  }
+
+  test("weightedSample selection mass follows the weights: a handful of " +
+      "heavy docs displaces a crowd of light ones") {
+    import spark.implicits._
+    // 30 one-word docs vs 10 thousand-word docs in one source: an A-ES
+    // key at w=1000 beats a w=1 key unless the light draw lands within
+    // ~|ln u|/1000 of 1.0 — md5 draws nowhere near that; all 10 heavy
+    // docs must be sampled (deterministic given the fixed hash)
+    val light = (1L to 30L).map(i => (i, "word", "s"))
+    val heavy = (31L to 40L).map(i =>
+      (i, Seq.fill(1000)("w").mkString(" "), "s"))
+    val sample = Sampling
+      .weightedSample((light ++ heavy).toDF("doc_id", "text", "source"))
+      .collect()
+    sample.length shouldBe Sampling.WeightedK
+    sample.count(_.getLong(1) >= 31L) shouldBe 10
+    // and the uniform reservoir on the same frame does NOT concentrate
+    // on the heavy docs (weighting is the sampler, not the hash)
+    val uni = Sampling
+      .reservoir((light ++ heavy).toDF("doc_id", "text", "source"))
+      .collect()
+    uni.count(_.getLong(1) >= 31L) should be < 10
+  }
 }
