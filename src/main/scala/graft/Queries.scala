@@ -322,6 +322,12 @@ object Queries {
     // weights — selection mass proportional to token-budget cost)
     "q_weighted_sample" -> ((s: SparkSession, d: String) =>
       Sampling.weightedSample(Tables.load(s, d, "documents"))),
+    // content-hash snapshot diff: the added/removed/changed delta that
+    // drives incremental re-curation (output ∝ churn, never corpus)
+    "q_corpus_diff" -> ((s: SparkSession, d: String) =>
+      ops.Snapshot.corpusDiff(
+        Tables.load(s, d, "documents").select("doc_id", "text", "source"),
+        ops.Snapshot.newSnapshot(s, d))),
     // train/eval decontamination: benchmark = doc_id % 97 == 0 stand-in
     "q_decontaminate" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(s, d, "documents")
@@ -553,6 +559,7 @@ object Queries {
     "q_bpe_tokens" -> SqlText.bpeTokens,
     "q_reservoir" -> SqlText.reservoir,
     "q_weighted_sample" -> SqlText.weightedSample,
+    "q_corpus_diff" -> SqlText.corpusDiff,
     "q_decontaminate" -> SqlText.decontaminate,
     "q_decontaminate_k8" -> SqlText.decontaminateK8,
     // bloom prefilter + exact verify == exact semantics, same oracle

@@ -1448,6 +1448,31 @@ object SqlText {
        |ORDER BY source, draw, doc_id""".stripMargin
   }
 
+  /** Oracle for q_corpus_diff (content-hash full-outer snapshot diff;
+    * mirrors graft.ops.Snapshot.{newSnapshot, corpusDiff}).
+    */
+  val corpusDiff: String =
+    s"""WITH oldc AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+       |newc AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' revised'
+       |             ELSE text END) AS new_hash
+       |  FROM documents WHERE doc_id % 23 != 0
+       |  UNION ALL
+       |  SELECT doc_id + ${graft.ops.Snapshot.AddBase},
+       |    md5('fresh ' || text)
+       |  FROM documents WHERE doc_id % 19 = 0)
+       |SELECT doc_id, old_hash, new_hash, status FROM (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |    o.old_hash, n.new_hash,
+       |    CASE WHEN o.old_hash IS NULL THEN 'added'
+       |         WHEN n.new_hash IS NULL THEN 'removed'
+       |         WHEN o.old_hash != n.new_hash THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+       |WHERE status != 'unchanged'
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle for q_weighted_sample (deterministic Efraimidis-Spirakis
     * weighted sample: key = ln((h32+1)/2^32)/weight, k largest per
     * source; mirrors graft.ops.Sampling.weightedSample — ranking on the

@@ -128,6 +128,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_reservoir" -> 2,
     // same TopK shape under Efraimidis-Spirakis keys
     "q_weighted_sample" -> 2,
+    // hash-reduced sides into one full-outer doc_id join + output sort;
+    // text never shuffles (hashes computed pre-exchange)
+    "q_corpus_diff" -> 3,
     "q_region_revenue" -> 2, "q_repetition" -> 1,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime
