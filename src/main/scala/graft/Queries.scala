@@ -487,6 +487,11 @@ object Queries {
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
       })),
+    // embedding-space decontamination: nearest-benchmark cosine per
+    // training vector (broadcast benchmark, one corpus scan + skinny
+    // argmax) — catches the paraphrased leakage n-gram matching misses
+    "q_decontaminate_sem" -> ((s: SparkSession, d: String) =>
+      EmbedSim.decontaminateSemantic(s, d)),
     // SemDeDup-style keep/drop verdicts: within-cluster near-dup pairs
     // (same memoized assignment) pruned min-id-wins
     "q_semdedup" -> ((s: SparkSession, d: String) =>
@@ -591,6 +596,7 @@ object Queries {
     "q_kmeans" -> SqlText.kmeansAssign,
     "q_cluster_sample" -> SqlText.clusterSample,
     "q_embed_dups" -> SqlText.embedDups,
+    "q_decontaminate_sem" -> SqlText.decontaminateSem,
     "q_semdedup" -> SqlText.semDedup,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,
     // q_media_features reads no sf table: its input is the deterministic

@@ -277,6 +277,53 @@ object EmbedSim {
       .orderBy("vec_id")
   }
 
+  /** Benchmark stand-in modulus for [[decontaminateSemantic]]: the base
+    * vectors at vec_id % 25 == 0 play the eval benchmark — their
+    * perturbed +100000 copies in [[dupCorpus]] are then EXACTLY the
+    * planted leakage (an eval item paraphrased into the training set).
+    */
+  val SemBenchMod: Int = DupMod
+
+  /** Contamination threshold — shared with the near-dup family. */
+  val SemThreshold: Double = DupThreshold
+
+  /** Embedding-space decontamination: every training vector annotated
+    * with its nearest BENCHMARK vector and the cosine to it, flagged
+    * contaminated at >= [[SemThreshold]] — the semantic sibling of the
+    * n-gram [[TextDedup.decontaminate]] family, catching paraphrased
+    * eval leakage that exact-gram matching cannot see.
+    *
+    * Scale shape: a real eval benchmark is small and fixed, so it
+    * BROADCASTS and the whole pass is one corpus scan — no corpus
+    * shuffle at all until the skinny (vec_id, bench_id, cos) argmax,
+    * which partial-aggregates to one row per vector before its single
+    * exchange (the [[nearestCentroid]] pattern). A benchmark too big to
+    * broadcast would go through the IVF probe path instead
+    * ([[knnIvf]]'s salted list join); at the stand-in's 4% density the
+    * broadcast form is the honest representation of the production
+    * shape.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val corpusAll = dupCorpus(spark, dir)
+    val isBench = (col("vec_id") % SemBenchMod === 0) &&
+      (col("vec_id") < 100000)
+    val bench = corpusAll.filter(isBench)
+      .select(col("vec_id").as("bench_id"), col("emb").as("bemb"),
+        col("norm").as("bnorm"))
+    val corpus = corpusAll.filter(!isBench)
+    corpus.join(broadcast(bench), lit(true))
+      .select(col("vec_id"), col("bench_id"),
+        cosByNorm(dot(col("emb"), col("bemb")), col("norm"), col("bnorm"))
+          .as("bench_cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("bench_id"), col("bench_cos")),
+        struct(col("bench_cos"), (-col("bench_id")).as("_tb"))).as("w"))
+      .select(col("vec_id"), col("w.bench_id").as("bench_id"),
+        col("w.bench_cos").as("bench_cos"),
+        (col("w.bench_cos") >= SemThreshold).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&

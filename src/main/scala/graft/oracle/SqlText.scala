@@ -1017,6 +1017,32 @@ object SqlText {
        |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
        |  FROM corpus e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1)""".stripMargin
 
+  /** Oracle for q_decontaminate_sem (nearest-benchmark cosine annotation
+    * over the perturbed corpus; mirrors EmbedSim.decontaminateSemantic).
+    */
+  val decontaminateSem: String =
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_transform(emb, x -> x + ${d(0.05)}) AS emb
+       |  FROM emb0 WHERE vec_id % ${EmbedSim.DupMod} = 0),
+       |corpus AS (
+       |  SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM (
+       |    SELECT * FROM emb0 UNION ALL SELECT * FROM pert)),
+       |bench AS (SELECT vec_id AS bench_id, emb AS bemb, nrm AS bnrm
+       |  FROM corpus
+       |  WHERE vec_id % ${EmbedSim.SemBenchMod} = 0 AND vec_id < 100000),
+       |rest AS (SELECT * FROM corpus WHERE NOT
+       |  (vec_id % ${EmbedSim.SemBenchMod} = 0 AND vec_id < 100000)),
+       |scored AS (SELECT r.vec_id, b.bench_id,
+       |  CAST(round(CAST(${dotSql("r.emb", "b.bemb")} / (r.nrm * b.bnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS bench_cos
+       |  FROM rest r CROSS JOIN bench b)
+       |SELECT vec_id, bench_id, bench_cos,
+       |  bench_cos >= ${d(EmbedSim.SemThreshold)} AS contaminated
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY bench_cos DESC, bench_id) AS rn FROM scored)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Oracle for q_embed_dups (IVF-bucketed cosine near-dup pairs over the
     * deterministically-perturbed corpus).
     */

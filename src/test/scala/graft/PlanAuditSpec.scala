@@ -47,6 +47,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_decontaminate_bloom" -> 4,
     // tier-selected: resolves to one of the two plans above
     "q_decontaminate_auto" -> 4,
+    // broadcast-bench cosine scan: one skinny per-vector argmax agg +
+    // output sort; the corpus itself never shuffles
+    "q_decontaminate_sem" -> 2,
     // bench-gram distinct (inside the broadcast subtree) + per-doc gram
     // dedup groupBy + per-doc fold + output sort
     "q_contam_overlap" -> 4,
@@ -162,7 +165,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_corpus_mix", "q_corpus_mix_bpe", "q_mixed_sample", "q_vocab",
     "q_bm25", "q_keyterms",
     // single-row query-vector broadcast + the k-row x k-row fusion join
-    "q_hybrid_rank")
+    "q_hybrid_rank",
+    // corpus x broadcast-benchmark scoring scan — the bench side is
+    // small and fixed by contract (the eval suite), like q_knn_brute
+    "q_decontaminate_sem")
 
   /** Queries whose parquet scan must carry pushed-down filters.
     * (q_minhash_pairs/q_jaccard_pairs left r5: they now scan the durable
