@@ -424,6 +424,10 @@ object Queries {
     // perplexity filtering): avg conditional bigram probability per doc
     "q_lm_score" -> ((s: SparkSession, d: String) =>
       TextAnalysis.lmScore(Tables.load(s, d, "documents"))),
+    // CCNet-style per-source perplexity terciles (head/middle/tail) via
+    // a distributed two-phase rank — no per-source single-task window
+    "q_ccnet_buckets" -> ((s: SparkSession, d: String) =>
+      Ccnet.buckets(Tables.load(s, d, "documents"))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetition(Tables.load(s, d, "documents"))),
     // BM25 keyword relevance (rational-idf variant — see TextAnalysis.bm25)
@@ -585,6 +589,7 @@ object Queries {
     "q_quality_classifier" -> SqlText.qualityClassifier,
     "q_dsir" -> SqlText.dsir,
     "q_lm_score" -> SqlText.lmScore,
+    "q_ccnet_buckets" -> SqlText.ccnetBuckets,
     "q_repetition" -> SqlText.repetition,
     "q_bm25" -> SqlText.bm25,
     "q_hybrid_rank" -> SqlText.hybridRank,

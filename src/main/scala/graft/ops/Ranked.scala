@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed per-key ranking: every row's exact 0-based position under
+  * a total order within its key group, plus the group's row count —
+  * WITHOUT a per-key window (which funnels each key's ENTIRE group
+  * through one task: ranking a 100 TB corpus per source would put
+  * terabytes through single cores).
+  *
+  * Same two-phase prefix-sum shape as [[Packing.seqPack]], counting rows
+  * instead of summing tokens:
+  *
+  *   1. range-partition by (key, order...) — each physical partition
+  *      holds a contiguous slice of every key's semantic order;
+  *   2. the within-group running count runs per (partition, key) —
+  *      thousands of bounded parallel window groups;
+  *   3. per-(partition, key) subtotals are a tiny frame; their per-key
+  *      running sum over partition order gives each group's base rank,
+  *      and their per-key total the group size;
+  *   4. bases broadcast back: rank = base + local position.
+  *
+  * Big-side cost: one range exchange + one (partition, key) window
+  * exchange + a broadcast join — task size bounded by partition size
+  * regardless of key skew.
+  */
+object Ranked {
+
+  /** Input columns plus `_rank0` (0-based rank of the row within its
+    * `key` group under `order`) and `_nkey` (the group's row count).
+    * `order` must be a total order within each key group (include a
+    * unique tiebreak) or ranks among ties are partition-dependent.
+    */
+  def perKey(df: DataFrame, key: String, order: Seq[Column]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(n, (col(key) +: order): _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid"), col(key))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("_local",
+      coalesce(count(lit(1)).over(wLocal), lit(0L)))
+    // tiny frame: one row per partition x overlapping key
+    val wBase = Window.partitionBy(col(key)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(key))
+    val bases = ranged.groupBy(col("_pid"), col(key))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_base", coalesce(sum(col("_c")).over(wBase), lit(0L)))
+      .withColumn("_nkey", sum(col("_c")).over(wTot))
+      .select(col("_pid"), col(key), col("_base"), col("_nkey"))
+    // both branches share the canonical range exchange (AQE materializes
+    // it once); a divergent _pid must fail loudly, never mis-rank
+    local.join(broadcast(bases), Seq("_pid", key), "left")
+      .withColumn("_base", when(col("_base").isNull,
+        raise_error(lit("Ranked.perKey: range boundaries diverged " +
+          "between the prefix-sum branches"))).otherwise(col("_base")))
+      .withColumn("_rank0", col("_base") + col("_local"))
+      .drop("_pid", "_local", "_base")
+  }
+}

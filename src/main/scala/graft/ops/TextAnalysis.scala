@@ -383,7 +383,18 @@ object TextAnalysis {
     * one groupBy(doc_id) collapse, one left join back. Same family as
     * [[rareTokens]], with the conditional two-table structure.
     */
-  def lmScore(docs: DataFrame, salts: Int = TokenSalts): DataFrame = {
+  def lmScore(docs: DataFrame, salts: Int = TokenSalts): DataFrame =
+    lmScoreCols(docs, salts, Nil)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_condp"))
+      .orderBy("doc_id")
+
+  /** [[lmScore]] body without the output sort, carrying `extra` document
+    * columns through the final join — for downstream consumers (e.g.
+    * [[Ccnet.buckets]]) that need doc metadata without a second
+    * corpus-sized doc_id join.
+    */
+  def lmScoreCols(docs: DataFrame, salts: Int,
+      extra: Seq[String]): DataFrame = {
     val w = words(col("text"))
     val bigrams = docs.select(col("doc_id"),
         explode(when(size(w) >= 2,
@@ -405,12 +416,11 @@ object TextAnalysis {
       .withColumn("avg_condp",
         round((col("_s").cast("double") / lit(1000000000.0))
           / col("n_bigrams"), 6))
-    docs.select(col("doc_id"))
+    docs.select((col("doc_id") +: extra.map(col)): _*)
       .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select((col("doc_id") +: extra.map(col)) ++ Seq(
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("avg_condp"), lit(0.0)).as("avg_condp"))
-      .orderBy("doc_id")
+        coalesce(col("avg_condp"), lit(0.0)).as("avg_condp")): _*)
   }
 
   /** Gopher-style intra-document repetition signals (boilerplate and

@@ -1525,8 +1525,8 @@ object SqlText {
     * TextAnalysis.lmScore — MLE conditional probabilities as exact
     * long/long doubles, quantized order-independent per-doc mean).
     */
-  val lmScore: String =
-    s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS ws FROM documents),
+  private val lmCtes: String =
+    s"""d AS (SELECT doc_id, ${wordsOf("text")} AS ws FROM documents),
        |bg AS (SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
        |    FROM d WHERE len(ws) >= 2)),
@@ -1536,13 +1536,36 @@ object SqlText {
        |    CAST(floor(_cb / _cp * 1000000000.0 + 0.5) AS BIGINT) AS qv
        |  FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)),
        |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(qv) AS sq
-       |  FROM q GROUP BY 1)
+       |  FROM q GROUP BY 1)""".stripMargin
+
+  private val lmAvgCondp: String =
+    """coalesce(CAST(round(CAST(
+      |      (CAST(sq AS DOUBLE) / 1000000000.0) / n_bigrams
+      |    AS DECIMAL(38, 12)), 6) AS DOUBLE), 0.0)""".stripMargin
+
+  val lmScore: String =
+    s"""WITH $lmCtes
        |SELECT d.doc_id,
        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       |  coalesce(CAST(round(CAST(
-       |      (CAST(sq AS DOUBLE) / 1000000000.0) / n_bigrams
-       |    AS DECIMAL(38, 12)), 6) AS DOUBLE), 0.0) AS avg_condp
+       |  $lmAvgCondp AS avg_condp
        |FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Oracle for q_ccnet_buckets (per-source perplexity terciles over the
+    * bigram-LM score; mirrors graft.ops.Ccnet.buckets — the window ntile
+    * here IS the semantics the two-phase distributed rank reproduces).
+    */
+  val ccnetBuckets: String =
+    s"""WITH $lmCtes,
+       |lm AS (SELECT d.doc_id, $lmAvgCondp AS avg_condp
+       |  FROM d LEFT JOIN s USING (doc_id)),
+       |j AS (SELECT doc.doc_id, doc.source, lm.avg_condp
+       |  FROM documents doc JOIN lm USING (doc_id))
+       |SELECT doc_id, source, avg_condp,
+       |  CASE ntile(${graft.ops.Ccnet.NBuckets}) OVER (PARTITION BY source
+       |      ORDER BY avg_condp DESC, doc_id)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       |  END AS bucket
+       |FROM j ORDER BY source, doc_id""".stripMargin
 
   /** Oracle for q_dsir (hashed n-gram importance resampling; mirrors
     * graft.ops.Dsir — rational target-affinity score, md5-residue

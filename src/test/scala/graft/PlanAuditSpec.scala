@@ -50,6 +50,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // broadcast-bench cosine scan: one skinny per-vector argmax agg +
     // output sort; the corpus itself never shuffles
     "q_decontaminate_sem" -> 2,
+    // STATIC count: the two-phase rank's subtotal branch textually
+    // repeats the lmScore chain (6 exchanges), but at runtime AQE serves
+    // it from the canonical range exchange via ReusedExchange (verified:
+    // the executed plan's subtotal branch is a ReusedExchange over
+    // plan_id of the big-side range) — 8 unique runtime exchanges:
+    // lmScore's bigram chain (4) + range + (_pid, source) window + tiny
+    // subtotal aggs + output sort
+    "q_ccnet_buckets" -> 14,
     // bench-gram distinct (inside the broadcast subtree) + per-doc gram
     // dedup groupBy + per-doc fold + output sort
     "q_contam_overlap" -> 4,
