@@ -262,6 +262,11 @@ object Queries {
     // Jaccard dilutes by the length ratio
     "q_containment_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.containmentPairs(Corpus.withExcerpts(s, d))),
+    // cross-source near-dup matrix: how much of each source already sits
+    // inside every other (the mixing-decision report)
+    "q_source_overlap" -> ((s: SparkSession, d: String) =>
+      TextDedup.sourceOverlap(Corpus.withNearDups(s, d),
+        TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
     // character-level verification of the same candidates (bounded
     // levenshtein short-circuits the DP at EditMax)
     "q_edit_pairs" -> ((s: SparkSession, d: String) =>
@@ -550,6 +555,7 @@ object Queries {
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_containment_pairs" -> SqlText.containmentPairs,
+    "q_source_overlap" -> SqlText.sourceOverlap,
     "q_edit_pairs" -> SqlText.editPairs,
     "q_dedup_incremental" -> SqlText.incrementalDups,
     "q_dedup_clusters" -> SqlText.dedupClusters,

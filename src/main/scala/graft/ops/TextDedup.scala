@@ -201,6 +201,44 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source near-duplication matrix: for every ordered source pair
+    * (src_a, src_b), the number of verified near-dup (doc of src_a, doc
+    * of src_b) ordered pairs, how many DISTINCT src_a documents have at
+    * least one near-dup in src_b, and that count as a fraction of
+    * src_a's size — the report that prices a source's marginal value
+    * before mixing (a source 80% near-contained in an already-selected
+    * one contributes 20% of its nominal size).
+    *
+    * Counts are DIRECTIONAL — each unordered pair contributes to both
+    * (a,b) and (b,a), and within-source cells count both directions —
+    * so every cell reads uniformly as "pairs (x in a, y in b)".
+    *
+    * Scale shape: `pairs` is the verified candidate set (churn-sized,
+    * never all-pairs); two doc_id-keyed joins attach sources (co-located
+    * on a doc_id-clustered warehouse layout); the matrix agg is
+    * |sources|² rows and per-source totals broadcast.
+    */
+  def sourceOverlap(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = corpus.select(col("doc_id"), col("source"))
+    val sym = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionAll(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val ann = sym
+      .join(src.select(col("doc_id").as("x"), col("source").as("src_a")),
+        "x")
+      .join(src.select(col("doc_id").as("y"), col("source").as("src_b")),
+        "y")
+    val totals = corpus.groupBy(col("source").as("src_a"))
+      .agg(count(lit(1)).as("n_docs_a"))
+    ann.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("x")).as("n_docs_dup"))
+      .join(broadcast(totals), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("n_docs_dup"), col("n_docs_a"),
+        (col("n_docs_dup") / col("n_docs_a")).as("dup_frac"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Id base separating the standing index from the new batch in
     * [[incrementalDups]]' registry form: [[graft.ops.Corpus.withNearDups]]
     * injects near-copies at doc_id + 100000, which is exactly the

@@ -157,6 +157,37 @@ object SqlText {
        |WHERE greatest(contain_a, contain_b) >= ${d(TextDedup.ContainMin)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle for q_source_overlap (directional cross-source near-dup
+    * matrix over the verified jaccard pairs; mirrors
+    * TextDedup.sourceOverlap).
+    */
+  val sourceOverlap: String =
+    s"""WITH $signatureCtes,
+       |jp AS (SELECT doc_a, doc_b FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |      AS jaccard
+       |  FROM pairs p
+       |  JOIN sh sa ON p.doc_a = sa.doc_id
+       |  JOIN sh sb ON p.doc_b = sb.doc_id)
+       |  WHERE jaccard >= ${d(0.5)}),
+       |sym AS (SELECT doc_a AS x, doc_b AS y FROM jp
+       |  UNION ALL SELECT doc_b AS x, doc_a AS y FROM jp),
+       |ann AS (SELECT cx.source AS src_a, cy.source AS src_b, sym.x
+       |  FROM sym JOIN corpus cx ON sym.x = cx.doc_id
+       |           JOIN corpus cy ON sym.y = cy.doc_id),
+       |agg AS (SELECT src_a, src_b, count(*) AS n_pairs,
+       |    count(DISTINCT x) AS n_docs_dup FROM ann GROUP BY 1, 2),
+       |tot AS (SELECT source AS src_a, count(*) AS n_docs_a
+       |  FROM corpus GROUP BY 1)
+       |SELECT src_a, src_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_docs_dup AS BIGINT) AS n_docs_dup,
+       |  CAST(n_docs_a AS BIGINT) AS n_docs_a,
+       |  n_docs_dup / n_docs_a AS dup_frac
+       |FROM agg JOIN tot USING (src_a)
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** Oracle for q_dedup_incremental: the new batch (doc_id >= NewIdBase)
     * joined against the standing index's band table, hot-band cap decided
     * on the index side alone, true-Jaccard verified (mirrors

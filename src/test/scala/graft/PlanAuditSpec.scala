@@ -110,6 +110,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // + the coarse assignment argmax, probe window, and candidate join
     // on top of the PQ tail
     "q_knn_ivfpq" -> 12, // +3: packedCodes groupBy, denseLut grid distinct+agg (512-row frames)
+    // jaccard-pairs chain (incl. its sort) + two doc_id source joins +
+    // the distinct-x two-phase agg + tiny totals + output sort
+    "q_source_overlap" -> 10,
     "q_minhash_pairs" -> 3, "q_price_stats" -> 3, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 1, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
