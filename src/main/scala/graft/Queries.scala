@@ -319,6 +319,14 @@ object Queries {
     // with the oracle's recursive-CTE encoder)
     "q_bpe_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTokens(Tables.load(s, d, "documents"))),
+    // per-source BPE sequence-length bands (the pre-packing audit of
+    // truncation loss vs fragment overhead)
+    "q_token_histogram" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenHistogram(Tables.load(s, d, "documents"))),
+    // per-language tokens-per-word (the cross-lingual tokenizer-cost
+    // audit feeding mixing weights)
+    "q_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerFertility(Tables.load(s, d, "documents"))),
     // deterministic per-source uniform sample (hash-ranked "reservoir")
     // through the bounded-heap TopK physical operator
     "q_reservoir" -> ((s: SparkSession, d: String) =>
@@ -572,6 +580,8 @@ object Queries {
     "q_seq_pack_bpe" -> SqlText.seqPackBpe,
     "q_corpus_mix_bpe" -> SqlText.corpusMixBpe,
     "q_bpe_tokens" -> SqlText.bpeTokens,
+    "q_token_histogram" -> SqlText.tokenHistogram,
+    "q_tokenizer_fertility" -> SqlText.tokenizerFertility,
     "q_reservoir" -> SqlText.reservoir,
     "q_weighted_sample" -> SqlText.weightedSample,
     "q_corpus_diff" -> SqlText.corpusDiff,

@@ -186,6 +186,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Histogram bucket lower bounds for [[tokenHistogram]] (docs shorter
+    * than the first edge land in bucket 0).
+    */
+  val HistEdges: Seq[Long] = Seq(1L, 16L, 64L, 256L, 1024L)
+
+  /** Per-source BPE sequence-length histogram: documents bucketed by
+    * trained-BPE token count into fixed integer bands, with per-bucket
+    * doc and token totals and the bucket's share of its source — the
+    * length-distribution audit run before choosing packing sequence
+    * length and truncation policy (a source whose mass sits above the
+    * training context length loses most of its tokens to truncation;
+    * one dominated by <16-token fragments is mostly separator overhead).
+    *
+    * Integer edge compares only — no log2 floats to diverge at bucket
+    * boundaries between engines.
+    *
+    * Scale shape: one codegen'd corpus scan (BpeTokenCount's bounded
+    * vocab cache) into a partial-agg groupBy of |sources|·|buckets|
+    * rows; per-source totals are a tiny broadcast.
+    */
+  def tokenHistogram(docs: DataFrame): DataFrame = {
+    import graft.functions.BpeTokenCount
+    val base = docs.select(col("source"),
+      BpeTokenCount(col("text")).as("_n"))
+    val bucket = HistEdges.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      (acc, e) => when(col("_n") >= e, lit(e)).otherwise(acc)
+    }
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("_n_src"))
+    base.withColumn("bucket_lo", bucket)
+      .groupBy("source", "bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("bucket_lo"), col("n_docs"),
+        col("n_tokens"), (col("n_docs") / col("_n_src")).as("doc_frac"))
+      .orderBy("source", "bucket_lo")
+  }
+
+  /** Per-language tokenizer fertility (BPE tokens per whitespace word):
+    * the cross-lingual tokenizer-cost audit — a language whose fertility
+    * is 2× pays twice the context budget per word, which skews both
+    * mixing weights and per-language effective epochs. Exact long/long
+    * division (IEEE-identical across engines), zero-guarded for
+    * wordless groups.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    import graft.functions.BpeTokenCount
+    docs.select(col("lang"),
+        size(words(col("text"))).cast("long").as("_w"),
+        BpeTokenCount(col("text")).as("_t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_t")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0, col("n_bpe_tokens") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .orderBy("lang")
+  }
+
   /** Heuristic document quality score in [0,1]:
     * 0.4·min(1, words/100) + 0.4·min(1, 5·stopword_density)
     * + 0.2·(1 − min(1, 5·punct_ratio)), rounded to 3dp.

@@ -779,6 +779,43 @@ object SqlText {
        |  ELSE ${d(0.0)} END AS tokens_per_word
        |FROM bpe ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_token_histogram (per-source BPE sequence-length
+    * bands; mirrors TextAnalysis.tokenHistogram — integer edge compares
+    * only).
+    */
+  val tokenHistogram: String = {
+    val edges = graft.ops.TextAnalysis.HistEdges.reverse
+      .map(e => s"WHEN n_bpe_tokens >= $e THEN $e").mkString(" ")
+    s"""WITH RECURSIVE $bpeCtes,
+       |b AS (SELECT source, n_bpe_tokens,
+       |  CASE $edges ELSE 0 END AS bucket_lo FROM bpe),
+       |agg AS (SELECT source, bucket_lo, count(*) AS n_docs,
+       |    sum(n_bpe_tokens) AS n_tokens FROM b GROUP BY 1, 2),
+       |tot AS (SELECT source, count(*) AS n_src FROM bpe GROUP BY 1)
+       |SELECT source, CAST(bucket_lo AS BIGINT) AS bucket_lo,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  n_docs / n_src AS doc_frac
+       |FROM agg JOIN tot USING (source)
+       |ORDER BY source, bucket_lo""".stripMargin
+  }
+
+  /** Oracle for q_tokenizer_fertility (per-language BPE tokens per
+    * whitespace word; mirrors TextAnalysis.tokenizerFertility).
+    */
+  val tokenizerFertility: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       |l AS (SELECT d.lang, bpe.n_words, bpe.n_bpe_tokens
+       |  FROM bpe JOIN documents d USING (doc_id)),
+       |agg AS (SELECT lang, count(*) AS n_docs, sum(n_words) AS n_words,
+       |    sum(n_bpe_tokens) AS n_bpe_tokens FROM l GROUP BY 1)
+       |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN n_words > 0 THEN n_bpe_tokens / n_words
+       |    ELSE ${d(0.0)} END AS fertility
+       |FROM agg ORDER BY lang""".stripMargin
+
   /** Oracle for q_seq_pack_bpe: the same packing chain chopping at REAL
     * trained-BPE token boundaries.
     */

@@ -154,6 +154,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_seq_pack_bpe" -> 6, "q_corpus_mix_bpe" -> 4,
     // shuffle-free codegen'd corpus scan + output sort
     "q_bpe_tokens" -> 1,
+    // one scan -> (source, bucket) partial agg + tiny totals agg +
+    // output sort
+    "q_token_histogram" -> 3,
+    // one scan -> per-lang partial agg + output sort
+    "q_tokenizer_fertility" -> 2,
     "q_simhash" -> 1, "q_simhash_dups" -> 3,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 1,
