@@ -1,0 +1,20 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-parallelism guard for per-row-heavy operators (regex token
+  * splits, gram explodes): a corpus that arrives in fewer partitions
+  * than the session's parallelism — one small parquet file at test
+  * scale — serializes every downstream map stage through a handful of
+  * cores, and the cost is invisible in the plan (no exchange, just a
+  * starved scan). On a real cluster the source layout provides the
+  * partitions and this is a NO-OP: the condition inspects the planned
+  * input, so the round-robin exchange exists only for degenerate
+  * inputs and never shows up at scale.
+  */
+object Par {
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+}

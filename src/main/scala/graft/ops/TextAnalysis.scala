@@ -432,15 +432,18 @@ object TextAnalysis {
     * ratios are quantized to 1e-9 and summed as integers so the per-doc
     * mean is summation-order-independent and oracle-hash-exact.
     *
-    * Scale shape: one bigram explode feeds two partial-agg groupBys (the
-    * bigram and prefix count tables — partial agg absorbs the Zipf head
-    * there), and the stream re-joins both SALTED [[TokenSalts]]× — the
-    * c_prefix("the") group is otherwise a one-task straggler at web
-    * scale, and AQE cannot split identical join keys. Count tables
-    * replicate S× (vocabulary²-bounded); results provably identical
-    * (SkewSpec / the oracle states the unsalted declarative join). Then
-    * one groupBy(doc_id) collapse, one left join back. Same family as
-    * [[rareTokens]], with the conditional two-table structure.
+    * Scale shape: the bigram explode feeds ONE partial-agg groupBy (the
+    * bigram count table; partial agg absorbs the Zipf head), the prefix
+    * table derives from the count table itself — c_prefix(w1) =
+    * Σ_w2 c(w1,w2), an aggregate over the vocabulary²-bounded counts
+    * instead of a second corpus explode — and the stream re-joins both
+    * SALTED [[TokenSalts]]× (the c_prefix("the") group is otherwise a
+    * one-task straggler at web scale, and AQE cannot split identical
+    * join keys; results provably identical — SkewSpec / the oracle
+    * states the unsalted declarative join). Then one groupBy(doc_id)
+    * collapse, one left join back. Same family as [[rareTokens]], with
+    * the conditional two-table structure. [[Par.fanOut]] guards the
+    * explode's input parallelism at test scale.
     */
   def lmScore(docs: DataFrame, salts: Int = TokenSalts): DataFrame =
     lmScoreCols(docs, salts, Nil)
@@ -455,7 +458,7 @@ object TextAnalysis {
   def lmScoreCols(docs: DataFrame, salts: Int,
       extra: Seq[String]): DataFrame = {
     val w = words(col("text"))
-    val bigrams = docs.select(col("doc_id"),
+    val bigrams = Par.fanOut(docs).select(col("doc_id"),
         explode(when(size(w) >= 2,
           transform(sequence(lit(0), size(w) - 2),
             i => struct(element_at(w, i + 1).as("w1"),
@@ -463,7 +466,7 @@ object TextAnalysis {
           .otherwise(array())).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bgCount = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
-    val prefCount = bigrams.groupBy("w1").agg(count(lit(1)).as("_cp"))
+    val prefCount = bgCount.groupBy("w1").agg(sum(col("_cb")).as("_cp"))
     val scored = Salted.join(
         Salted.join(bigrams, bgCount, Seq("w1", "w2"), "doc_id", salts),
         prefCount, Seq("w1"), "doc_id", salts)

@@ -51,13 +51,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // output sort; the corpus itself never shuffles
     "q_decontaminate_sem" -> 2,
     // STATIC count: the two-phase rank's subtotal branch textually
-    // repeats the lmScore chain (6 exchanges), but at runtime AQE serves
-    // it from the canonical range exchange via ReusedExchange (verified:
-    // the executed plan's subtotal branch is a ReusedExchange over
-    // plan_id of the big-side range) — 8 unique runtime exchanges:
-    // lmScore's bigram chain (4) + range + (_pid, source) window + tiny
-    // subtotal aggs + output sort
-    "q_ccnet_buckets" -> 14,
+    // repeats the lmScore chain (7 exchanges incl. the fanOut guard),
+    // but at runtime AQE serves it from the canonical range exchange via
+    // ReusedExchange (verified: the executed plan's subtotal branch is a
+    // ReusedExchange over the big-side range's plan_id) — 9 unique
+    // runtime exchanges: lmScore's bigram chain + range + (_pid, source)
+    // window + tiny subtotal aggs + output sort
+    "q_ccnet_buckets" -> 16,
     // bench-gram distinct (inside the broadcast subtree) + per-doc gram
     // dedup groupBy + per-doc fold + output sort
     "q_contam_overlap" -> 4,
@@ -118,10 +118,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
     // + corpus left join + output sort
     "q_dsir" -> 5,
-    // bigram explode -> 2 count-table aggs + SALTED re-joins (the
-    // vocabulary-sized count tables broadcast at audit scale) + doc
-    // collapse + corpus left join + output sort
-    "q_lm_score" -> 5,
+    // fanOut guard + bigram explode -> bigram count agg (prefix table
+    // now derives FROM it, not from a second corpus explode) + SALTED
+    // re-joins (the vocabulary-sized count tables broadcast at audit
+    // scale) + doc collapse + corpus left join + output sort
+    "q_lm_score" -> 6,
     // r5: the frequency join back is salted on (tok, salt) — the salt
     // exchange no longer reuses the groupBy(tok) exchange (+1)
     "q_quality_issues" -> 1, "q_rare_tokens" -> 4,
