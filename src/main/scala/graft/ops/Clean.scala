@@ -69,7 +69,7 @@ object Clean {
     val rating = col("rating")
 
     // L0: single-pass derivations of the raw text
-    val l0 = raw.withColumns(Map(
+    val l0 = Par.fanOut(raw).withColumns(Map(
       "_lc" -> lower(text),
       "_raw_len" -> length(text)))
 

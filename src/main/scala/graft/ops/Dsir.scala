@@ -59,7 +59,7 @@ object Dsir {
     * a partition).
     */
   def importance(docs: DataFrame, isTarget: Column): DataFrame = {
-    val g = docs
+    val g = Par.fanOut(docs)
       .select(col("doc_id"), isTarget.as("_t"),
         explode(grams(words(col("text")))).as("gram"))
       .select(col("doc_id"), col("_t"),

@@ -14,6 +14,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames can't be planned eagerly (.rdd) and micro-batches
+    // bring their own partitioning — the guard is batch-only
+    if (df.isStreaming) return df
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df
   }

@@ -64,7 +64,7 @@ object Pii {
     * "what was removed" — and the oracle mirrors the same formulation.
     */
   def scrub(docs: DataFrame): DataFrame =
-    docs
+    Par.fanOut(docs)
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),

@@ -160,7 +160,9 @@ object Relational {
     * approx_percentile/HLL sketches are deliberately not oracle-paired).
     */
   def priceStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
+    // exact percentiles + two distincts Expand the stream 3x; fanOut
+    // keeps the partial aggregation parallel over single-file inputs
+    Par.fanOut(Tables.load(spark, dir, "lineitem"))
       .groupBy("l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),

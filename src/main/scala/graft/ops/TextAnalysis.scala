@@ -122,7 +122,7 @@ object TextAnalysis {
     // GetStructField — separate score_* aliases (each a regex tree) made
     // Catalyst constraint propagation re-map the constraint set once per
     // alias, a planning-time blowup (see Clean.annotate's `_lm` note)
-    val scored = docs.withColumn("_sc",
+    val scored = Par.fanOut(docs).withColumn("_sc",
       struct(densities.map { case (l, d) => round(d, 4).as(l) }: _*))
     def sc(l: String) = col("_sc").getField(l)
     val best = densities.map { case (l, _) => sc(l) }
@@ -176,7 +176,7 @@ object TextAnalysis {
     */
   def bpeTokens(docs: DataFrame): DataFrame = {
     import graft.functions.BpeTokenCount
-    docs
+    Par.fanOut(docs)
       .withColumn("n_words", size(words(col("text"))).cast("long"))
       .withColumn("n_bpe_tokens", BpeTokenCount(col("text")))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
@@ -208,7 +208,7 @@ object TextAnalysis {
     */
   def tokenHistogram(docs: DataFrame): DataFrame = {
     import graft.functions.BpeTokenCount
-    val base = docs.select(col("source"),
+    val base = Par.fanOut(docs).select(col("source"),
       BpeTokenCount(col("text")).as("_n"))
     val bucket = HistEdges.foldLeft(lit(0L): org.apache.spark.sql.Column) {
       (acc, e) => when(col("_n") >= e, lit(e)).otherwise(acc)
@@ -233,7 +233,7 @@ object TextAnalysis {
     */
   def tokenizerFertility(docs: DataFrame): DataFrame = {
     import graft.functions.BpeTokenCount
-    docs.select(col("lang"),
+    Par.fanOut(docs).select(col("lang"),
         size(words(col("text"))).cast("long").as("_w"),
         BpeTokenCount(col("text")).as("_t"))
       .groupBy("lang")
@@ -358,7 +358,7 @@ object TextAnalysis {
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
-    val grams = docs
+    val grams = Par.fanOut(docs)
       .select(col("doc_id"),
         explode(when(size(w) >= NoveltyK,
           TextHash.shingles(w, NoveltyK)).otherwise(array()))
@@ -521,7 +521,7 @@ object TextAnalysis {
       acc => acc.getField("best"))
     val topBigram = when(wc >= 2,
       maxCount.cast("double") / (wc - 1)).otherwise(lit(0.0))
-    docs.select(col("doc_id"), wc.as("word_count"),
+    Par.fanOut(docs).select(col("doc_id"), wc.as("word_count"),
       round(dupWord, 6).as("dup_word_frac"),
       round(topBigram, 6).as("top_bigram_frac"))
       .orderBy("doc_id")

@@ -56,7 +56,7 @@ object TextDedup {
     * dropped (no signature to compare).
     */
   def signatures(corpus: DataFrame): DataFrame =
-    corpus
+    Par.fanOut(corpus)
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= ShingleK)
       .withColumn("shingles", shingles(col("_words"), ShingleK))
@@ -385,7 +385,7 @@ object TextDedup {
   private def sharedGramCounts(docs: DataFrame, benchmark: DataFrame,
       k: Int, matchGrams: DataFrame => DataFrame): DataFrame = {
     val benchIds = benchmark.select(col("doc_id").as("_bid"))
-    matchGrams(gramsOf(docs, k)
+    matchGrams(gramsOf(Par.fanOut(docs), k)
       .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti"))
       .groupBy("doc_id")
       .agg(count_distinct(col("gram")).as("n_shared_grams"))
@@ -498,7 +498,7 @@ object TextDedup {
     val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
       .withColumn("_hit", lit(1))
     val benchIds = benchmark.select(col("doc_id").as("_bid"))
-    gramsOf(docs, k)
+    gramsOf(Par.fanOut(docs), k)
       .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti")
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"), col("gram"))
@@ -816,7 +816,7 @@ object TextDedup {
     */
   def simhash(corpus: DataFrame): DataFrame = {
     val sh = graft.functions.SimHashSig(lower(col("text")))
-    corpus
+    Par.fanOut(corpus)
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= 1)
       .withColumn("_sh", sh)
@@ -928,7 +928,7 @@ object TextDedup {
       .otherwise(transform(sequence(lit(1), nGrams),
         i => call_function("substr", t, i, lit(GramLen))))
     val fps = filter(transform(grams, g => h56(g)), h => h % FpMod === 0)
-    corpus
+    Par.fanOut(corpus)
       .withColumn("_fps", fps)
       .select(col("doc_id"),
         nGrams.cast("long").as("n_grams"),
@@ -980,7 +980,7 @@ object TextDedup {
           .cast("int"))))
       .otherwise(array().cast("array<int>"))
     val fps = transform(col("_sel"), i => element_at(hs, i))
-    corpus
+    Par.fanOut(corpus)
       .withColumn("_hs", hashes)
       .withColumn("_sel", sel)
       .withColumn("_fps", fps)
@@ -1027,7 +1027,7 @@ object TextDedup {
     * clean_text = "" and n_chunks = 0 (mirrored by the oracle).
     */
   def chunkDedup(corpus: DataFrame, k: Int = ChunkTokens): DataFrame = {
-    val base = corpus
+    val base = Par.fanOut(corpus)
       .withColumn("_words", words(col("text")))
       .withColumn("n_chunks",
         when(size(col("_words")) === 0, lit(0L))
@@ -1099,7 +1099,7 @@ object TextDedup {
     * window over an unbounded key, no driver round-trip.
     */
   def substringDedup(corpus: DataFrame, k: Int = SubstrGram): DataFrame = {
-    val base = corpus
+    val base = Par.fanOut(corpus)
       .withColumn("_words", words(col("text")))
       .withColumn("n_words", size(col("_words")).cast("long"))
     val grams = base
@@ -1180,7 +1180,7 @@ object TextDedup {
     * corpus.
     */
   def substringDedupBpe(corpus: DataFrame, k: Int = SubstrBpeGram): DataFrame = {
-    val base = corpus
+    val base = Par.fanOut(corpus)
       .withColumn("_words", words(col("text")))
       // (wi, sym) structs for the whole doc: word boundaries survive into
       // reassembly while windows see the flat token stream
