@@ -216,6 +216,10 @@ object Queries {
     // interval/range join via the banded rewrite: bucket expand + broadcast
     // HASH join + residual range check (oracle states the plain range join)
     "q_promo_attrib" -> (Relational.promoAttrib _),
+    // trailing-hour RANGE-frame rolling window (interval frame edges,
+    // peers share a frame — the window type row frames can't express)
+    "q_rolling_spend" -> ((s: SparkSession, d: String) =>
+      Relational.rollingSpend(Tables.events(s, d))),
     // click->purchase conversion funnel: forward-looking union-and-window
     // attribution (oracle states the declarative left-join min form)
     "q_funnel" -> (Relational.funnel _),
@@ -545,6 +549,7 @@ object Queries {
     "q_hourly_anomaly" -> Sql.hourlyAnomaly,
     "q_cohort" -> Sql.cohort,
     "q_promo_attrib" -> Sql.promoAttrib,
+    "q_rolling_spend" -> Sql.rollingSpend,
     "q_funnel" -> Sql.funnel,
     "q_pricing_rollup" -> Sql.pricingRollup,
     "q_topk_custom" ->

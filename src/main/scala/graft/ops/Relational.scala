@@ -284,4 +284,31 @@ object Relational {
         round(qsum(col("value"), 1000000), 2).as("sum_value"))
       .orderBy("promo_id")
   }
+
+  /** Trailing-hour rolling spend per user: every purchase annotated with
+    * the count and value sum of the user's purchases in the preceding
+    * hour INCLUSIVE — the time-RANGE window frame (peers share a frame;
+    * the frame edge is an interval, not a row count) that row-based
+    * windows cannot express. Frame sums are quantized-long (the
+    * [[qsum]] policy) so the result is summation-order-independent and
+    * oracle-hash-exact.
+    *
+    * Scale shape: one user_id exchange; frames are per-user and bounded
+    * by an hour of that user's activity, so window state is small and
+    * groups parallelize across users (contrast [[graft.ops.Ccnet]],
+    * where ONE key could own the corpus and the rank had to be
+    * distributed).
+    */
+  def rollingSpend(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("_us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("_q"))
+    val w = Window.partitionBy("user_id").orderBy(col("_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    p.select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        (sum(col("_q")).over(w) / lit(100.0)).as("spend_1h"))
+      .orderBy("event_id")
+  }
 }

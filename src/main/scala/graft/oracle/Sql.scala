@@ -564,6 +564,23 @@ object Sql {
        |FROM events e JOIN p ON e.ts >= p.w_start AND e.ts < p.w_end
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for q_rolling_spend (trailing-hour RANGE-frame rolling count
+    * and quantized-long spend per user; mirrors Relational.rollingSpend —
+    * the numeric epoch-micros frame keeps both engines on the identical
+    * RANGE arithmetic).
+    */
+  val rollingSpend: String =
+    s"""WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS _us,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS _q
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT event_id, user_id, ts,
+       |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       |  sum(_q) OVER w / 100.0 AS spend_1h
+       |FROM p
+       |WINDOW w AS (PARTITION BY user_id ORDER BY _us
+       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   /** Oracle for q_funnel. The oracle states the declarative form — for
     * each click, the min purchase timestamp strictly after it (left
     * join + group) — against which the engine's union-and-window

@@ -136,6 +136,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // distinct-hour agg (broadcast subtree) + final agg + output sort;
     // the range join itself is a broadcast HASH join on the bucket band
     "q_promo_attrib" -> 3,
+    // one user_id window exchange + output sort; purchase filter pushed
+    "q_rolling_spend" -> 2,
     // union-and-window forward scan: one user_id exchange + per-user agg
     // + output sort
     "q_funnel" -> 3,
