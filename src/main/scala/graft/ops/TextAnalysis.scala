@@ -280,7 +280,8 @@ object TextAnalysis {
     * never a full sort).
     */
   def vocab(docs: DataFrame, topK: Int = 100): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tok = Par.fanOut(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
     val nDocs = docs.agg(count(lit(1)).as("_n"))
     tok.groupBy("word")
       .agg(count(lit(1)).as("total_count"),
@@ -326,7 +327,8 @@ object TextAnalysis {
     */
   def rareTokens(docs: DataFrame,
       salts: Int = TokenSalts): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val toks = Par.fanOut(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("_f"))
     val scored = Salted.join(toks, freq, Seq("tok"), "doc_id", salts)
       .groupBy("doc_id")
@@ -396,7 +398,7 @@ object TextAnalysis {
     * doc_id exchange — a million-term doc ships k rows.
     */
   def keyterms(docs: DataFrame, k: Int = KeytermsK): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = Par.fanOut(docs).select(col("doc_id"),
       explode(words(col("text"))).as("word"))
     val tf = toks.groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
@@ -606,7 +608,8 @@ object TextAnalysis {
     */
   def bm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
       topK: Int = Bm25TopK): DataFrame = {
-    val base = docs.select(col("doc_id"), words(col("text")).as("_w"))
+    val base = Par.fanOut(docs)
+      .select(col("doc_id"), words(col("text")).as("_w"))
       .withColumn("doc_len", size(col("_w")).cast("long"))
     val tf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       df.withColumn(s"_tf$i", size(filter(col("_w"), w => w === lit(t))))
