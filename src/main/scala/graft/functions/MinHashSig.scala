@@ -32,7 +32,7 @@ object MinHashSigUtil {
   private val Md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  private def h56(s: String): Long = {
+  private[functions] def h56(s: String): Long = {
     val d = Md.get().digest(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 14 hex chars = 7 bytes

@@ -18,6 +18,12 @@ object Par {
     // bring their own partitioning — the guard is batch-only
     if (df.isStreaming) return df
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    if (df.rdd.getNumPartitions >= n) return df
+    // DETERMINISTIC spread (hash of every column), not round-robin:
+    // round-robin placement is order-dependent, which marks the exchange
+    // non-reusable — a downstream self-join would then execute the whole
+    // upstream chain once per branch instead of reusing one stage
+    import org.apache.spark.sql.functions.col
+    df.repartition(n, df.columns.map(col): _*)
   }
 }

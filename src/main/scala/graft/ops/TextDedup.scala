@@ -1105,9 +1105,7 @@ object TextDedup {
     val grams = base
       .filter(col("n_words") >= k)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), (col("n_words") - k).cast("int")),
-          i => TextHash.h56(concat_ws(" ", slice(col("_words"), i + 1, lit(k))))))
+        posexplode(graft.functions.WindowHash(col("_words"), k))
           .as(Seq("p", "gh")))
       .withColumn("_ord", {
         val ord = col("doc_id") * ChunkPosBase + col("p")
@@ -1115,17 +1113,44 @@ object TextDedup {
           raise_error(lit("substringDedup: position overflows ChunkPosBase")))
           .otherwise(ord)
       })
-    val keeper = grams.groupBy(col("gh")).agg(min(col("_ord")).as("_keeper"))
+      // pin ONE materialization of the gram build: the keeper aggregate
+      // and the covered join's stream side both read this checkpoint —
+      // without it each self-join branch re-runs the window hashing,
+      // the expensive part of the pass (measured: attribute dedup
+      // re-aliases the branches and exchange reuse does not unify them)
+      .localCheckpoint()
+    // only DUPLICATED grams can cover anything (a unique gram's sole
+    // occurrence IS the keeper): filtering the join's build side to them
+    // keeps it churn-sized — AQE broadcasts it at runtime and the gram
+    // stream never shuffles for the join
+    val dupKeeper = grams.groupBy(col("gh"))
+      .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("gh"), col("_keeper"))
+    // covered is churn-sized (K x duplicate-starts, distinct) and has
+    // two consumers (affected-doc set, token anti-join); the eager
+    // localCheckpoint pins ONE execution of the gram chain regardless
+    // of how attribute dedup re-aliases the self-joined subtrees (the
+    // dedupClusters precedent)
     val covered = grams
-      .join(keeper, "gh")
+      .join(dupKeeper, "gh")
       .filter(col("_ord") =!= col("_keeper"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
       .distinct()
+      .localCheckpoint()
+    // reassembly touches only AFFECTED docs (any covered position) —
+    // everything else passes through as a per-row projection, so the
+    // token explode + per-doc rebuild cost scales with the DUPLICATED
+    // fraction of the corpus, not the corpus
+    val affected = covered.select(col("doc_id")).distinct()
+    // semi-join BEFORE the explode (Catalyst won't push a join below
+    // Generate): only affected docs pay the per-token row expansion
     val toks = base
+      .join(affected, Seq("doc_id"), "left_semi")
       .filter(col("n_words") > 0)
       .select(col("doc_id"), posexplode(col("_words")).as(Seq("pos", "w")))
-    val rebuilt = toks
+    val survivors = toks
       .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(
@@ -1133,13 +1158,21 @@ object TextDedup {
           array_sort(collect_list(struct(col("pos"), col("w")))),
           s => s("w"))).as("_clean"),
         count(lit(1)).as("_nk"))
+    // affected-left-join so a FULLY covered doc (zero survivors) still
+    // resolves to ""/0 rather than falling back to its original text
+    val rebuilt = affected.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), lit("")).as("_clean"),
+        coalesce(col("_nk"), lit(0L)).as("_nk"))
     base
-      .select(col("doc_id"), col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("_words"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("_clean"), lit("")).as("clean_text"),
+        coalesce(col("_clean"), concat_ws(" ", col("_words")))
+          .as("clean_text"),
         col("n_words"),
-        (col("n_words") - coalesce(col("_nk"), lit(0L))).as("n_removed"))
+        (col("n_words") - coalesce(col("_nk"), col("n_words")))
+          .as("n_removed"))
       .orderBy("doc_id")
   }
 
@@ -1192,9 +1225,7 @@ object TextDedup {
     val grams = base
       .filter(col("n_tokens") >= k)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), (col("n_tokens") - k).cast("int")),
-          i => TextHash.h56(concat_ws(" ", slice(symsOf, i + 1, lit(k))))))
+        posexplode(graft.functions.WindowHash(symsOf, k))
           .as(Seq("p", "gh")))
       .withColumn("_ord", {
         val ord = col("doc_id") * ChunkPosBase + col("p")
@@ -1202,14 +1233,30 @@ object TextDedup {
           raise_error(lit("substringDedupBpe: position overflows ChunkPosBase")))
           .otherwise(ord)
       })
-    val keeper = grams.groupBy(col("gh")).agg(min(col("_ord")).as("_keeper"))
+      // single materialization of the BPE window hashing (see
+      // substringDedup — the same checkpoint pin)
+      .localCheckpoint()
+    // duplicated grams only on the build side; affected docs only in the
+    // reassembly — see [[substringDedup]] (same two restructures)
+    val dupKeeper = grams.groupBy(col("gh"))
+      .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("gh"), col("_keeper"))
+    // eager localCheckpoint: one execution of the BPE gram chain (see
+    // substringDedup)
     val covered = grams
-      .join(keeper, "gh")
+      .join(dupKeeper, "gh")
       .filter(col("_ord") =!= col("_keeper"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
       .distinct()
+      .localCheckpoint()
+    val affected = covered.select(col("doc_id")).distinct()
+    // semi-join BEFORE the explode (Catalyst won't push a join below
+    // Generate): only affected docs pay the per-symbol row expansion
+    // and the BPE re-encode of this branch
     val toks = base
+      .join(affected, Seq("doc_id"), "left_semi")
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), posexplode(col("_syms")).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"),
@@ -1223,19 +1270,25 @@ object TextDedup {
           s => s("sym"))).as("word"),
         min(col("pos")).as("wpos"),
         count(lit(1)).as("nk"))
-    val rebuilt = keptWords.groupBy("doc_id")
+    val survivors = keptWords.groupBy("doc_id")
       .agg(
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("wpos"), col("word")))),
           s => s("word"))).as("_clean"),
         sum(col("nk")).as("_nk"))
+    val rebuilt = affected.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), lit("")).as("_clean"),
+        coalesce(col("_nk"), lit(0L)).as("_nk"))
     base
-      .select(col("doc_id"), col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("_words"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("_clean"), lit("")).as("clean_text"),
+        coalesce(col("_clean"), concat_ws(" ", col("_words")))
+          .as("clean_text"),
         col("n_tokens"),
-        (col("n_tokens") - coalesce(col("_nk"), lit(0L))).as("n_removed"))
+        (col("n_tokens") - coalesce(col("_nk"), col("n_tokens")))
+          .as("n_removed"))
       .orderBy("doc_id")
   }
 }

@@ -18,6 +18,14 @@ object SqlText {
   /** h56 in DuckDB. */
   def h56(e: String): String = s"('0x' || substr(md5($e), 1, 14))::BIGINT"
 
+  /** Literal power table [B^(k-1), ..., B^0] mod P for the rolling
+    * window hash (shared constants with
+    * [[graft.functions.WindowHashUtil]] — the oracle states the closed
+    * form of the recurrence the native expression runs).
+    */
+  def powListSql(k: Int): String =
+    graft.functions.WindowHashUtil.powTable(k).mkString("[", ", ", "]")
+
   /** Python-split words of lowered text. */
   def wordsOf(e: String): String =
     s"list_filter(regexp_split_to_array(lower($e), '\\s+'), w -> w != '')"
@@ -482,11 +490,16 @@ object SqlText {
        |  ELSE w END AS words FROM w0),
        |base AS (SELECT doc_id, words,
        |  CAST(len(words) AS BIGINT) AS n_words FROM inj),
-       |gp AS (SELECT doc_id, words, unnest(range(len(words) - ${k - 1})) AS p
+       |thl AS (SELECT doc_id,
+       |  list_transform(words, x -> ${h56("x")}) AS th
        |  FROM base WHERE n_words >= $k),
+       |gp AS (SELECT doc_id, th, unnest(range(len(th) - ${k - 1})) AS p
+       |  FROM thl),
        |grams AS (SELECT doc_id, p,
-       |  ${h56(s"list_aggregate(list_slice(words, p + 1, p + $k), " +
-          "'string_agg', ' ')")} AS gh,
+       |  CAST(list_sum(list_transform(range($k), j ->
+       |    CAST(th[CAST(p + j AS INTEGER) + 1] AS HUGEINT) *
+       |      ${powListSql(k)}[CAST(j AS INTEGER) + 1]))
+       |    % ${graft.functions.WindowHashUtil.P} AS BIGINT) AS gh,
        |  doc_id * $base + p AS _ord
        |  FROM gp),
        |keeper AS (SELECT gh, min(_ord) AS _k FROM grams GROUP BY 1),
@@ -575,11 +588,16 @@ object SqlText {
        |    GROUP BY 1) tc USING (doc_id)),
        |ds AS (SELECT doc_id, list(sym ORDER BY pos) AS syms FROM toks
        |  GROUP BY 1),
-       |gp AS (SELECT doc_id, syms, unnest(range(len(syms) - ${k - 1})) AS p
+       |thl AS (SELECT doc_id,
+       |  list_transform(syms, x -> ${h56("x")}) AS th
        |  FROM ds WHERE len(syms) >= $k),
+       |gp AS (SELECT doc_id, th, unnest(range(len(th) - ${k - 1})) AS p
+       |  FROM thl),
        |grams AS (SELECT doc_id, p,
-       |  ${h56(s"list_aggregate(list_slice(syms, p + 1, p + $k), " +
-          "'string_agg', ' ')")} AS gh,
+       |  CAST(list_sum(list_transform(range($k), j ->
+       |    CAST(th[CAST(p + j AS INTEGER) + 1] AS HUGEINT) *
+       |      ${powListSql(k)}[CAST(j AS INTEGER) + 1]))
+       |    % ${graft.functions.WindowHashUtil.P} AS BIGINT) AS gh,
        |  doc_id * $base + p AS _ord
        |  FROM gp),
        |keeper AS (SELECT gh, min(_ord) AS _k FROM grams GROUP BY 1),
