@@ -19,11 +19,13 @@ object Par {
     if (df.isStreaming) return df
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions >= n) return df
-    // DETERMINISTIC spread (hash of every column), not round-robin:
+    // DETERMINISTIC spread (hash partitioning), not round-robin:
     // round-robin placement is order-dependent, which marks the exchange
     // non-reusable — a downstream self-join would then execute the whole
-    // upstream chain once per branch instead of reusing one stage
-    import org.apache.spark.sql.functions.col
-    df.repartition(n, df.columns.map(col): _*)
+    // upstream chain once per branch instead of reusing one stage.
+    // Hash the LEADING column only: every guarded frame leads with its
+    // row key (doc_id / review_id / l_orderkey), and hashing the full
+    // row would re-hash the text payload on every guarded scan
+    df.repartition(n, org.apache.spark.sql.functions.col(df.columns.head))
   }
 }
