@@ -968,22 +968,15 @@ object TextDedup {
     val t = col("text")
     val w = WinnowW
     val nGrams = greatest(length(t) - (GramLen - 1), lit(0))
-    val grams = when(nGrams === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nGrams),
-        i => call_function("substr", t, i, lit(GramLen))))
-    val hashes = transform(grams, g => h56(g))
     val hs = col("_hs")
-    val win = (p: Column) => slice(hs, p + 1, lit(w))
-    val sel = when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(0), size(hs) - w), p =>
-        (p + w - array_position(reverse(win(p)), array_min(win(p))) + 1)
-          .cast("int"))))
-      .otherwise(array().cast("array<int>"))
-    val fps = transform(col("_sel"), i => element_at(hs, i))
     Par.fanOut(corpus)
-      .withColumn("_hs", hashes)
-      .withColumn("_sel", sel)
-      .withColumn("_fps", fps)
+      // fused natives (one O(n) pass each) — the interpreted
+      // per-window array_min(slice) form re-scanned every window and
+      // dominated the honest sf1 profile (11.9x slope on 10x data);
+      // selection is value-identical (WinnowSpec pins equivalence
+      // against the declarative rule the oracle still states)
+      .withColumn("_hs", graft.functions.CharGramHashes(t, GramLen))
+      .withColumn("_fps", graft.functions.WinnowFps(hs, w))
       .select(col("doc_id"),
         nGrams.cast("long").as("n_grams"),
         greatest(size(hs) - (w - 1), lit(0)).cast("long").as("n_windows"),
