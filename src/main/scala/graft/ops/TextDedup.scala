@@ -924,10 +924,10 @@ object TextDedup {
   def fingerprints(corpus: DataFrame): DataFrame = {
     val t = col("text")
     val nGrams = greatest(length(t) - (GramLen - 1), lit(0))
-    val grams = when(nGrams === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nGrams),
-        i => call_function("substr", t, i, lit(GramLen))))
-    val fps = filter(transform(grams, g => h56(g)), h => h % FpMod === 0)
+    // native one-pass gram hashing (see Winnow.scala) — the interpreted
+    // substr+md5 HOF chain was the whole cost of this projection
+    val fps = filter(graft.functions.CharGramHashes(t, GramLen),
+      h => h % FpMod === 0)
     Par.fanOut(corpus)
       .withColumn("_fps", fps)
       .select(col("doc_id"),
