@@ -503,26 +503,17 @@ object TextAnalysis {
   def repetition(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val wc = size(w)
+    // native one-pass [distinct_words, max_bigram_count] (hash maps) —
+    // the HOF form sorted the bigram array and folded a longest-equal-
+    // run struct per row, O(n log n) through interpreted closures; max
+    // COUNT of any bigram ≡ longest run in the sorted list, so the
+    // fractions are value-identical (RepetitionSpec pins it)
+    val st = graft.functions.RepetitionStats(w)
     val dupWord = when(wc > 0,
-      lit(1.0) - size(array_distinct(w)).cast("double") / wc)
+      lit(1.0) - element_at(st, 1).cast("double") / wc)
       .otherwise(lit(0.0))
-    // bigrams WITH duplicates (TextHash.shingles dedups, which is exactly
-    // what a frequency count must not do)
-    val bigrams = transform(sequence(lit(0), wc - 2),
-      i => concat_ws(" ", slice(w, i + lit(1), lit(2))))
-    // longest equal run in the sorted bigram list = max bigram count
-    val runInit = struct(lit("").as("prev"), lit(0).as("run"),
-      lit(0).as("best"))
-    val maxCount = aggregate(array_sort(bigrams), runInit,
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
     val topBigram = when(wc >= 2,
-      maxCount.cast("double") / (wc - 1)).otherwise(lit(0.0))
+      element_at(st, 2).cast("double") / (wc - 1)).otherwise(lit(0.0))
     Par.fanOut(docs).select(col("doc_id"), wc.as("word_count"),
       round(dupWord, 6).as("dup_word_frac"),
       round(topBigram, 6).as("top_bigram_frac"))
