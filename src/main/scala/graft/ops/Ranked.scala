@@ -32,12 +32,24 @@ object Ranked {
     * `key` group under `order`) and `_nkey` (the group's row count).
     * `order` must be a total order within each key group (include a
     * unique tiebreak) or ranks among ties are partition-dependent.
+    *
+    * The ranged frame is materialized EAGERLY (localCheckpoint) before
+    * either branch consumes it: `repartitionByRange` re-samples its
+    * boundaries per execution (the sampling seed derives from the RDD
+    * id), so if exchange reuse ever failed to kick in (reuse disabled,
+    * AQE edge cases), the two branches could see DIVERGENT partition
+    * boundaries whose (pid, key) pairs still collide — a silent
+    * mis-rank the left-join raise_error below cannot catch. Freezing
+    * `_pid` in materialized data makes both branches consume the same
+    * physical rows by construction, and doubles as the guarantee that
+    * the (potentially expensive) upstream chain runs exactly once.
     */
   def perKey(df: DataFrame, key: String, order: Seq[Column]): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df
       .repartitionByRange(n, (col(key) +: order): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("_pid"), col(key))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -52,8 +64,8 @@ object Ranked {
       .withColumn("_base", coalesce(sum(col("_c")).over(wBase), lit(0L)))
       .withColumn("_nkey", sum(col("_c")).over(wTot))
       .select(col("_pid"), col(key), col("_base"), col("_nkey"))
-    // both branches share the canonical range exchange (AQE materializes
-    // it once); a divergent _pid must fail loudly, never mis-rank
+    // both branches consume the SAME checkpointed rows, so _pid cannot
+    // diverge; the raise_error guard stays as defense in depth
     local.join(broadcast(bases), Seq("_pid", key), "left")
       .withColumn("_base", when(col("_base").isNull,
         raise_error(lit("Ranked.perKey: range boundaries diverged " +

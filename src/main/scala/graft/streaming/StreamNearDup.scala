@@ -28,8 +28,24 @@ import graft.ops.{TextDedup, TextHash}
   * members of (doc_id, 16 minhash longs) each — the streaming analogue of
   * the batch LSH hot-bucket cap (a boilerplate band stops admitting
   * members at the cap instead of retro-dropping, since emitted pairs
-  * cannot be unsent; the cap divergence only matters for buckets a batch
-  * pass would have discarded wholesale). Buckets are evicted by event-time
+  * cannot be unsent). CAP DIVERGENCE FROM BATCH, stated precisely: a
+  * pair whose FIRST agreeing band's bucket was saturated when either
+  * member arrived is LOST — the saturated bucket never holds both
+  * members, and every later agreeing band skips the pair because the
+  * first-agreeing-band rule assigns emission elsewhere. The batch pass
+  * differs: it drops the hot bucket wholesale but still surfaces the
+  * pair through any uncapped agreeing band. The cap-aware rule ("first
+  * agreeing band that admitted both members") is NOT locally computable
+  * in a per-band state operator — a band cannot observe another band's
+  * occupancy, and routing admission facts through a second stateful
+  * operator trips Spark's multi-stateful global-watermark check — so
+  * the divergence is accepted and pinned by spec
+  * (`StreamNearDupSpec`: "a pair whose first agreeing band is capped is
+  * dropped"). Operationally: near `maxBucket` members of one band key
+  * inside one watermark window is boilerplate territory, where batch
+  * recall is already deliberately sacrificed; genuinely distinct
+  * near-dup pairs overwhelmingly agree on an unsaturated first band.
+  * Buckets are evicted by event-time
   * timeout `delay` after their newest member, so state is bounded by the
   * window, never by stream history — a pair whose members arrive more
   * than `delay` apart is NOT reported, which is the contract of windowed

@@ -69,6 +69,42 @@ class StreamNearDupSpec extends AnyFunSuite with Matchers with TestSpark {
     } finally q.stop()
   }
 
+  test("cap divergence pinned: a pair whose agreeing bands are all " +
+      "saturated is dropped, while pre-cap emissions stand (batch would " +
+      "drop the hot bucket wholesale)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // four identical docs through cap=2 buckets: F1/F2 fill every band
+    // bucket and emit their pair; X and Y arrive at cap, are never
+    // admitted, so the (X, Y) pair's first agreeing band (and here every
+    // band) is saturated -> the pair is LOST. Batch at the same cap
+    // differs in BOTH directions: its bucket holds all four members
+    // (size 4 > cap) and is discarded wholesale, so batch emits nothing
+    // — streaming keeps (F1, F2) because emitted pairs cannot be unsent.
+    val text = (1 to 40).map(i => s"cap$i").mkString(" ")
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamNearDup.nearDups(docs, maxBucket = 2)
+    val q = out.writeStream.format("memory").queryName("snd_cap")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, text, t0))
+      q.processAllAvailable()
+      in.addData((2L, text, new Timestamp(t0.getTime + 60000L)))
+      q.processAllAvailable()
+      in.addData((3L, text, new Timestamp(t0.getTime + 120000L)))
+      q.processAllAvailable()
+      in.addData((4L, text, new Timestamp(t0.getTime + 180000L)))
+      q.processAllAvailable()
+      val got = spark.table("snd_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      got shouldBe Array((1L, 2L))
+    } finally q.stop()
+  }
+
   test("band-bucket state is evicted on watermark: a re-sent original " +
       "no longer pairs with its pre-eviction copy") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
