@@ -142,11 +142,15 @@ object IndexStore {
     content.write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.DirectoryNotEmptyException =>
-        // a racing publisher won; our build is identical — discard it
-        deleteRecursively(tmp)
+      // the exception type for rename-onto-existing-dir is filesystem-
+      // dependent (Linux ENOTEMPTY arrives as a GENERIC FileSystemException,
+      // not DirectoryNotEmptyException — caught by the concurrency spec), so
+      // resolve the race by OUTCOME: if a complete index is now published at
+      // the target, a racing publisher won and our identical build is
+      // discarded; anything else is a real publish failure and propagates
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(dir.resolve("_SUCCESS"))) deleteRecursively(tmp)
+        else { deleteRecursively(tmp); throw e }
     }
   }
 
@@ -188,6 +192,22 @@ object IndexStore {
     * at 100 TB the same contract is an object-store append of increment
     * partitions plus a manifest update, with the signature maintained
     * incrementally exactly as here.
+    *
+    * Concurrency contract (spec: "two concurrent merges of different
+    * increments"): two racing merges of DIFFERENT increments against the
+    * same base cannot clobber each other, because the target directory
+    * is addressed by the COMBINED signature — different increments give
+    * different combined signatures, hence disjoint directories, and each
+    * merge publishes its own complete index (neither increment's rows
+    * can be dropped). The only same-directory races are identical-content
+    * ones: equal combined signatures mean equal source multisets, and
+    * builds are deterministic, so the racing publishers' outputs are
+    * value-identical and first-rename-wins is safe. The shared BASE index
+    * both merges consult through [[loadOrBuild]] races the same way —
+    * both may build it, one publishes, both read the published copy. A
+    * directory is only ever created by the atomic rename of a fully
+    * written temp dir, so a visible `_SUCCESS` always denotes complete
+    * content; losers discard their temp dirs.
     */
   def mergeOrBuild(spark: SparkSession, name: String,
                    baseSource: DataFrame, incrementSource: DataFrame,

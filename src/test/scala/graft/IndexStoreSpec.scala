@@ -104,6 +104,59 @@ class IndexStoreSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("two concurrent merges of different increments against the same " +
+      "base: disjoint signature-addressed dirs, both value-correct, " +
+      "neither increment's rows dropped") {
+    withFreshRoot {
+      import spark.implicits._
+      import org.apache.spark.sql.DataFrame
+      val base = (1L to 40L).map(i => (i, s"doc $i payload"))
+        .toDF("doc_id", "text")
+      val incA = (100L to 119L).map(i => (i, s"inc-a $i"))
+        .toDF("doc_id", "text")
+      val incB = (200L to 229L).map(i => (i, s"inc-b $i"))
+        .toDF("doc_id", "text")
+      def rowsOf(df: DataFrame) =
+        df.select(col("doc_id"), expr("length(text)").as("n"))
+      // the race: both threads see no published base index, both may
+      // build it (idempotent first-publish-wins), and each publishes its
+      // own merge under its own combined signature
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def mergeWith(inc: DataFrame): Array[org.apache.spark.sql.Row] =
+        IndexStore.mergeOrBuild(spark, "cmerge", base, inc) { rowsOf(base) } {
+          rowsOf(inc)
+        }.orderBy("doc_id").collect()
+      val (gotA, gotB) = Await.result(
+        Future(mergeWith(incA)).zip(Future(mergeWith(incB))), 120.seconds)
+      gotA shouldBe rowsOf(base.unionAll(incA)).orderBy("doc_id").collect()
+      gotB shouldBe rowsOf(base.unionAll(incB)).orderBy("doc_id").collect()
+      // and both merged indexes remain independently servable afterwards
+      mergeWith(incA) should have length 60
+      mergeWith(incB) should have length 70
+    }
+  }
+
+  test("concurrent loadOrBuild of the same (name, source): first publish " +
+      "wins, both callers read complete identical content") {
+    withFreshRoot {
+      import spark.implicits._
+      val src = (1L to 50L).map(i => (i, s"row $i")).toDF("doc_id", "text")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def serve(): Array[org.apache.spark.sql.Row] =
+        IndexStore.loadOrBuild(spark, "crace", src) {
+          src.select(col("doc_id"), expr("length(text)").as("n"))
+        }.orderBy("doc_id").collect()
+      val (r1, r2) = Await.result(
+        Future(serve()).zip(Future(serve())), 120.seconds)
+      r1 shouldBe r2
+      r1 should have length 50
+    }
+  }
+
   test("PQ codes merge: a daily embedding increment encoded against the " +
       "standing codebooks and appended equals a full re-encode") {
     import org.apache.spark.sql.DataFrame
