@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   * stream, '00db' movi chunks), and [[tryDecodeVideo]] is a from-scratch
   * RIFF chunk walker + BITMAPINFOHEADER parse + bottom-up BGR raster
   * decode emitting the true frame count, frame dimensions, and mean
-  * luminance over every decoded PIXEL. `fakeDecode` remains only as the
-  * unknown-codec fallback (compressed streams, corrupt files — flagged
-  * by decoded_w = decoded_h = 0). Everything around the decoders —
-  * schema, partition-parallel batch iteration, feature struct shape,
-  * downstream aggregation — is the production shape: swap the DIB branch
-  * for an FFmpeg-equivalent to read compressed codecs, keep the
-  * signature.
+  * luminance over every decoded PIXEL. Compressed video is REAL for
+  * MJPEG (r7): an MJPEG AVI is the same RIFF container with biCompression
+  * 'MJPG' and each movi chunk a complete JPEG image, so frames route
+  * through the SAME JDK ImageIO decoder the image path uses — per-frame
+  * JPEG decode, luma fold over the decoded raster. `fakeDecode` remains
+  * only as the unknown-codec fallback (inter-frame codecs, corrupt
+  * files — flagged by decoded_w = decoded_h = 0). Everything around the
+  * decoders — schema, partition-parallel batch iteration, feature struct
+  * shape, downstream aggregation — is the production shape: swap the
+  * codec branch for an FFmpeg-equivalent to read inter-frame codecs,
+  * keep the signature.
   *
   * Scale notes: media payloads dominate row size, so the pipeline keeps the
   * binary column out of every shuffle (features are extracted in a
@@ -168,14 +172,88 @@ object Media {
     bos.toByteArray
   }
 
-  /** REAL pure-JDK video decode for the uncompressed-DIB AVI subset: a
+  /** 'MJPG' little-endian fourcc — the biCompression value of an MJPEG
+    * AVI's BITMAPINFOHEADER.
+    */
+  private val MJPG = 0x47504a4d
+
+  /** MJPEG AVI: the same RIFF layout as [[encodeAvi]] but the stream
+    * handler / biCompression are 'MJPG' and each '00dc' movi chunk is a
+    * complete JPEG (encoded here by JDK ImageIO — the only JPEG encoder
+    * in the container). Frame payload sizes vary (entropy coding), so
+    * chunk sizes are computed per frame and odd sizes take the RIFF pad
+    * byte. Frames are constant-gray rasters; JPEG quantizes the DC
+    * coefficient so the DECODED gray may differ from the requested one —
+    * the spec therefore derives its expectation by decoding the same
+    * JPEG bytes through ImageIO directly, not from generator arithmetic.
+    */
+  private[graft] def encodeMjpegAvi(w: Int, h: Int,
+      grays: Array[Int]): Array[Byte] = {
+    val frames = grays.map { g =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val nF = frames.length
+    val maxFrame = frames.map(_.length).max
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    cc("RIFF"); le32(riffSize); cc("AVI ")
+    cc("LIST"); le32(hdrlSize); cc("hdrl")
+    cc("avih"); le32(56)
+    le32(500000); le32(0); le32(0); le32(0) // usec/frame, maxbps, pad, flags
+    le32(nF); le32(0); le32(1); le32(maxFrame) // frames, init, streams, buf
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved
+    cc("LIST"); le32(strlSize); cc("strl")
+    cc("strh"); le32(56)
+    cc("vids"); cc("MJPG"); le32(0); le32(0) // type, handler, flags, prio+lang
+    le32(0); le32(1); le32(2); le32(0) // initframes, scale, rate, start
+    le32(nF); le32(maxFrame); le32(0); le32(0) // length, buf, quality, smpsz
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    cc("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24) // bi: size, w, h, planes, bpp
+    le32(MJPG); le32(maxFrame); le32(0); le32(0); le32(0); le32(0)
+    cc("LIST"); le32(moviSize); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); le32(f.length)
+      bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0) // RIFF even alignment
+    }
+    bos.toByteArray
+  }
+
+  /** REAL pure-JDK video decode for the intra-frame AVI subset: a
     * from-scratch RIFF walker (fourcc + LE size + even alignment), the
-    * strf BITMAPINFOHEADER (requires biBitCount = 24, biCompression =
-    * BI_RGB, bottom-up), then every '00db'/'00dc' movi frame decoded
-    * row-by-row (BGR, 4-byte stride) into a luma digest + mean — the
-    * exact rasterStats arithmetic, over every frame. Anything else
-    * (compressed fourcc, truncated chunks) returns None → the declared
-    * fallback, same contract as the image/audio decoders.
+    * strf BITMAPINFOHEADER, then every '00db'/'00dc' movi frame decoded
+    * into a luma digest + mean — the exact rasterStats arithmetic, over
+    * every frame. Two codec branches:
+    *  - biCompression = BI_RGB, biBitCount = 24: raw bottom-up DIB rows
+    *    (BGR, 4-byte stride), decoded by hand — no codec exists or is
+    *    needed.
+    *  - biCompression = 'MJPG': each movi chunk is a complete JFIF/JPEG
+    *    image, decoded by the JDK ImageIO JPEG reader (the same decoder
+    *    the image path uses); frame dims must match the declared stream
+    *    dims or the file falls back — "frame-true" includes the header
+    *    not lying about geometry.
+    * Anything else (inter-frame fourcc, truncated chunks) returns None →
+    * the declared fallback, same contract as the image/audio decoders.
     */
   private[graft] def tryDecodeVideo(
       p: Array[Byte]): Option[(Long, Double, Int, Int, Int)] =
@@ -185,8 +263,30 @@ object Media {
       def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
       def cc(o: Int): String = new String(p, o, 4, "US-ASCII")
       if (p.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
-      var w = 0; var h = 0; var ok = false
+      var w = 0; var h = 0; var ok = false; var mjpeg = false
       var cks = 0L; var sum = 0L; var px = 0L; var nFrames = 0
+      def decodeJpegFrame(off: Int, size: Int): Boolean = {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p, off, size))
+        if (img == null || img.getWidth != w || img.getHeight != h)
+          return false
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            cks = cks * 31 + lum
+            sum += lum
+            x += 1
+          }
+          y += 1
+        }
+        px += w.toLong * h
+        nFrames += 1
+        true
+      }
       def decodeFrame(off: Int, size: Int): Boolean = {
         val stride = ((w * 3 + 3) / 4) * 4
         if (size < stride * h) return false
@@ -223,11 +323,14 @@ object Media {
             val biW = le32(o + 8 + 4); val biH = le32(o + 8 + 8)
             val planes = le16(o + 8 + 12); val bpp = le16(o + 8 + 14)
             val comp = le32(o + 8 + 16)
-            if (planes != 1 || bpp != 24 || comp != 0 || biW <= 0 || biH <= 0)
-              return false
+            if (biW <= 0 || biH <= 0) return false
+            if (comp == MJPG) mjpeg = true
+            else if (planes != 1 || bpp != 24 || comp != 0) return false
             w = biW; h = biH; ok = true
           } else if (id.endsWith("db") || id.endsWith("dc")) {
-            if (!ok || !decodeFrame(o + 8, size)) return false
+            if (!ok) return false
+            if (!(if (mjpeg) decodeJpegFrame(o + 8, size)
+                  else decodeFrame(o + 8, size))) return false
           }
           o += 8 + size + (size & 1) // even alignment
         }

@@ -158,6 +158,14 @@ object Relational {
   /** Exact percentiles + distinct counts per group (portable: both engines
     * compute exact linear-interpolated quantiles over the sorted values;
     * approx_percentile/HLL sketches are deliberately not oracle-paired).
+    *
+    * This is the oracle-pairable EXACT tier and is priced accordingly —
+    * exact percentile + two countDistinct Expand the stream 3×. A 100 TB
+    * consumer should use the sketch tier instead:
+    * [[graft.ops.Sketches.approxPercentiles]] (rank error ≤ n/PctAccuracy,
+    * pinned in SketchesSpec) and [[graft.ops.Sketches.approxDistinct]]
+    * (HLL) ride the normal partial/final shuffle with bounded state per
+    * group — same answer shape at a small fraction of the exact cost.
     */
   def priceStats(spark: SparkSession, dir: String): DataFrame =
     // exact percentiles + two distincts Expand the stream 3x; fanOut

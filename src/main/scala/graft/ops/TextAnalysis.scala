@@ -644,7 +644,17 @@ object TextAnalysis {
     * embarrassingly parallel, and the filter columns it emits feed a
     * partition-pruned rejected-docs sink without a second pass.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherColumns(docs).orderBy("doc_id")
+
+  /** The Gopher rule body without the oracle-determinism sort: one
+    * WholeStageCodegen span of per-row column expressions, legal on a
+    * STREAMING frame as-is (no state, no watermark, no shuffle) — the
+    * streaming ingest gate ([[graft.streaming.StreamGate]]) applies
+    * exactly this, so batch and streaming verdicts are the same
+    * expressions by construction, not by parallel maintenance.
+    */
+  def gopherColumns(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val wc = size(w)
     val wcSafe = greatest(wc, lit(1))
@@ -669,7 +679,6 @@ object TextAnalysis {
         .when(!okAlpha, lit("alpha_frac"))
         .when(!okStops, lit("stopwords"))
         .otherwise(lit(null).cast("string")).as("reject_reason"))
-      .orderBy("doc_id")
   }
 
   val GopherMinWords = 50

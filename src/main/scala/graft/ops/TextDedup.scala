@@ -367,11 +367,27 @@ object TextDedup {
     * the hint degrades gracefully to a shuffle join on the gram hash.
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
-      k: Int = ContamGram): DataFrame = {
-    val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
-    sharedGramCounts(docs, benchmark, k,
+      k: Int = ContamGram): DataFrame =
+    decontaminateAgainstGrams(docs, benchGramSet(benchmark, k),
+      benchmark.select(col("doc_id").as("_bid")), k)
+
+  /** The benchmark's distinct word-k-gram set — the broadcast dimension
+    * of [[decontaminate]], exposed so a long-lived consumer (the
+    * streaming ingest gate) can derive it ONCE, cache it, and reuse it
+    * across every micro-batch instead of re-shingling the benchmark per
+    * trigger.
+    */
+  def benchGramSet(benchmark: DataFrame, k: Int = ContamGram): DataFrame =
+    gramsOf(benchmark, k).select("gram").distinct()
+
+  /** [[decontaminate]] against a PRE-DERIVED benchmark gram set (and the
+    * benchmark id frame for the self-match anti-join) — identical output,
+    * but the caller owns the dimension's lifetime.
+    */
+  def decontaminateAgainstGrams(docs: DataFrame, benchGrams: DataFrame,
+      benchIds: DataFrame, k: Int = ContamGram): DataFrame =
+    sharedGramCounts(docs, benchIds, k,
       gs => gs.join(broadcast(benchGrams), "gram"))
-  }
 
   private def gramsOf(df: DataFrame, k: Int): DataFrame = df
     .withColumn("_words", words(col("text")))
@@ -380,11 +396,11 @@ object TextDedup {
       explode(shingles(col("_words"), k)).as("gram"))
 
   /** Common decontamination tail: corpus grams (benchmark docs anti-joined
-    * out) through `matchGrams`, then the per-doc distinct-gram count.
+    * out via `benchIds`, a one-column `_bid` frame) through `matchGrams`,
+    * then the per-doc distinct-gram count.
     */
-  private def sharedGramCounts(docs: DataFrame, benchmark: DataFrame,
+  private def sharedGramCounts(docs: DataFrame, benchIds: DataFrame,
       k: Int, matchGrams: DataFrame => DataFrame): DataFrame = {
-    val benchIds = benchmark.select(col("doc_id").as("_bid"))
     matchGrams(gramsOf(Par.fanOut(docs), k)
       .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti"))
       .groupBy("doc_id")
@@ -434,7 +450,7 @@ object TextDedup {
     val mightContain = GraftBridge.column(
       BloomFilterMightContain(Literal(sketch, BinaryType),
         GraftBridge.expression(xxhash64(col("gram")))))
-    sharedGramCounts(docs, benchmark, k,
+    sharedGramCounts(docs, benchmark.select(col("doc_id").as("_bid")), k,
       gs => gs.filter(mightContain).join(benchGrams, "gram"))
   }
 

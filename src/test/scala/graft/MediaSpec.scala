@@ -137,6 +137,71 @@ class MediaSpec extends AnyFunSuite with Matchers with TestSpark {
     fb.n_bytes shouldBe 4
   }
 
+  test("MJPEG video decode is frame-true: fabricated MJPG AVI decodes " +
+      "dims, frame count, and per-pixel luminance through ImageIO") {
+    import spark.implicits._
+    val w = 16; val h = 8
+    val grays = Array(10, 200, 97)
+    val avi = Media.encodeMjpegAvi(w, h, grays)
+    // expectation derived by decoding the SAME JPEG bytes directly:
+    // JPEG quantizes the DC coefficient, so decoded gray may differ
+    // from the requested one — frame-true means matching the decoder,
+    // not the generator request
+    var expCks = 0L; var expSum = 0L
+    grays.foreach { g =>
+      val img0 = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until h; x <- 0 until w) img0.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img0, "jpg", bos)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val lum = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000
+        expCks = expCks * 31 + lum
+        expSum += lum
+      }
+    }
+    val records = Seq(Media.MediaRecord(1L, "video", avi, w, h, 1500)).toDS()
+    val out = Media.decode(records).collect().head
+    out.decoded_w shouldBe w
+    out.decoded_h shouldBe h
+    out.frames_sampled shouldBe grays.length // TRUE decoded frame count
+    out.checksum shouldBe expCks
+    out.mean_byte shouldBe expSum.toDouble / (w.toLong * h * grays.length)
+    out.n_bytes shouldBe avi.length
+  }
+
+  test("MJPEG AVI whose frames contradict the declared stream dims " +
+      "falls back flagged, not silently") {
+    import spark.implicits._
+    val avi = Media.encodeMjpegAvi(8, 8, Array(50, 60))
+    // corrupt the declared dims in strh rcFrame AND strf biWidth/biHeight:
+    // easier — rebuild a valid 8x8 MJPEG AVI, then patch strf biWidth to 4
+    // (offset: find 'strf' and patch biWidth at strf+8+4)
+    val idx = {
+      var i = -1
+      var o = 0
+      while (i < 0 && o + 4 <= avi.length) {
+        if (avi(o) == 's' && avi(o + 1) == 't' && avi(o + 2) == 'r' &&
+          avi(o + 3) == 'f') i = o
+        o += 1
+      }
+      i
+    }
+    idx should be > 0
+    val bad = avi.clone()
+    bad(idx + 8 + 4) = 4 // biWidth 8 -> 4; frames still decode as 8x8
+    val out = Media.decode(
+      Seq(Media.MediaRecord(1L, "video", bad, 8, 8, 1000)).toDS())
+      .collect().head
+    out.decoded_w shouldBe 0 // dims lie -> flagged fallback
+    out.decoded_h shouldBe 0
+  }
+
   test("resize fits within maxDim preserving aspect; small media " +
       "pass through untouched") {
     val in = Media.mediaTable(spark, 80)
