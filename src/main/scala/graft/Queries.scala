@@ -414,6 +414,16 @@ object Queries {
     // failing rule as the reject reason — shuffle-free single scan
     "q_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(Tables.load(s, d, "documents"))),
+    // streaming ingest gate, batch form: Gopher verdicts + benchmark
+    // shared-gram counts + the combined admit bit in ONE annotated frame
+    // (exactly the stateless body StreamGate runs per micro-batch — the
+    // oracle check here is the batch side of the gate's parity claim)
+    "q_ingest_gate" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      graft.streaming.StreamGate.gate(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        k = TextDedup.ContamGramSynthetic).orderBy("doc_id")
+    }),
     // per-doc TF-IDF keyterms: rational idf, bounded-heap TopK per doc
     "q_keyterms" -> ((s: SparkSession, d: String) =>
       TextAnalysis.keyterms(Tables.load(s, d, "documents"))),
@@ -603,6 +613,7 @@ object Queries {
     "q_token_stats" -> SqlText.tokenStats,
     "q_doc_quality" -> SqlText.docQuality,
     "q_gopher_rules" -> SqlText.gopherRules,
+    "q_ingest_gate" -> SqlText.ingestGate,
     "q_url_dedup" -> SqlText.urlDedup,
     "q_ngram_novelty" -> SqlText.ngramNovelty,
     "q_keyterms" -> SqlText.keyterms,

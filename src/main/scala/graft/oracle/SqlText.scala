@@ -1808,4 +1808,55 @@ object SqlText {
        |  $reason AS reject_reason
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle for q_ingest_gate: the streaming ingest gate's batch form —
+    * the Gopher verdict columns (same arithmetic as [[gopherRules]])
+    * left-joined with the decontamination shared-gram count (same gram
+    * rule as [[decontaminateK]], benchmark = doc_id % 97 = 0 stand-in at
+    * the synthetic 3-gram), admit = keep AND n_shared_grams = 0.
+    */
+  val ingestGate: String = {
+    import graft.ops.TextAnalysis._
+    val k = TextDedup.ContamGramSynthetic
+    val tests = Seq(
+      "word_count" -> s"wc BETWEEN $GopherMinWords AND $GopherMaxWords",
+      "mean_word_len" ->
+        s"chars BETWEEN $GopherMinMeanWl * wc AND $GopherMaxMeanWl * wc",
+      "alpha_frac" -> "alphaw * 5 >= wc * 4",
+      "stopwords" -> s"stops >= $GopherMinStops")
+    val keep = tests.map(_._2).mkString("(", ") AND (", ")")
+    val reason = tests.map { case (name, t) =>
+      s"WHEN NOT ($t) THEN ${s(name)}"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS words,
+       |  lower(text) AS lc FROM documents),
+       |b AS (SELECT doc_id, len(words) AS wc,
+       |  length(array_to_string(words, '')) AS chars,
+       |  len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+       |    AS alphaw,
+       |  len(regexp_extract_all(lc, ${s(graft.rules.Rules.EnStopwords)}))
+       |    AS stops
+       |  FROM d),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(len(words) - ${k - 1}),
+       |      i -> list_aggregate(list_slice(words, i + 1, i + $k),
+       |             'string_agg', ' ')))) AS gram
+       |  FROM d WHERE len(words) >= $k),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |contam AS (SELECT g.doc_id,
+       |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+       |  FROM g JOIN bench USING (gram)
+       |  WHERE g.doc_id % 97 != 0 GROUP BY 1)
+       |SELECT b.doc_id, CAST(wc AS INT) AS word_count,
+       |  CAST(round(CAST(CAST(chars AS DOUBLE) / greatest(wc, 1)
+       |    AS DECIMAL(38, 12)), 4) AS DOUBLE) AS mean_word_len,
+       |  CAST(round(CAST(CAST(alphaw AS DOUBLE) / greatest(wc, 1)
+       |    AS DECIMAL(38, 12)), 4) AS DOUBLE) AS alpha_frac,
+       |  CAST(stops AS BIGINT) AS stop_count,
+       |  $keep AS keep,
+       |  $reason AS reject_reason,
+       |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_grams,
+       |  ($keep) AND coalesce(n_shared, 0) = 0 AS admit
+       |FROM b LEFT JOIN contam USING (doc_id) ORDER BY b.doc_id""".stripMargin
+  }
 }

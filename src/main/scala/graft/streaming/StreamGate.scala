@@ -83,6 +83,18 @@ object StreamGate {
         handle(annotated, id)
     }
 
+  /** One-shot batch form of the gate (registry / oracle entry): derives
+    * the benchmark gram frame inline — no caching, since a single pass
+    * reads it exactly once — and annotates every doc with its Gopher
+    * verdict, shared-gram count, and the combined admit bit. Value-equal
+    * to the streaming gate's per-batch union by the parity argument on
+    * [[gateSink]].
+    */
+  def gate(docs: DataFrame, benchmark: DataFrame,
+      k: Int = TextDedup.ContamGram): DataFrame =
+    gateBatch(docs, new BenchmarkGrams(TextDedup.benchGramSet(benchmark, k),
+      benchmark.select(col("doc_id").as("_bid")), k))
+
   /** The per-batch body of [[gateSink]] — also the batch-mode gate. */
   def gateBatch(batch: DataFrame, bg: BenchmarkGrams): DataFrame = {
     val contam = TextDedup.decontaminateAgainstGrams(

@@ -93,6 +93,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_hourly_anomaly" -> 4,
     // pure column expressions: output sort only
     "q_gopher_rules" -> 1,
+    // streaming-gate batch form: fanOut'd gram agg + contam/gopher
+    // doc_id join + output sort; benchmark grams and ids broadcast
+    "q_ingest_gate" -> 3,
     // tf groupBy + df agg on the same word key + join back + TopK's
     // one doc_id exchange + output sort (corpus size: broadcast row)
     "q_keyterms" -> 8,
