@@ -446,6 +446,19 @@ object TextAnalysis {
     * collapse, one left join back. Same family as [[rareTokens]], with
     * the conditional two-table structure. [[Par.fanOut]] guards the
     * explode's input parallelism at test scale.
+    *
+    * Shape variant measured and REJECTED (r7, same-condition A/B at
+    * sf3): folding the quantized ratio into the count table (bgCount ⋈
+    * prefCount on w1, then ONE stream join) reads as halving the
+    * stream-join work but measured 38.6 → 49.2 s — on a high-vocabulary
+    * corpus distinct bigram TYPES approach occurrence count, so the
+    * "vocab²-bounded" ratio table is really corpus-sized and its added
+    * exchange costs more than the saved stream join. Methodology note
+    * that the A/B enforced: compare plan shapes under ONE bench
+    * condition — a 4-query subset run and an 89-query full sweep differ
+    * by co-resident cache pressure at sf3 (q_ccnet_buckets: 38 s
+    * standalone vs an 81.6 s full-sweep median with monotone pass
+    * growth), which masqueraded as a 26% win at sf1.
     */
   def lmScore(docs: DataFrame, salts: Int = TokenSalts): DataFrame =
     lmScoreCols(docs, salts, Nil)
