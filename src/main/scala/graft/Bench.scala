@@ -64,7 +64,17 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Sample]](
       names.map(_ -> Vector.empty[Sample]): _*)
     val timed0 = System.nanoTime()
+    // between passes, surface dead cached blocks to the ContextCleaner:
+    // localCheckpoint blocks from pass N's plans are unreachable once the
+    // pass's DataFrames drop out of scope, but with a near-idle large heap
+    // the driver may not GC for many minutes, so the blocks linger in the
+    // storage pool and passes contaminate each other (measured at sf3:
+    // q_ccnet_buckets 51.7 -> 81.6 -> 120.0 s across passes in the full
+    // sweep vs flat 38 s standalone). The gc runs BETWEEN passes, outside
+    // any query's timing window.
+    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
     for (pass <- 1 to nPasses; name <- names) {
+      if (name == names.head) reclaim()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {

@@ -49,7 +49,10 @@ object Ranked {
     val ranged = df
       .repartitionByRange(n, (col(key) +: order): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      // serialized tier: the checkpoint pins the full ranked frame
+      // (corpus-sized for a whole-corpus rank) — see SCALING.md §r7
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wLocal = Window.partitionBy(col("_pid"), col(key))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1126,8 +1126,12 @@ object TextDedup {
       // and the covered join's stream side both read this checkpoint —
       // without it each self-join branch re-runs the window hashing,
       // the expensive part of the pass (measured: attribute dedup
-      // re-aliases the branches and exchange reuse does not unify them)
-      .localCheckpoint()
+      // re-aliases the branches and exchange reuse does not unify them).
+      // SERIALIZED storage: this is a corpus-gram-sized block set, the
+      // largest thing the operator pins — the serialized tier halves its
+      // residency for a bounded per-read deser cost (SCALING.md §r7)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // only DUPLICATED grams can cover anything (a unique gram's sole
     // occurrence IS the keeper): filtering the join's build side to them
     // keeps it churn-sized — AQE broadcasts it at runtime and the gram
@@ -1243,8 +1247,9 @@ object TextDedup {
           .otherwise(ord)
       })
       // single materialization of the BPE window hashing (see
-      // substringDedup — the same checkpoint pin)
-      .localCheckpoint()
+      // substringDedup — the same checkpoint pin, same serialized tier)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // duplicated grams only on the build side; affected docs only in the
     // reassembly — see [[substringDedup]] (same two restructures)
     val dupKeeper = grams.groupBy(col("gh"))
