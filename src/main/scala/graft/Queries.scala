@@ -329,6 +329,12 @@ object Queries {
     // with the oracle's recursive-CTE encoder)
     "q_bpe_tokens" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bpeTokens(Tables.load(s, d, "documents"))),
+    // token-balanced training shards: global BPE-token rank (two-phase
+    // distributed prefix sum — no whole-corpus single-task window) +
+    // snake placement; the parallelizable form of greedy LPT sharding
+    "q_shard_pack" -> ((s: SparkSession, d: String) =>
+      Packing.shardPack(Tables.load(s, d, "documents"),
+        tokenizer = graft.functions.BpeTokenCount(_))),
     // per-source BPE sequence-length bands (the pre-packing audit of
     // truncation loss vs fragment overhead)
     "q_token_histogram" -> ((s: SparkSession, d: String) =>
@@ -601,6 +607,7 @@ object Queries {
     "q_seq_pack_bpe" -> SqlText.seqPackBpe,
     "q_corpus_mix_bpe" -> SqlText.corpusMixBpe,
     "q_bpe_tokens" -> SqlText.bpeTokens,
+    "q_shard_pack" -> SqlText.shardPack,
     "q_token_histogram" -> SqlText.tokenHistogram,
     "q_tokenizer_fertility" -> SqlText.tokenizerFertility,
     "q_reservoir" -> SqlText.reservoir,

@@ -310,7 +310,18 @@ object EmbedSim {
     val bench = corpusAll.filter(isBench)
       .select(col("vec_id").as("bench_id"), col("emb").as("bemb"),
         col("norm").as("bnorm"))
-    val corpus = corpusAll.filter(!isBench)
+    semAnnotate(corpusAll.filter(!isBench), bench).orderBy("vec_id")
+  }
+
+  /** The annotation body of [[decontaminateSemantic]], factored over
+    * explicit frames: `corpus` (vec_id, emb, norm) × broadcast `bench`
+    * (bench_id, bemb, bnorm) → per-vector nearest benchmark neighbor
+    * (ties: smaller bench_id) with the 6dp-quantized cosine and the
+    * contamination bit. Unsorted — the registry entry adds the
+    * oracle-determinism sort; [[graft.streaming.StreamSemGate]] pins its
+    * per-row streaming scorer value-identical to this declarative form.
+    */
+  def semAnnotate(corpus: DataFrame, bench: DataFrame): DataFrame =
     corpus.join(broadcast(bench), lit(true))
       .select(col("vec_id"), col("bench_id"),
         cosByNorm(dot(col("emb"), col("bemb")), col("norm"), col("bnorm"))
@@ -321,8 +332,6 @@ object EmbedSim {
       .select(col("vec_id"), col("w.bench_id").as("bench_id"),
         col("w.bench_cos").as("bench_cos"),
         (col("w.bench_cos") >= SemThreshold).as("contaminated"))
-      .orderBy("vec_id")
-  }
 
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")

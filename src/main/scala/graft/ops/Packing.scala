@@ -97,4 +97,50 @@ object Packing {
         col("start_tok"), col("seq_first"), col("seq_last"))
       .orderBy("source", "doc_id")
   }
+
+  /** Training shards per output file set. */
+  val ShardCount = 8
+
+  /** Token-balanced shard assignment: every document lands in one of
+    * [[ShardCount]] shards such that per-shard token totals stay close —
+    * the shard-creation step of a sharded training-data layout (N tar /
+    * parquet shards consumed round-robin by data-loader workers; a token-
+    * imbalanced shard set makes the slowest loader the epoch's critical
+    * path).
+    *
+    * Assignment rule: global rank by (bpe_tokens DESC, doc_id), then
+    * BOUSTROPHEDON (snake) placement — rank r sits in shard `r mod N` on
+    * even passes and `N-1 - (r mod N)` on odd passes, so each consecutive
+    * size-sorted pass of N documents is dealt out in alternating
+    * direction and systematic drift cancels pairwise. The classic greedy
+    * LPT ("next doc to the currently-lightest shard") balances slightly
+    * tighter but is INHERENTLY SEQUENTIAL — each decision depends on all
+    * previous totals — while the snake rule is pure arithmetic on the
+    * global rank, which [[Ranked.perKey]] computes as a two-phase
+    * distributed prefix sum: no corpus funnels through one task, and the
+    * imbalance bound (max-min per-shard total <= the largest document's
+    * tokens per completed pass pair, observed far tighter) is what a
+    * data-loader actually needs.
+    *
+    * Scale shape: one codegen'd token-count scan, the two exchanges of
+    * the distributed rank (range + the bounded per-(partition, key)
+    * window), a broadcast base join, then pure per-row arithmetic.
+    */
+  def shardPack(docs: DataFrame, shards: Int = ShardCount,
+      tokenizer: Column => Column = WsTokens): DataFrame = {
+    val toks = Par.fanOut(docs).select(col("doc_id"),
+      tokenizer(col("text")).as("n_tokens"))
+      // the rank key is a constant: shardPack ranks the WHOLE corpus —
+      // Ranked.perKey's two-phase shape is exactly the distributed form
+      // of a global row_number
+      .withColumn("_all", lit(1))
+    val ranked = Ranked.perKey(toks, "_all",
+      Seq(col("n_tokens").desc, col("doc_id").asc))
+    val pass = floor(col("_rank0") / shards)
+    val pos = col("_rank0") % shards
+    ranked.select(col("doc_id"), col("n_tokens"),
+        when(pass % 2 === 0, pos).otherwise(lit(shards - 1) - pos)
+          .cast("long").as("shard"))
+      .orderBy("doc_id")
+  }
 }

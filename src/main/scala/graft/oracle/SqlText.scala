@@ -797,6 +797,24 @@ object SqlText {
        |  ELSE ${d(0.0)} END AS tokens_per_word
        |FROM bpe ORDER BY doc_id""".stripMargin
 
+  /** Oracle for q_shard_pack (token-balanced shard assignment: global
+    * rank by (n_bpe_tokens DESC, doc_id), snake placement over
+    * [[graft.ops.Packing.ShardCount]] shards). The oracle states the
+    * single-window global row_number the Spark side deliberately avoids
+    * (Ranked.perKey's two-phase distributed rank) — identical values.
+    */
+  val shardPack: String = {
+    val n = graft.ops.Packing.ShardCount
+    s"""WITH RECURSIVE $bpeCtes,
+       |r AS (SELECT doc_id, n_bpe_tokens,
+       |  row_number() OVER (ORDER BY n_bpe_tokens DESC, doc_id) - 1
+       |    AS rnk FROM bpe)
+       |SELECT doc_id, n_bpe_tokens AS n_tokens,
+       |  CAST(CASE WHEN (rnk // $n) % 2 = 0 THEN rnk % $n
+       |    ELSE ${n - 1} - (rnk % $n) END AS BIGINT) AS shard
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_token_histogram (per-source BPE sequence-length
     * bands; mirrors TextAnalysis.tokenHistogram — integer edge compares
     * only).

@@ -159,6 +159,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_region_revenue" -> 2, "q_repetition" -> 2,     // q_seq_pack: two-phase prefix sum — 2 big-side exchanges (range slice
     // + (_pid,source) window), tiny subtotal agg/window exchanges, final
     // output sort; AQE reuses the canonical range stage at runtime
+    // global-rank consumer: the checkpointed ranged frame truncates the
+    // token-scan lineage; local window + subtotal agg/window + output sort
+    "q_shard_pack" -> 5,
     "q_seq_pack" -> 6,
     // identical chains under the trained-BPE tokenizer (a codegen'd
     // scalar — tokenizer choice must never change the data movement)
