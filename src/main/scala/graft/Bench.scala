@@ -72,9 +72,23 @@ object Bench {
     // q_ccnet_buckets 51.7 -> 81.6 -> 120.0 s across passes in the full
     // sweep vs flat 38 s standalone). The gc runs BETWEEN passes, outside
     // any query's timing window.
-    def reclaim(): Unit = { System.gc(); Thread.sleep(200) }
-    for (pass <- 1 to nPasses; name <- names) {
-      if (name == names.head) reclaim()
+    // TWO gc cycles with a real drain window: block cleanup is async —
+    // the first gc enqueues the dead RDDs' weak references, the
+    // ContextCleaner thread then issues unpersist/removeBlock RPCs, and
+    // a second gc catches objects freed by the first wave; 200 ms was
+    // too short for the RPCs to land (sf3 full sweep still grew
+    // 55 -> 78 s on q_ccnet_buckets across passes)
+    def reclaim(): Unit = {
+      System.gc(); Thread.sleep(700)
+      System.gc(); Thread.sleep(700)
+    }
+    // reclaim every ~30 queries, not only at pass boundaries: one pass
+    // of 91 queries itself generates tens of GB of dead checkpoint
+    // blocks at sf3+, so queries late in the alphabet otherwise run
+    // under pressure the early ones never saw
+    val reclaimEvery = 30
+    for (pass <- 1 to nPasses; (name, qi) <- names.zipWithIndex) {
+      if (qi % reclaimEvery == 0) reclaim()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {

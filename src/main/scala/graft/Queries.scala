@@ -16,13 +16,13 @@ object Queries {
     * (the annotated clean pipeline feeds 7 queries; MinHash signatures feed
     * 2). Verify/Bench run every query in one session, so persisting these
     * avoids recomputing the regex-heavy pipelines per query. Keyed by
-    * (session, dir); persisted MEMORY_AND_DISK_SER — the r6/r7 sweeps
-    * measured the memo as the dominant resident working set at sf3+
-    * (text-heavy frames deserialize 2-4× larger than their binary form,
-    * and pool pressure surfaced as cross-query pass contamination), so
-    * the memo pays a per-read deserialization to cut its footprint —
-    * exactly the serialized-tier capacity rule SCALING.md §sf3/sf5
-    * prescribes for the 100 TB deployment.
+    * (session, dir); storage tier per [[Tier]] — deserialized by
+    * default (the r7 same-condition A/B measured a 10-25% per-read
+    * deserialization tax across memo consumers under the serialized
+    * tier at sf1, while the sf3+ pass contamination the serialized
+    * tier targeted is cured by the bench's inter-pass reclaim of DEAD
+    * blocks), `spark.graft.storage.tier=ser` for deployments whose
+    * live pinned set approaches the storage pool.
     */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
@@ -30,9 +30,7 @@ object Queries {
   private def memoize(spark: SparkSession, dir: String, what: String)
                      (build: => DataFrame): DataFrame =
     memo.computeIfAbsent((spark, dir, what), { _ =>
-      val df =
-        build.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val df = build.persist(Tier.level(spark))
       // materialize eagerly: the first consumer query otherwise fans out
       // into several concurrent scans that race to compute the uncached
       // plan (measured 114 s vs 12 s for the MinHash family at sf0.1)

@@ -49,10 +49,11 @@ object Ranked {
     val ranged = df
       .repartitionByRange(n, (col(key) +: order): _*)
       .withColumn("_pid", spark_partition_id())
-      // serialized tier: the checkpoint pins the full ranked frame
-      // (corpus-sized for a whole-corpus rank) — see SCALING.md §r7
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // storage tier per graft.Tier: deserialized by default — both
+      // rank branches re-read this checkpoint and the serialized
+      // tier's per-read deserialization measured q_ccnet_buckets
+      // 17.3 → 27.3 s at sf1 (r7 same-condition A/B); see SCALING.md
+      .localCheckpoint(true, graft.Tier.level(df.sparkSession))
     val wLocal = Window.partitionBy(col("_pid"), col(key))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

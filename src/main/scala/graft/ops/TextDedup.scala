@@ -1127,11 +1127,11 @@ object TextDedup {
       // without it each self-join branch re-runs the window hashing,
       // the expensive part of the pass (measured: attribute dedup
       // re-aliases the branches and exchange reuse does not unify them).
-      // SERIALIZED storage: this is a corpus-gram-sized block set, the
-      // largest thing the operator pins — the serialized tier halves its
-      // residency for a bounded per-read deser cost (SCALING.md §r7)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // Storage tier per graft.Tier: deserialized by default — this
+      // checkpoint is read by BOTH join branches, and the serialized
+      // tier's per-read deserialization measured 23.2 → 58.8 s on
+      // q_substring_dedup_bpe at sf1 (r7 same-condition A/B)
+      .localCheckpoint(true, graft.Tier.level(corpus.sparkSession))
     // only DUPLICATED grams can cover anything (a unique gram's sole
     // occurrence IS the keeper): filtering the join's build side to them
     // keeps it churn-sized — AQE broadcasts it at runtime and the gram
@@ -1247,9 +1247,8 @@ object TextDedup {
           .otherwise(ord)
       })
       // single materialization of the BPE window hashing (see
-      // substringDedup — the same checkpoint pin, same serialized tier)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // substringDedup — the same checkpoint pin, same tier policy)
+      .localCheckpoint(true, graft.Tier.level(corpus.sparkSession))
     // duplicated grams only on the build side; affected docs only in the
     // reassembly — see [[substringDedup]] (same two restructures)
     val dupKeeper = grams.groupBy(col("gh"))
