@@ -59,11 +59,19 @@ object Dsir {
     * a partition).
     */
   def importance(docs: DataFrame, isTarget: Column): DataFrame = {
+    // gram hashing runs native (ShingleHashes: unigrams ++ bigrams,
+    // byte-identical h56 to the declarative grams()+md5 chain the
+    // equivalence spec pins) — this subtree executes TWICE (bucket
+    // table + per-doc collapse, no shared exchange), and the
+    // per-gram string materialization was the measured onset of
+    // super-linear GC at sf5 (SCALING.md §sf5)
     val g = Par.fanOut(docs)
       .select(col("doc_id"), isTarget.as("_t"),
-        explode(grams(words(col("text")))).as("gram"))
+        explode(concat(
+          graft.functions.ShingleHashes(lower(col("text")), 1),
+          graft.functions.ShingleHashes(lower(col("text")), 2))).as("_h"))
       .select(col("doc_id"), col("_t"),
-        pmod(h56(col("gram")), lit(Buckets)).as("bucket"))
+        pmod(col("_h"), lit(Buckets.toLong)).as("bucket"))
     val table = g.groupBy("bucket")
       .agg(count(lit(1)).as("q_cnt"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("p_cnt"))

@@ -359,13 +359,16 @@ object TextAnalysis {
     * int/int division rounded once.
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+    // native one-pass distinct-shingle hashing (ShingleHashes) — same
+    // h56 values as the shingles()+md5 chain by byte identity; distinct
+    // is taken over the hashes rather than the gram strings, which is
+    // the representation this query already commits to downstream
+    // ("grams travel as h56 hashes, never text" — the df table groups
+    // colliding grams cross-doc identically either way)
     val grams = Par.fanOut(docs)
       .select(col("doc_id"),
-        explode(when(size(w) >= NoveltyK,
-          TextHash.shingles(w, NoveltyK)).otherwise(array()))
-          .as("gram"))
-      .select(col("doc_id"), TextHash.h56(col("gram")).as("_g"))
+        explode(graft.functions.ShingleHashes(lower(col("text")),
+          NoveltyK, distinct = true)).as("_g"))
     val df = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
     val scored = grams.join(df, "_g")
       .groupBy("doc_id")

@@ -92,6 +92,60 @@ class FunctionsSpec extends AnyFunSuite with Matchers with TestSpark {
     a.zip(b).foreach { case (x, y) => x shouldBe y }
   }
 
+  test("native ShingleHashes equals the declarative shingle+md5 chain " +
+      "(multiset for k=1,2; distinct set for k=5) and handles edges") {
+    import graft.ops.TextHash
+    val corpus = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    def viaExpr(k: Int) = corpus
+      .withColumn("w", TextHash.words(col("text")))
+      .select(col("doc_id"),
+        F.transform(
+          F.when(F.size(col("w")) >= k, TextHash.shingles(col("w"), k))
+            .otherwise(F.array()),
+          g => TextHash.h56(g)).as("hs"))
+    // k = 1 and 2 WITH multiplicity: the dsir gram stream. shingles()
+    // is distinct, so build the multiset form by hand for the check
+    def viaExprMulti(k: Int) = corpus
+      .withColumn("w", TextHash.words(col("text")))
+      .select(col("doc_id"),
+        F.transform(
+          F.when(F.size(col("w")) >= k,
+            F.transform(F.sequence(F.lit(0), F.size(col("w")) - k),
+              i => F.concat_ws(" ",
+                (0 until k).map(j => F.element_at(col("w"), i + j + 1)): _*)))
+            .otherwise(F.array()),
+          g => TextHash.h56(g)).as("hs"))
+    for (k <- Seq(1, 2)) {
+      val a = viaExprMulti(k).orderBy("doc_id").collect()
+        .map(_.getSeq[Long](1).sorted)
+      val b = corpus.select(col("doc_id"),
+          graft.functions.ShingleHashes(lower(col("text")), k).as("hs"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).sorted)
+      a.length shouldBe 500
+      a.zip(b).foreach { case (x, y) => x shouldBe y }
+    }
+    // k = 5 distinct: the ngram-novelty stream (shingles() IS distinct)
+    val a5 = viaExpr(5).orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toSet)
+    val b5 = corpus.select(col("doc_id"),
+        graft.functions.ShingleHashes(lower(col("text")), 5,
+          distinct = true).as("hs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSet)
+    a5.zip(b5).foreach { case (x, y) => x shouldBe y }
+    // edges: empty text, whitespace-only, single word, fewer words than k
+    import spark.implicits._
+    val edges = Seq((1L, ""), (2L, "  \t\n "), (3L, "Word"),
+      (4L, "two words")).toDF("doc_id", "text")
+    val got = edges.select(col("doc_id"),
+        graft.functions.ShingleHashes(lower(col("text")), 2).as("hs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    got(0) shouldBe empty
+    got(1) shouldBe empty
+    got(2) shouldBe empty // one word, no bigram
+    got(3) should have size 1
+  }
+
   test("native SimHashSig equals the column-expression bit sums") {
     import graft.ops.{TextDedup, TextHash}
     val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
