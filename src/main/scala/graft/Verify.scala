@@ -14,6 +14,15 @@ object Verify {
     // filter (oracle-check ONE query at a big SF without dumping all 91)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on a misspelled name: an unknown filter entry would
+    // otherwise yield an empty run that exits cleanly and can be
+    // mistaken for a passing oracle check
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

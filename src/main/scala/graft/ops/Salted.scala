@@ -36,7 +36,7 @@ object Salted {
            saltSource: String, salts: Int): DataFrame =
     join(left, right, Seq(key), saltSource, salts)
 
-  /** Composite-key variant (e.g. lmScore's (w1, w2) bigram-count join).
+  /** Composite-key variant (e.g. lmScore's (h1, hb) bigram-count join).
     * salts = 1 degenerates to the plain join (constant salt column).
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -475,19 +475,22 @@ object TextAnalysis {
     */
   def lmScoreCols(docs: DataFrame, salts: Int,
       extra: Seq[String]): DataFrame = {
-    val w = words(col("text"))
+    // native one-pass bigram-pair hashing (BigramPairHashes): the stream
+    // carries (h1 = h56(w1), hb = h56("w1 w2")) longs instead of word
+    // strings, so the count tables, the prefix derivation and both
+    // salted joins all key on fixed-width hashes — the r7 ShingleHashes
+    // move applied to the registry's #1/#2 costs. Counts keyed on
+    // hashes equal the oracle's string-keyed counts under the standing
+    // 2^56 collision policy (see BigramPairHashesUtil).
     val bigrams = Par.fanOut(docs).select(col("doc_id"),
-        explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2),
-            i => struct(element_at(w, i + 1).as("w1"),
-              element_at(w, i + 2).as("w2"))))
-          .otherwise(array())).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bgCount = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
-    val prefCount = bgCount.groupBy("w1").agg(sum(col("_cb")).as("_cp"))
+        explode(graft.functions.BigramPairHashes(lower(col("text"))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.hb").as("hb"))
+    val bgCount = bigrams.groupBy("h1", "hb").agg(count(lit(1)).as("_cb"))
+    val prefCount = bgCount.groupBy("h1").agg(sum(col("_cb")).as("_cp"))
     val scored = Salted.join(
-        Salted.join(bigrams, bgCount, Seq("w1", "w2"), "doc_id", salts),
-        prefCount, Seq("w1"), "doc_id", salts)
+        Salted.join(bigrams, bgCount, Seq("h1", "hb"), "doc_id", salts),
+        prefCount, Seq("h1"), "doc_id", salts)
       .select(col("doc_id"),
         floor(col("_cb") / col("_cp") * lit(1000000000.0) + lit(0.5))
           .cast("long").as("_q"))

@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions.col
   * tie rule as the batch `max_by` struct — so streamed annotations are
   * bit-identical to [[graft.ops.EmbedSim.semAnnotate]]'s, which
   * `StreamSemGateSpec` pins across a 3-batch arrival.
+  *
+  * Precondition (enforced, matching the batch operator): every
+  * embedding — benchmark and arriving — must have norm > 0. Under the
+  * engine's ANSI session default the batch cosine division throws
+  * DIVIDE_BY_ZERO on a zero-norm vector; the gate throws the same class
+  * of error at index build ([[benchIndex]]) and per row ([[annotate]])
+  * instead of silently emitting bench_id = -1 / contaminated = false.
   */
 object StreamSemGate {
 
@@ -54,9 +61,13 @@ object StreamSemGate {
     s
   }
 
-  /** Spark's `round(double, 6)`: decimal-string BigDecimal, HALF_UP. */
+  /** Spark's `round(double, 6)`: decimal-string BigDecimal, HALF_UP.
+    * NaN / ±Infinity pass through like Spark's round (BigDecimal.valueOf
+    * would throw on them).
+    */
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Build the benchmark index from a STATIC (bench_id, bemb) frame —
@@ -73,7 +84,16 @@ object StreamSemGate {
       .orderBy("bench_id").collect()
     val ids = rows.map(_.getLong(0))
     val embs = rows.map(_.getSeq[Double](1).toArray)
-    new SemBenchIndex(ids, embs, embs.map(e => Math.sqrt(dot(e, e))))
+    val norms = embs.map(e => Math.sqrt(dot(e, e)))
+    // zero-norm precondition, enforced where the batch operator enforces
+    // it: under the engine's ANSI session default, semAnnotate's cosine
+    // division throws DIVIDE_BY_ZERO on a zero-norm vector — a silent
+    // bench_id=-1 here would diverge from that contract
+    norms.zip(ids).foreach { case (n, id) =>
+      require(n > 0, s"zero-norm benchmark embedding bench_id=$id: " +
+        "cosine is undefined (the batch semAnnotate rejects it too)")
+    }
+    new SemBenchIndex(ids, embs, norms)
   }
 
   /** Annotate a (vec_id, emb) frame — streaming or batch — with its
@@ -93,17 +113,31 @@ object StreamSemGate {
         val ix = bc.value
         val emb = embSeq.toArray
         val norm = Math.sqrt(dot(emb, emb))
+        // fail fast like the batch operator: under the engine's ANSI
+        // session default semAnnotate's cosine division throws
+        // DIVIDE_BY_ZERO on a zero-norm vector — silently emitting
+        // bench_id=-1/contaminated=false here would let exactly the
+        // rows with no usable embedding through the gate unflagged
+        if (!(norm > 0)) throw new IllegalArgumentException(
+          s"zero-norm embedding vec_id=$vecId: cosine is undefined " +
+            "(the batch semAnnotate rejects it too under ANSI division)")
         var bestId = -1L
         var bestCos = Double.NegativeInfinity
         var i = 0
         // ascending bench_id: a strictly-greater test makes the smallest
-        // id win quantized-cosine ties
+        // id win quantized-cosine ties. "Greater" replicates Spark SQL's
+        // total order (NaN above every double) so that an Inf/Inf = NaN
+        // edge (astronomic magnitudes; zero norms are excluded above)
+        // resolves the way the batch max_by would, not silently never.
+        @inline def gt(a: Double, b: Double): Boolean =
+          a > b || (a.isNaN && !b.isNaN)
         while (i < ix.ids.length) {
           val c = round6(dot(emb, ix.embs(i)) / (norm * ix.norms(i)))
-          if (c > bestCos) { bestCos = c; bestId = ix.ids(i) }
+          if (gt(c, bestCos)) { bestCos = c; bestId = ix.ids(i) }
           i += 1
         }
-        SemHit(vecId, bestId, bestCos, bestCos >= threshold)
+        SemHit(vecId, bestId, bestCos,
+          bestCos >= threshold || bestCos.isNaN)
       }
       .toDF()
   }

@@ -43,6 +43,33 @@ class LmScoreSpec extends AnyFunSuite with Matchers with TestSpark {
     out(1L) should be > out(4L)
   }
 
+  test("native bigram-pair stream ≡ declarative words/struct chain (multiset)") {
+    // the r8 native pass must emit exactly the (doc_id, h56(w1),
+    // h56("w1 w2")) multiset the prior interpreted HOF form produced
+    import graft.ops.TextHash.{h56, words}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    val native = docs.select(col("doc_id"),
+        explode(graft.functions.BigramPairHashes(lower(col("text"))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.hb").as("hb"))
+    val w = words(col("text"))
+    val declarative = docs.select(col("doc_id"),
+        explode(when(org.apache.spark.sql.functions.size(w) >= 2,
+          transform(sequence(lit(0), org.apache.spark.sql.functions.size(w) - 2),
+            i => struct(element_at(w, i + 1).as("w1"),
+              element_at(w, i + 2).as("w2"))))
+          .otherwise(array())).as("bg"))
+      .select(col("doc_id"), h56(col("bg.w1")).as("h1"),
+        h56(concat(col("bg.w1"), lit(" "), col("bg.w2"))).as("hb"))
+    val cnt = Seq("doc_id", "h1", "hb")
+    native.groupBy(cnt.map(col): _*).count()
+      .except(declarative.groupBy(cnt.map(col): _*).count())
+      .count() shouldBe 0L
+    declarative.count() shouldBe native.count()
+    native.count() should be > 0L
+  }
+
   test("real data: probabilities bounded in [0,1]") {
     val out = TextAnalysis.lmScore(
       Tables.load(spark, "/root/testdata/sf0.001", "documents"))

@@ -48,6 +48,41 @@ class StreamSemGateSpec extends AnyFunSuite with Matchers with TestSpark {
     }}
   }
 
+  test("zero-norm embeddings fail fast on BOTH paths (batch throws " +
+      "ANSI DIVIDE_BY_ZERO; the gate must not silently emit bench_id=-1)") {
+    import spark.implicits._
+    val goodBench = Seq((10L, Seq(1.0, 1.0)), (30L, Seq(0.0, 1.0)))
+      .toDF("bench_id", "bemb")
+      .withColumn("bnorm", sqrt(EmbedSim.dot(col("bemb"), col("bemb"))))
+    val zeroCorpus = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "emb")
+      .withColumn("norm", sqrt(EmbedSim.dot(col("emb"), col("emb"))))
+    // the batch contract under the engine's ANSI session default: a
+    // zero-norm vector is an ERROR, not a row with NaN annotations
+    val batchErr = intercept[Exception] {
+      EmbedSim.semAnnotate(zeroCorpus, goodBench).collect()
+    }
+    batchErr.getMessage should include("DIVIDE_BY_ZERO")
+
+    // gate, corpus side: same fail-fast (wrapped in Spark's task
+    // failure), with the offending vec_id named
+    val idx = StreamSemGate.benchIndex(goodBench.select("bench_id", "bemb"))
+    val gateErr = intercept[Exception] {
+      StreamSemGate.annotate(zeroCorpus.select("vec_id", "emb"), idx)
+        .collect()
+    }
+    gateErr.toString + Option(gateErr.getCause).mkString should
+      include("zero-norm")
+
+    // gate, benchmark side: rejected at index build
+    val zeroBench = Seq((10L, Seq(1.0, 1.0)), (20L, Seq(0.0, 0.0)))
+      .toDF("bench_id", "bemb")
+    val benchErr = intercept[IllegalArgumentException] {
+      StreamSemGate.benchIndex(zeroBench)
+    }
+    benchErr.getMessage should include("bench_id=20")
+  }
+
   test("3-batch streaming arrival == one batch pass, with ZERO " +
       "streaming state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
