@@ -30,23 +30,52 @@ import org.apache.spark.sql.functions._
   *    value-identical to a rebuilt one and every consumer query stays
   *    oracle-exact either way.
   *
+  * Storage layout (v3): SEGMENTS + MANIFESTS, the log-structured shape
+  * every production table/index format converges on (Iceberg/Delta
+  * snapshots, Lucene segments):
+  *
+  *  - `seg/<name>-<fp>-<sig>/` — immutable parquet segment directories,
+  *    content-addressed by the signature of the SOURCE rows they index;
+  *  - `man/<name>-<fp>-<sig>.json` — a manifest per servable index: the
+  *    list of segment names whose multiset union IS the index for that
+  *    source signature.
+  *
+  * A fresh build writes one segment + a one-entry manifest. An increment
+  * merge ([[mergeOrBuild]]) writes ONLY the increment's segment and a new
+  * manifest referencing base segments + the new one — O(increment) bytes,
+  * never a rewrite of the standing index (the v2 layout re-copied base +
+  * increment rows into a new directory per merge: write amplification
+  * that re-writes a 100 TB index for a daily increment). Superseded
+  * manifests stay servable until [[prune]] retires them and sweeps
+  * segments no remaining manifest references.
+  *
   * Concurrency: writers build into a process-unique temp dir and publish
   * with an atomic rename; racing publishers of the same (name, signature)
   * are idempotent (first move wins, losers discard — the content is
-  * identical by determinism).
+  * identical by determinism). Manifest writes are atomic single-file
+  * renames; two racers of the same signature may structure the same
+  * multiset differently (one segment from a full build vs several from a
+  * merge chain) but the served ROWS are identical either way, so
+  * last-write-wins on the manifest file is safe.
   *
   * Scale shape: each persisted index is small relative to its corpus
   * (centroids/codebooks are KB; codes are M bytes/vector; the band index
   * is a skinny projection), and on a real cluster the same layout maps
-  * to a shared object-store prefix. Disabled with GRAFT_INDEX=off.
+  * to a shared object-store prefix — segment publish = multipart upload +
+  * final marker, manifest publish = single-key put, both the primitives
+  * object stores make atomic. A year of daily increments is a 365-segment
+  * manifest; real deployments periodically compact (a compaction is just
+  * [[loadOrBuild]] of the union source — it writes one fresh segment and
+  * a one-entry manifest, after which [[prune]] retires the long chain).
+  * Disabled with GRAFT_INDEX=off.
   */
 object IndexStore {
 
   /** Bumped whenever the signature or directory layout changes — folded
     * into every directory name so indexes persisted by an incompatible
-    * binary are simply never looked up.
+    * binary are simply never looked up. v3 = segment + manifest layout.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   /** Test hook: redirect the store root (specs point this at a temp dir
     * so they control freshness).
@@ -129,28 +158,86 @@ object IndexStore {
       .take(4).map(b => f"$b%02x").mkString
   }
 
-  private def indexDir(name: String, params: String, sig: Sig): Path =
-    Paths.get(root, s"$name-${fingerprint(params)}-${sig.render}")
+  private def entryName(name: String, params: String, sig: Sig): String =
+    s"$name-${fingerprint(params)}-${sig.render}"
+
+  private def segDir(entry: String): Path = Paths.get(root, "seg", entry)
+  private def manFile(entry: String): Path =
+    Paths.get(root, "man", s"$entry.json")
 
   /** Build into a process-unique temp dir, publish with an atomic rename;
     * racing publishers of identical content are idempotent.
     */
-  private def publish(dir: Path, content: DataFrame): Unit = {
-    Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root,
-      s".tmp-${dir.getFileName}-${ProcessHandle.current.pid}-${System.nanoTime}")
+  private def publishSegment(entry: String, content: => DataFrame): Unit = {
+    val dir = segDir(entry)
+    if (Files.exists(dir.resolve("_SUCCESS"))) return
+    Files.createDirectories(Paths.get(root, "seg"))
+    val tmp = Paths.get(root, "seg",
+      s".tmp-$entry-${ProcessHandle.current.pid}-${System.nanoTime}")
     content.write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     catch {
       // the exception type for rename-onto-existing-dir is filesystem-
       // dependent (Linux ENOTEMPTY arrives as a GENERIC FileSystemException,
       // not DirectoryNotEmptyException — caught by the concurrency spec), so
-      // resolve the race by OUTCOME: if a complete index is now published at
-      // the target, a racing publisher won and our identical build is
+      // resolve the race by OUTCOME: if a complete segment is now published
+      // at the target, a racing publisher won and our identical build is
       // discarded; anything else is a real publish failure and propagates
       case e: java.nio.file.FileSystemException =>
         if (Files.exists(dir.resolve("_SUCCESS"))) deleteRecursively(tmp)
         else { deleteRecursively(tmp); throw e }
+    }
+  }
+
+  /** Atomic single-file manifest publish. A same-name race writes a
+    * value-identical multiset (possibly structured over different
+    * segments — see the object doc), so rename-replace is safe.
+    */
+  private def writeManifest(entry: String, segments: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(root, "man"))
+    val tmp = Paths.get(root, "man",
+      s".tmp-$entry-${ProcessHandle.current.pid}-${System.nanoTime}")
+    Files.writeString(tmp,
+      segments.map(s => "\"" + s + "\"").mkString("[", ",", "]"))
+    Files.move(tmp, manFile(entry), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Manifest contents, or None if this signature was never published.
+    * Segment names never contain quotes/escapes (hex + word chars), so
+    * the parse is a plain split.
+    */
+  private def readManifest(entry: String): Option[Seq[String]] = {
+    val f = manFile(entry)
+    if (!Files.exists(f)) return None
+    val body = Files.readString(f).trim.stripPrefix("[").stripSuffix("]")
+    Some(if (body.isEmpty) Nil
+    else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+
+  /** The served frame: the multiset union of the manifest's segments.
+    * Union-of-reads (not one multi-path scan) so a segment listed twice
+    * — a legal manifest when an increment's multiset repeats — keeps its
+    * multiplicity.
+    */
+  private def readSegments(spark: SparkSession,
+      segments: Seq[String]): DataFrame =
+    segments.map(s => spark.read.parquet(segDir(s).toString))
+      .reduce(_.unionByName(_))
+
+  /** Ensure (name, params, sig) is published and return its manifest's
+    * segment list — publishing a fresh single-segment manifest from
+    * `build` if this signature has never been indexed.
+    */
+  private def ensure(sig: Sig, name: String, params: String)
+                    (build: => DataFrame): Seq[String] = {
+    val entry = entryName(name, params, sig)
+    readManifest(entry).getOrElse {
+      builds.incrementAndGet()
+      publishSegment(entry, build)
+      writeManifest(entry, Seq(entry))
+      Seq(entry)
     }
   }
 
@@ -163,12 +250,12 @@ object IndexStore {
                   params: String = "")
                  (build: => DataFrame): DataFrame = {
     if (!enabled) return build
-    val dir = indexDir(name, params, sigOf(source))
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
-      builds.incrementAndGet()
-      publish(dir, build)
-    } else loads.incrementAndGet()
-    spark.read.parquet(dir.toString)
+    val sig = sigOf(source)
+    val segments = readManifest(entryName(name, params, sig)) match {
+      case Some(segs) => loads.incrementAndGet(); segs
+      case None => ensure(sig, name, params)(build)
+    }
+    readSegments(spark, segments)
   }
 
   /** The daily-increment path: serve the index for corpus ∪ increment by
@@ -187,11 +274,14 @@ object IndexStore {
     * NOT valid for trained global indexes (IVF centroids, PQ codebooks),
     * whose builds see all rows at once — those rebuild on change.
     *
-    * Scale shape: the published merge re-writes base + increment rows
-    * once (a copy, not a retrain — no shingling/hashing over the corpus);
-    * at 100 TB the same contract is an object-store append of increment
-    * partitions plus a manifest update, with the signature maintained
-    * incrementally exactly as here.
+    * Scale shape (v3): the merge writes O(increment) bytes — ONE new
+    * segment holding the increment's index rows plus a new manifest
+    * listing base segments + that segment. The standing base segments
+    * are never re-read, never re-written (IndexStoreSpec pins both the
+    * untouched base files and the bytes-written proportionality); this
+    * IS the object-store append-plus-manifest-update the 100 TB contract
+    * requires, with the signature maintained incrementally via
+    * [[Sig.combine]].
     *
     * Concurrency contract (spec: "two concurrent merges of different
     * increments"): two racing merges of DIFFERENT increments against the
@@ -215,19 +305,80 @@ object IndexStore {
                   (buildBase: => DataFrame)
                   (buildIncrement: => DataFrame): DataFrame = {
     if (!enabled) return buildBase.unionByName(buildIncrement)
-    val dir = indexDir(name, params,
-      sigOf(baseSource).combine(sigOf(incrementSource)))
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
-      merges.incrementAndGet()
-      val base = loadOrBuild(spark, name, baseSource, params)(buildBase)
-      publish(dir, base.unionByName(buildIncrement))
-    } else loads.incrementAndGet()
-    spark.read.parquet(dir.toString)
+    val sigB = sigOf(baseSource)
+    val sigI = sigOf(incrementSource)
+    val combined = entryName(name, params, sigB.combine(sigI))
+    val segments = readManifest(combined) match {
+      case Some(segs) => loads.incrementAndGet(); segs
+      case None =>
+        merges.incrementAndGet()
+        // base: whatever manifest already serves it (one segment from a
+        // full build, many from a merge chain) — its files are NOT
+        // touched; increment: one fresh segment, also published under
+        // its own signature so the same increment indexes once
+        val baseSegs = ensure(sigB, name, params)(buildBase)
+        val incSegs = ensure(sigI, name, params)(buildIncrement)
+        val merged = baseSegs ++ incSegs
+        writeManifest(combined, merged)
+        merged
+    }
+    readSegments(spark, segments)
+  }
+
+  /** Retention: delete every manifest `keep` rejects (by its entry name
+    * `<name>-<fp>-<sig>`), then sweep segments no REMAINING manifest
+    * references. Returns (manifests deleted, segments deleted).
+    *
+    * Operational contract: run quiesced relative to the signatures being
+    * retired — a merge in flight against a base manifest pruned mid-merge
+    * could reference a swept segment (the same expire-snapshots caveat
+    * every manifest-based table format carries). Racing prune against
+    * PUBLISHES of signatures `keep` accepts is safe: a publish creates
+    * its segment before its manifest, and prune reads manifests before
+    * sweeping, so a kept manifest's segments are never swept.
+    */
+  def prune(keep: String => Boolean): (Int, Int) = {
+    val manDir = Paths.get(root, "man")
+    if (!Files.isDirectory(manDir)) return (0, 0)
+    val (kept, dead) = listDir(manDir)
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .partition(p => keep(p.getFileName.toString.stripSuffix(".json")))
+    dead.foreach(Files.deleteIfExists(_))
+    val referenced = kept.flatMap(p =>
+      readManifest(p.getFileName.toString.stripSuffix(".json"))
+        .getOrElse(Nil)).toSet
+    val segRoot = Paths.get(root, "seg")
+    val sweepable =
+      if (!Files.isDirectory(segRoot)) Nil
+      else listDir(segRoot)
+        .filter(p => !p.getFileName.toString.startsWith(".tmp-"))
+        .filterNot(p => referenced.contains(p.getFileName.toString))
+    sweepable.foreach(deleteRecursively)
+    (dead.size, sweepable.size)
+  }
+
+  private def listDir(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Age-based retention convenience: retire manifests last modified
+    * more than `ageMillis` ago (a superseded daily signature stops being
+    * re-requested, so its manifest mtime stops advancing), sweep
+    * unreferenced segments. Segments shared with still-live manifests —
+    * the standing base under a fresh merge — survive the sweep.
+    */
+  def pruneOlderThan(ageMillis: Long): (Int, Int) = {
+    val cutoff = System.currentTimeMillis() - ageMillis
+    prune { entry =>
+      val f = manFile(entry)
+      !Files.exists(f) || Files.getLastModifiedTime(f).toMillis >= cutoff
+    }
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively(_))
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
     ()
   }

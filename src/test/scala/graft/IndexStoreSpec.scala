@@ -222,6 +222,111 @@ class IndexStoreSpec extends AnyFunSuite with Matchers with TestSpark {
     }
   }
 
+  test("merge writes O(increment) bytes: base segment files untouched, " +
+      "new bytes = one increment segment + a manifest") {
+    withFreshRoot {
+      import spark.implicits._
+      import java.nio.file.{Files, Path, Paths}
+      def filesUnder(p: Path): Map[String, (Long, java.nio.file.attribute.FileTime)] = {
+        if (!Files.exists(p)) return Map.empty
+        val out = scala.collection.mutable.Map[String, (Long, java.nio.file.attribute.FileTime)]()
+        def walk(q: Path): Unit =
+          if (Files.isDirectory(q)) {
+            val s = Files.list(q)
+            try s.forEach(walk(_)) finally s.close()
+          } else out(q.toString) = (Files.size(q), Files.getLastModifiedTime(q))
+        walk(p); out.toMap
+      }
+      // base is 200x the increment — the v2 layout re-wrote all of it
+      // per merge; v3 must not touch a byte of it
+      val base = (1L to 40000L).map(i => (i, s"base doc $i payload word"))
+        .toDF("doc_id", "text")
+      val inc = (100000L to 100019L).map(i => (i, s"inc $i"))
+        .toDF("doc_id", "text")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), expr("length(text)").as("n"))
+      IndexStore.loadOrBuild(spark, "prop", base)(rowsOf(base)).count()
+      val segRoot = Paths.get(IndexStore.root, "seg")
+      val baseFiles = filesUnder(segRoot)
+      val baseBytes = baseFiles.values.map(_._1).sum
+      baseFiles should not be empty
+
+      IndexStore.mergeOrBuild(spark, "prop", base, inc) { rowsOf(base) } {
+        rowsOf(inc)
+      }.count() shouldBe 40020L
+
+      val afterFiles = filesUnder(segRoot)
+      // every pre-merge base file survives bit-for-bit untouched
+      baseFiles.foreach { case (f, meta) =>
+        withClue(s"base file $f rewritten by merge: ") {
+          afterFiles.get(f) shouldBe Some(meta)
+        }
+      }
+      // exactly one new segment dir (the increment's), and the bytes the
+      // merge added are proportional to the increment, not the base
+      val newSegDirs = {
+        val s = Files.list(segRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+      newSegDirs.size shouldBe 2
+      val addedBytes = afterFiles.values.map(_._1).sum - baseBytes
+      addedBytes should be > 0L
+      addedBytes.toDouble should be < baseBytes.toDouble / 2
+    }
+  }
+
+  test("prune retires superseded manifests and sweeps unreferenced " +
+      "segments; shared base segments survive for live manifests") {
+    withFreshRoot {
+      import spark.implicits._
+      import java.nio.file.{Files, Paths}
+      val base = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val day1 = Seq((1001L, "d1")).toDF("doc_id", "text")
+      val day2 = Seq((2001L, "d2")).toDF("doc_id", "text")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), expr("length(text)").as("n"))
+      // day 1 and day 2 both merge against the same standing base
+      IndexStore.mergeOrBuild(spark, "ret", base, day1) { rowsOf(base) } {
+        rowsOf(day1) }.count() shouldBe 101L
+      IndexStore.mergeOrBuild(spark, "ret", base, day2) { rowsOf(base) } {
+        rowsOf(day2) }.count() shouldBe 101L
+      def entries(sub: String): Set[String] = {
+        val p = Paths.get(IndexStore.root, sub)
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+      entries("man").size shouldBe 5 // base, day1, day2, base+day1, base+day2
+      entries("seg").size shouldBe 3 // base, day1, day2
+
+      // retire everything except day2's combined index (the live one):
+      // its manifest references base + day2 segments, so only the day1
+      // segment is sweepable
+      val live = IndexStore.signature(base.unionAll(day2))
+      val (deadMan, deadSeg) = IndexStore.prune(_.endsWith(live))
+      deadMan shouldBe 4
+      deadSeg shouldBe 1
+      entries("man").size shouldBe 1
+      entries("seg").size shouldBe 2
+
+      // the surviving index serves unchanged after the sweep
+      IndexStore.mergeOrBuild(spark, "ret", base, day2) {
+        fail("base rebuilt after prune"): org.apache.spark.sql.DataFrame
+      } { fail("increment rebuilt after prune"): org.apache.spark.sql.DataFrame }
+        .orderBy("doc_id").collect() shouldBe
+        rowsOf(base.unionAll(day2)).orderBy("doc_id").collect()
+
+      // age-based convenience: nothing is younger than an hour-old
+      // cutoff... i.e. everything survives a generous window
+      IndexStore.pruneOlderThan(3600L * 1000) shouldBe ((0, 0))
+    }
+  }
+
   test("a changed corpus changes the signature: the stale index is not " +
       "reused") {
     withFreshRoot {
