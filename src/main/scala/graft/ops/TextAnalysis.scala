@@ -565,14 +565,9 @@ object TextAnalysis {
     * filtering at 100 TB.
     */
   def qualityClassifier(docs: DataFrame): DataFrame = {
-    val toks = words(col("text"))
-    val weight = (w: Column) => {
-      val bucket = pmod(TextHash.h56(w), lit(ClfBuckets))
-      (bucket * ClfKnuth) % ClfCycle - lit((ClfCycle - 1) / 2)
-    }
-    val score = aggregate(transform(toks, weight), lit(0L), _ + _)
+    val (nToks, score) = classifierExprs
     docs
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens", nToks)
       .withColumn("score", score)
       .select(col("doc_id"), col("n_tokens"), col("score"),
         when(col("n_tokens") > 0,
@@ -580,6 +575,39 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("mean_weight"),
         (col("n_tokens") > 0 && col("score") >= 0).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** The classifier's (token count, summed hashed-bucket weight) pair —
+    * shared between [[qualityClassifier]] and the `clf_*`-prefixed
+    * append [[classifierAnnotate]], so the two stay the same expressions
+    * by construction.
+    */
+  private def classifierExprs: (Column, Column) = {
+    val toks = words(col("text"))
+    val weight = (w: Column) => {
+      val bucket = pmod(TextHash.h56(w), lit(ClfBuckets))
+      (bucket * ClfKnuth) % ClfCycle - lit((ClfCycle - 1) / 2)
+    }
+    (size(toks).cast("long"),
+      aggregate(transform(toks, weight), lit(0L), _ + _))
+  }
+
+  /** [[qualityClassifier]] as an APPEND with `clf_`-prefixed names (the
+    * gate already owns `keep`): every input column carried through,
+    * `clf_mean_weight` and `clf_keep` added — the classifier column of
+    * the streaming ingest gate, stateless like the rest of the gate.
+    */
+  def classifierAnnotate(docs: DataFrame): DataFrame = {
+    val (nToks, score) = classifierExprs
+    // alias the two base expressions once so the token fold runs once
+    // per row, not once per derived column
+    docs.withColumn("_clf_n", nToks).withColumn("_clf_s", score)
+      .withColumns(scala.collection.immutable.ListMap(
+        "clf_mean_weight" -> when(col("_clf_n") > 0,
+            round(col("_clf_s").cast("double") / col("_clf_n"), 4))
+          .otherwise(lit(0.0)),
+        "clf_keep" -> (col("_clf_n") > 0 && col("_clf_s") >= 0)))
+      .drop("_clf_n", "_clf_s")
   }
 
   /** BM25 parameters (Robertson-Sparck Jones defaults). */
@@ -673,7 +701,16 @@ object TextAnalysis {
     * exactly this, so batch and streaming verdicts are the same
     * expressions by construction, not by parallel maintenance.
     */
-  def gopherColumns(docs: DataFrame): DataFrame = {
+  def gopherColumns(docs: DataFrame): DataFrame =
+    gopherAnnotate(docs).select("doc_id", "word_count", "mean_word_len",
+      "alpha_frac", "stop_count", "keep", "reject_reason")
+
+  /** [[gopherColumns]] as an APPEND — every input column is carried
+    * through untouched, the six verdict columns are added. The streaming
+    * curation pipeline chains this in front of stateful operators, so
+    * the event-time/embedding columns must survive the gate.
+    */
+  def gopherAnnotate(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val wc = size(w)
     val wcSafe = greatest(wc, lit(1))
@@ -687,17 +724,17 @@ object TextAnalysis {
     val okMwl = chars.between(wc * GopherMinMeanWl, wc * GopherMaxMeanWl)
     val okAlpha = alphaW * 5 >= wc * 4
     val okStops = stops >= GopherMinStops
-    docs.select(col("doc_id"),
-      wc.as("word_count"),
-      round(chars.cast("double") / wcSafe, 4).as("mean_word_len"),
-      round(alphaW.cast("double") / wcSafe, 4).as("alpha_frac"),
-      stops.cast("long").as("stop_count"),
-      (okWc && okMwl && okAlpha && okStops).as("keep"),
-      when(!okWc, lit("word_count"))
+    docs.withColumns(scala.collection.immutable.ListMap(
+      "word_count" -> wc,
+      "mean_word_len" -> round(chars.cast("double") / wcSafe, 4),
+      "alpha_frac" -> round(alphaW.cast("double") / wcSafe, 4),
+      "stop_count" -> stops.cast("long"),
+      "keep" -> (okWc && okMwl && okAlpha && okStops),
+      "reject_reason" -> when(!okWc, lit("word_count"))
         .when(!okMwl, lit("mean_word_len"))
         .when(!okAlpha, lit("alpha_frac"))
         .when(!okStops, lit("stopwords"))
-        .otherwise(lit(null).cast("string")).as("reject_reason"))
+        .otherwise(lit(null).cast("string"))))
   }
 
   val GopherMinWords = 50

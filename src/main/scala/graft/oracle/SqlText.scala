@@ -1846,6 +1846,8 @@ object SqlText {
     val reason = tests.map { case (name, t) =>
       s"WHEN NOT ($t) THEN ${s(name)}"
     }.mkString("CASE ", " ", " ELSE NULL END")
+    import graft.ops.TextAnalysis.{ClfBuckets, ClfCycle, ClfKnuth}
+    val clfHalf = (ClfCycle - 1) / 2
     s"""WITH d AS (SELECT doc_id, ${wordsOf("text")} AS words,
        |  lower(text) AS lc FROM documents),
        |b AS (SELECT doc_id, len(words) AS wc,
@@ -1853,7 +1855,10 @@ object SqlText {
        |  len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
        |    AS alphaw,
        |  len(regexp_extract_all(lc, ${s(graft.rules.Rules.EnStopwords)}))
-       |    AS stops
+       |    AS stops,
+       |  CAST(coalesce(list_sum(list_transform(words, w ->
+       |    (${h56("w")} % $ClfBuckets) * $ClfKnuth % $ClfCycle - $clfHalf)),
+       |    0) AS BIGINT) AS clfscore
        |  FROM d),
        |g AS (SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(len(words) - ${k - 1}),
@@ -1873,8 +1878,14 @@ object SqlText {
        |  CAST(stops AS BIGINT) AS stop_count,
        |  $keep AS keep,
        |  $reason AS reject_reason,
+       |  CASE WHEN wc > 0
+       |       THEN round(CAST(clfscore AS DOUBLE) / wc, 4)
+       |       ELSE 0.0 END AS clf_mean_weight,
+       |  wc > 0 AND clfscore >= 0 AS clf_keep,
        |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared_grams,
-       |  ($keep) AND coalesce(n_shared, 0) = 0 AS admit
+       |  ($keep) AND coalesce(n_shared, 0) = 0 AS admit,
+       |  ($keep) AND coalesce(n_shared, 0) = 0
+       |    AND wc > 0 AND clfscore >= 0 AS admit_clf
        |FROM b LEFT JOIN contam USING (doc_id) ORDER BY b.doc_id""".stripMargin
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.ops.{TextAnalysis, TextDedup}
+import graft.ops.{TextAnalysis, TextDedup, TextHash}
 
 /** Streaming ingest gate: benchmark decontamination + Gopher quality
   * rules applied to a document firehose ON ARRIVAL, before anything is
@@ -95,14 +95,79 @@ object StreamGate {
     gateBatch(docs, new BenchmarkGrams(TextDedup.benchGramSet(benchmark, k),
       benchmark.select(col("doc_id").as("_bid")), k))
 
-  /** The per-batch body of [[gateSink]] — also the batch-mode gate. */
+  /** Fully PER-ROW gate context: the benchmark's gram-hash set and doc-id
+    * set as broadcast sorted long arrays — what [[rowGated]] needs to
+    * compute the gate verdict with zero joins and zero aggregations.
+    */
+  final class RowGateCtx private[StreamGate] (
+      private[StreamGate] val grams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      private[StreamGate] val ids: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      private[StreamGate] val k: Int) extends Serializable
+
+  /** Build the per-row gate context: benchmark grams hashed h56 and
+    * collected ONCE (the same broadcast-sized eval-suite contract as
+    * [[benchmarkGrams]] / [[StreamSemGate.benchIndex]]), sorted for
+    * binary-search membership.
+    */
+  def rowGateCtx(benchmark: DataFrame,
+      k: Int = TextDedup.ContamGram): RowGateCtx = {
+    require(!benchmark.isStreaming,
+      "the benchmark side of a decontamination gate must be static")
+    val sc = benchmark.sparkSession.sparkContext
+    val grams = TextDedup.benchGramSet(benchmark, k)
+      .select(TextHash.h56(col("gram")).as("h"))
+      .collect().map(_.getLong(0)).sorted
+    val ids = benchmark.select(col("doc_id"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    new RowGateCtx(sc.broadcast(grams), sc.broadcast(ids), k)
+  }
+
+  /** The CHAINABLE gate: every [[gateBatch]] verdict column computed as
+    * pure per-row expressions APPENDED to the stream — no join, no
+    * aggregation, no state — so the gate can legally sit UPSTREAM of a
+    * stateful streaming operator (the near-dup stage of the curation
+    * pipeline; a groupBy there would demand its own watermark state and
+    * trip Spark's multi-stateful restriction).
+    *
+    * Value parity with [[gateBatch]]: the Gopher columns are literally
+    * the same expressions ([[TextAnalysis.gopherAnnotate]] is
+    * gopherColumns' body); `n_shared_grams` counts the doc's DISTINCT
+    * gram h56 hashes found in the benchmark's gram-hash set, which
+    * equals the batch join's `count_distinct(gram)` unless two distinct
+    * grams collide in h56 (the engine's standing 2^56 policy —
+    * CurationPipelineSpec pins equality on real data); benchmark member
+    * docs count 0 exactly like the batch anti-join.
+    */
+  def rowGated(docs: DataFrame, ctx: RowGateCtx): DataFrame = {
+    import graft.functions.{LongSetCount, ShingleHashes}
+    val inBench =
+      LongSetCount(array(col("doc_id")), ctx.ids) > 0
+    TextAnalysis.classifierAnnotate(TextAnalysis.gopherAnnotate(docs))
+      .withColumn("n_shared_grams", when(inBench, lit(0L)).otherwise(
+        LongSetCount(
+          ShingleHashes(lower(col("text")), ctx.k, distinct = true),
+          ctx.grams)))
+      .withColumn("admit", col("keep") && col("n_shared_grams") === 0)
+      .withColumn("admit_clf", col("admit") && col("clf_keep"))
+  }
+
+  /** The per-batch body of [[gateSink]] — also the batch-mode gate.
+    * `admit` is the gram + Gopher verdict (the gate's original
+    * contract); `clf_keep`/`clf_mean_weight` are the fastText-style
+    * linear classifier ([[TextAnalysis.classifierAnnotate]], stateless
+    * like the rest) and `admit_clf` folds it in — the column a
+    * production gate thresholds on when the classifier is deployed.
+    */
   def gateBatch(batch: DataFrame, bg: BenchmarkGrams): DataFrame = {
     val contam = TextDedup.decontaminateAgainstGrams(
       batch, bg.grams, bg.ids, bg.k)
-    TextAnalysis.gopherColumns(batch.select("doc_id", "text"))
+    TextAnalysis.classifierAnnotate(
+        TextAnalysis.gopherAnnotate(batch.select("doc_id", "text")))
+      .drop("text")
       .join(contam, Seq("doc_id"), "left")
       .withColumn("n_shared_grams",
         coalesce(col("n_shared_grams"), lit(0L)))
       .withColumn("admit", col("keep") && col("n_shared_grams") === 0)
+      .withColumn("admit_clf", col("admit") && col("clf_keep"))
   }
 }
