@@ -371,40 +371,53 @@ object TextDedup {
     decontaminateAgainstGrams(docs, benchGramSet(benchmark, k),
       benchmark.select(col("doc_id").as("_bid")), k)
 
-  /** The benchmark's distinct word-k-gram set — the broadcast dimension
-    * of [[decontaminate]], exposed so a long-lived consumer (the
-    * streaming ingest gate) can derive it ONCE, cache it, and reuse it
-    * across every micro-batch instead of re-shingling the benchmark per
-    * trigger.
+  /** The benchmark's distinct word-k-gram set AS H56 HASHES (`gh` long
+    * column) — the broadcast dimension of [[decontaminate]], exposed so
+    * a long-lived consumer (the streaming ingest gate) can derive it
+    * ONCE, cache it, and reuse it across every micro-batch instead of
+    * re-shingling the benchmark per trigger.
+    *
+    * Grams travel as hashes through this whole family (r8, the
+    * ShingleHashes/BigramPairHashes precedent): the prior form exploded
+    * every gram as a fresh concatenated STRING through interpreted
+    * transform/concat_ws HOFs and joined on arbitrary-width text keys.
+    * Per-doc distinct-hash counts equal the oracle's distinct-string
+    * counts under the engine's standing 2^56 collision policy.
     */
   def benchGramSet(benchmark: DataFrame, k: Int = ContamGram): DataFrame =
-    gramsOf(benchmark, k).select("gram").distinct()
+    gramHashesOf(benchmark, k).select("gh").distinct()
 
-  /** [[decontaminate]] against a PRE-DERIVED benchmark gram set (and the
-    * benchmark id frame for the self-match anti-join) — identical output,
-    * but the caller owns the dimension's lifetime.
+  /** [[decontaminate]] against a PRE-DERIVED benchmark gram-hash set
+    * (and the benchmark id frame for the self-match anti-join) —
+    * identical output, but the caller owns the dimension's lifetime.
     */
   def decontaminateAgainstGrams(docs: DataFrame, benchGrams: DataFrame,
       benchIds: DataFrame, k: Int = ContamGram): DataFrame =
     sharedGramCounts(docs, benchIds, k,
-      gs => gs.join(broadcast(benchGrams), "gram"))
+      gs => gs.join(broadcast(benchGrams), "gh"))
 
-  private def gramsOf(df: DataFrame, k: Int): DataFrame = df
-    .withColumn("_words", words(col("text")))
-    .filter(size(col("_words")) >= k)
+  /** One native pass per doc: first-occurrence-distinct h56 hashes of
+    * every word k-shingle (docs with < k words carry no rows — the
+    * empty-array explode mirrors the prior `size(words) >= k` gate).
+    */
+  private def gramHashesOf(df: DataFrame, k: Int): DataFrame = df
     .select(col("doc_id"),
-      explode(shingles(col("_words"), k)).as("gram"))
+      explode(graft.functions.ShingleHashes(lower(col("text")), k,
+        distinct = true)).as("gh"))
 
-  /** Common decontamination tail: corpus grams (benchmark docs anti-joined
-    * out via `benchIds`, a one-column `_bid` frame) through `matchGrams`,
-    * then the per-doc distinct-gram count.
+  /** Common decontamination tail: corpus gram hashes (benchmark docs
+    * anti-joined out via `benchIds`, a one-column `_bid` frame) through
+    * `matchGrams`, then the per-doc shared count. Plain `count`: the
+    * per-doc hash stream is already first-occurrence-distinct and the
+    * benchmark set is distinct, so joined rows are unique per (doc, gh)
+    * — no count_distinct Expand needed.
     */
   private def sharedGramCounts(docs: DataFrame, benchIds: DataFrame,
       k: Int, matchGrams: DataFrame => DataFrame): DataFrame = {
-    matchGrams(gramsOf(Par.fanOut(docs), k)
+    matchGrams(gramHashesOf(Par.fanOut(docs), k)
       .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti"))
       .groupBy("doc_id")
-      .agg(count_distinct(col("gram")).as("n_shared_grams"))
+      .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy("doc_id")
   }
 
@@ -440,18 +453,18 @@ object TextDedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
 
-    val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
+    val benchGrams = benchGramSet(benchmark, k)
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(
-        GraftBridge.expression(xxhash64(col("gram"))),
+        GraftBridge.expression(xxhash64(col("gh"))),
         Literal(BloomEstItems), Literal(BloomNumBits)).toAggregateExpression())
     val sketch = benchGrams.agg(bloomAgg.as("_bf"))
       .head().getAs[Array[Byte]](0)
     val mightContain = GraftBridge.column(
       BloomFilterMightContain(Literal(sketch, BinaryType),
-        GraftBridge.expression(xxhash64(col("gram")))))
+        GraftBridge.expression(xxhash64(col("gh")))))
     sharedGramCounts(docs, benchmark.select(col("doc_id").as("_bid")), k,
-      gs => gs.filter(mightContain).join(benchGrams, "gram"))
+      gs => gs.filter(mightContain).join(benchGrams, "gh"))
   }
 
   /** Tier cutoff for [[decontaminateAuto]]: benchmark gram sets up to
@@ -501,24 +514,20 @@ object TextDedup {
     * match; documents at 0 overlap stay in the output so the score is a
     * curation COLUMN, not a filter.
     *
-    * Scale shape: same as [[decontaminate]] — benchmark gram set
-    * broadcast onto one corpus gram scan — plus per-doc gram dedup as a
-    * partially-aggregated groupBy(doc_id, gram) (map-side combine
-    * collapses repeated grams before the shuffle; no count_distinct
-    * Expand duplication), then the tiny per-doc fold. Docs with < k words
-    * carry no grams and are excluded, mirroring the oracle's
-    * `len(words) >= k` gate.
+    * Scale shape: same as [[decontaminate]] — benchmark gram-hash set
+    * broadcast onto one corpus gram-hash scan, ONE per-doc fold. The
+    * native pass emits first-occurrence-distinct hashes per doc, so the
+    * prior per-doc (doc_id, gram) dedup groupBy — a whole extra shuffle
+    * — is gone. Docs with < k words carry no grams and are excluded,
+    * mirroring the oracle's `len(words) >= k` gate.
     */
   def contaminationOverlap(docs: DataFrame, benchmark: DataFrame,
       k: Int = ContamGram): DataFrame = {
-    val benchGrams = gramsOf(benchmark, k).select("gram").distinct()
-      .withColumn("_hit", lit(1))
+    val benchGrams = benchGramSet(benchmark, k).withColumn("_hit", lit(1))
     val benchIds = benchmark.select(col("doc_id").as("_bid"))
-    gramsOf(Par.fanOut(docs), k)
+    gramHashesOf(Par.fanOut(docs), k)
       .join(broadcast(benchIds), col("doc_id") === col("_bid"), "left_anti")
-      .join(broadcast(benchGrams), Seq("gram"), "left")
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(max(col("_hit")).as("_hit"))
+      .join(broadcast(benchGrams), Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         count(col("_hit")).as("n_shared_grams"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.ops.{TextAnalysis, TextDedup, TextHash}
+import graft.ops.{TextAnalysis, TextDedup}
 
 /** Streaming ingest gate: benchmark decontamination + Gopher quality
   * rules applied to a document firehose ON ARRIVAL, before anything is
@@ -35,10 +35,12 @@ object StreamGate {
   def gopherStream(docs: DataFrame): DataFrame =
     TextAnalysis.gopherColumns(docs)
 
-  /** A reusable decontamination context: the benchmark's distinct gram
-    * frame, derived once and cached, so every micro-batch's broadcast
-    * hash join builds from the same materialized rows instead of
-    * re-shingling the benchmark per trigger.
+  /** A reusable decontamination context: the benchmark's distinct
+    * gram-HASH frame (h56 longs — grams travel as hashes through the
+    * whole decontaminate family), derived once and cached, so every
+    * micro-batch's broadcast hash join builds from the same
+    * materialized rows instead of re-shingling the benchmark per
+    * trigger.
     */
   final class BenchmarkGrams private[StreamGate] (
       private[StreamGate] val grams: DataFrame,
@@ -115,7 +117,6 @@ object StreamGate {
       "the benchmark side of a decontamination gate must be static")
     val sc = benchmark.sparkSession.sparkContext
     val grams = TextDedup.benchGramSet(benchmark, k)
-      .select(TextHash.h56(col("gram")).as("h"))
       .collect().map(_.getLong(0)).sorted
     val ids = benchmark.select(col("doc_id"))
       .distinct().collect().map(_.getLong(0)).sorted
@@ -129,14 +130,14 @@ object StreamGate {
     * pipeline; a groupBy there would demand its own watermark state and
     * trip Spark's multi-stateful restriction).
     *
-    * Value parity with [[gateBatch]]: the Gopher columns are literally
-    * the same expressions ([[TextAnalysis.gopherAnnotate]] is
-    * gopherColumns' body); `n_shared_grams` counts the doc's DISTINCT
-    * gram h56 hashes found in the benchmark's gram-hash set, which
-    * equals the batch join's `count_distinct(gram)` unless two distinct
-    * grams collide in h56 (the engine's standing 2^56 policy —
-    * CurationPipelineSpec pins equality on real data); benchmark member
-    * docs count 0 exactly like the batch anti-join.
+    * Value parity with [[gateBatch]] is exact BY CONSTRUCTION: the
+    * Gopher columns are literally the same expressions
+    * ([[TextAnalysis.gopherAnnotate]] is gopherColumns' body), and
+    * `n_shared_grams` counts the SAME first-occurrence-distinct
+    * ShingleHashes values against the SAME benchmark hash set the batch
+    * join is keyed on (the whole family travels h56 hashes since r8) —
+    * CurationPipelineSpec pins column-for-column equality on real data;
+    * benchmark member docs count 0 exactly like the batch anti-join.
     */
   def rowGated(docs: DataFrame, ctx: RowGateCtx): DataFrame = {
     import graft.functions.{LongSetCount, ShingleHashes}
