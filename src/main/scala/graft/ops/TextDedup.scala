@@ -1235,13 +1235,15 @@ object TextDedup {
     * corpus.
     */
   def substringDedupBpe(corpus: DataFrame, k: Int = SubstrBpeGram): DataFrame = {
-    val base = Par.fanOut(corpus)
+    val withWords = Par.fanOut(corpus)
       .withColumn("_words", words(col("text")))
+    val base = withWords
       // (wi, sym) structs for the whole doc: word boundaries survive into
-      // reassembly while windows see the flat token stream
-      .withColumn("_syms", flatten(transform(col("_words"), (w, wi) =>
-        transform(split(graft.functions.BpeEncode(w), " "),
-          s => struct(wi.as("wi"), s.as("sym"))))))
+      // reassembly while windows see the flat token stream. ONE native
+      // pass (BpeSymbols) — the prior nested transform/split/flatten ran
+      // two interpreted HOFs per word and allocated a nested array per
+      // word before flattening (r8; same class as ShingleHashes)
+      .withColumn("_syms", graft.functions.BpeSymbols(col("_words")))
       .withColumn("n_tokens", size(col("_syms")).cast("long"))
     val symsOf = transform(col("_syms"), s => s("sym"))
     val grams = base
@@ -1302,8 +1304,14 @@ object TextDedup {
       .select(col("doc_id"),
         coalesce(col("_clean"), lit("")).as("_clean"),
         coalesce(col("_nk"), lit(0L)).as("_nk"))
-    base
-      .select(col("doc_id"), col("n_tokens"), col("_words"))
+    // final projection: n_tokens via the COUNT-ONLY native pass
+    // (BpeTokenCount ≡ size(BpeSymbols) by the shared encoder — same
+    // lowered \s+ words, same per-word symbol counts) so this branch
+    // never materializes the symbol structs for the whole corpus again
+    withWords
+      .select(col("doc_id"),
+        graft.functions.BpeTokenCount(col("text")).as("n_tokens"),
+        col("_words"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("_clean"), concat_ws(" ", col("_words")))

@@ -80,4 +80,39 @@ class BpeSpec extends AnyFunSuite with Matchers with TestSpark {
     viaExpr(3L) shouldBe 0L
     viaExpr(4L) shouldBe 0L
   }
+
+  test("native BpeSymbols ≡ the declarative transform/split/flatten " +
+      "chain, and size(BpeSymbols) ≡ BpeTokenCount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{flatten, size => asize, split,
+      struct, transform}
+    val docs = (Seq(
+      (1L, "Customer ORDER vector"),
+      (2L, "zebra  merger\tbatch"),
+      (3L, "slow scan slow scan"),
+      (4L, "unmergeablezzqx y")) ++
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text").limit(100)
+        .collect().map(r => (r.getLong(0) + 1000L, r.getString(1))))
+      .toDF("doc_id", "text")
+      .withColumn("_words", TextHash.words(col("text")))
+    val native = docs.select(col("doc_id"),
+        graft.functions.BpeSymbols(col("_words")).as("_syms"))
+    val declarative = docs.select(col("doc_id"),
+      flatten(transform(col("_words"), (w, wi) =>
+        transform(split(graft.functions.BpeEncode(w), " "),
+          s => struct(wi.as("wi"), s.as("sym"))))).as("_syms"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getInt(0), s.getString(1)))).toMap
+    val n = rows(native)
+    n shouldBe rows(declarative)
+    n.values.map(_.size).sum should be > 0
+    // the count expression is size(symbols) by the shared encoder
+    docs.select(col("doc_id"),
+        (asize(graft.functions.BpeSymbols(col("_words"))).cast("long") -
+          BpeTokenCount(col("text"))).as("d"))
+      .filter(col("d") =!= 0L).count() shouldBe 0L
+  }
 }
