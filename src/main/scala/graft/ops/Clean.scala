@@ -83,7 +83,7 @@ object Clean {
       "_lcs" -> graft.functions.TextStats(col("_lc")),
       "cleaned_text" -> when(col("_raw_len") > TextMaxLength,
         substring(text, 1, TextMaxLength)).otherwise(text)
-    ) + ("_lm" ->
+    ) + ("_lm" -> {
       // all 29 language-profile counts fused into ONE struct alias (the
       // TextStats idiom). 29 separate alias columns made Catalyst's
       // constraint propagation quadratic-explode: getAllValidConstraints
@@ -93,9 +93,18 @@ object Clean {
       // the annotate Projects, spun planning for tens of minutes. One
       // struct alias = one constraint entry; every downstream reference is
       // a cheap GetStructField.
-      struct(("en" +: Language.OtherLangs).map(l =>
-        Language.matchesFor(l, text).as(l)): _*)
-    ) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
+      //
+      // r8: the counts come from ONE native scan (Language.matchCounts /
+      // LangCounts) instead of 29 regex traversals per row; codegen
+      // subexpression elimination evaluates the shared array once. The
+      // emptyText guard keeps the regex form's null-text value (0, not
+      // null).
+      val langs = "en" +: Language.OtherLangs
+      val counts = Language.matchCounts(text)
+      struct(langs.zipWithIndex.map { case (l, i) =>
+        when(TextFeatures.emptyText(text), lit(0))
+          .otherwise(counts.getItem(i)).as(l) }: _*)
+    }) ++ SpamPatterns.zipWithIndex.map { case (p, i) =>
       s"_spam_p$i" -> col("_lc").rlike(p)
     })
     def langM(l: String) = col("_lm").getField(l)

@@ -63,6 +63,23 @@ object Language {
 
   def enMatches(t: Column): Column = matchesFor("en", t)
 
+  /** The regex for one profile (the exact pattern [[matchesFor]] runs). */
+  def regexFor(lang: String): String = lang match {
+    case "en" => EnStopwords
+    case l if scriptRe.contains(l) => scriptRe(l)
+    case l => profileRe(l)
+  }
+
+  /** ALL 29 detector profile counts ("en" then [[OtherLangs]] order) in
+    * one fused scan of the lowered text ([[graft.functions.LangCounts]])
+    * — value-identical to 29 [[matchesFor]] regex passes (LangCountsSpec
+    * pins it); `array<int>`, null on null text (callers guard like the
+    * regex form's emptyText branch did).
+    */
+  def matchCounts(t: Column): Column =
+    graft.functions.LangCounts(lower(t),
+      ("en" +: OtherLangs).map(regexFor))
+
   /** Language decision from precomputed match-count columns — `en` plus one
     * per [[OtherLangs]] entry, in that order — see the object doc for the
     * gate + argmax semantics.

@@ -112,12 +112,19 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val lc = lower(col("text"))
     val wc = greatest(size(words(col("text"))), lit(1))
-    val densities = StopwordProfiles.map { case (lang, re) =>
-      lang -> (regexp_count(lc, lit(re)) / wc)
-    } ++ ScriptProfiles.map { case (lang, cls) =>
-      lang -> ((length(lc) - length(regexp_replace(lc, cls, ""))) /
-        greatest(length(lc), lit(1)))
-    }
+    // all 56 profile counts in ONE native scan (LangCounts) instead of
+    // 33 regexp_count + 23 regexp_replace traversals per row; each
+    // density divides the same int count by the same denominator the
+    // regex chain divided (value identity pinned in LangCountsSpec)
+    val counts = graft.functions.LangCounts(lc,
+      (StopwordProfiles ++ ScriptProfiles).map(_._2))
+    val nStop = StopwordProfiles.size
+    val charDen = greatest(length(lc), lit(1))
+    val densities =
+      (StopwordProfiles ++ ScriptProfiles).zipWithIndex.map {
+        case ((lang, _), i) =>
+          lang -> (counts.getItem(i) / (if (i < nStop) wc else charDen))
+      }
     // all ~56 densities fused into ONE struct alias, then referenced via
     // GetStructField — separate score_* aliases (each a regex tree) made
     // Catalyst constraint propagation re-map the constraint set once per
