@@ -105,8 +105,11 @@ object Queries {
     * served to new code.
     */
   private val sigParams =
+    // shingles=h56: r8 stores shingle HASHES, not gram strings — the
+    // param bump keeps a pre-r8 persisted index from being served to
+    // code that expects the long-array schema
     s"shingleK=${TextDedup.ShingleK},minhashK=${TextDedup.MinhashK}," +
-      s"bands=${TextDedup.Bands},rows=${TextDedup.BandRows}"
+      s"bands=${TextDedup.Bands},rows=${TextDedup.BandRows},shingles=h56"
   private val ivfParams =
     s"mod=${EmbedSim.CentroidMod},iters=${EmbedSim.LloydIters}," +
       s"q=${EmbedSim.QuantScale}"

@@ -51,15 +51,24 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
-  /** doc_id, shingles, minhash vector, band keys — the shared prefix of the
-    * MinHash pipeline. Docs with < ShingleK words carry no shingles and are
-    * dropped (no signature to compare).
+  /** doc_id, shingles (distinct h56 HASHES), minhash vector, band keys —
+    * the shared prefix of the MinHash pipeline. Docs with < ShingleK
+    * words carry no shingles and are dropped (no signature to compare).
+    *
+    * The shingle column stores hashes, not gram strings (r8): every
+    * consumer is set algebra (`array_intersect`/`array_union`/`size` in
+    * the jaccard/containment/incremental verify joins), which is
+    * value-identical over h56 hashes under the standing 2^56 policy,
+    * and the persisted band index plus both verify-join shuffles shrink
+    * from gram text to 8-byte longs. One native pass (ShingleHashes)
+    * replaces the interpreted per-window transform/concat_ws HOF.
     */
   def signatures(corpus: DataFrame): DataFrame =
     Par.fanOut(corpus)
-      .withColumn("_words", words(col("text")))
-      .filter(size(col("_words")) >= ShingleK)
-      .withColumn("shingles", shingles(col("_words"), ShingleK))
+      .withColumn("shingles",
+        graft.functions.ShingleHashes(lower(col("text")), ShingleK,
+          distinct = true))
+      .filter(size(col("shingles")) >= 1)
       // native one-pass signature (value-identical to
       // TextHash.minhashes(shingles); equivalence spec'd in FunctionsSpec)
       .withColumn("mh", graft.functions.MinHashSig(lower(col("text"))))
@@ -845,10 +854,11 @@ object TextDedup {
       .withColumn("_words", words(col("text")))
       .filter(size(col("_words")) >= 1)
       .withColumn("_sh", sh)
+      // one codegen'd call instead of a 56-step interpreted HOF: bin()
+      // renders MSB-first, the original transform rendered bit 0 first
+      // (LSB-first), so reverse(lpad(bin)) reproduces it exactly
       .withColumn("simhash",
-        concat_ws("", transform(sequence(lit(0), lit(SimhashBits - 1)),
-          b => when(call_function("shiftright", col("_sh"), b)
-            .bitwiseAND(lit(1)) === 1, lit("1")).otherwise(lit("0")))))
+        reverse(lpad(bin(col("_sh")), SimhashBits, "0")))
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
   }
