@@ -1159,43 +1159,32 @@ object TextDedup {
       .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
       .filter(col("_n") > 1)
       .select(col("gh"), col("_keeper"))
-    // covered is churn-sized (K x duplicate-starts, distinct) and has
-    // two consumers (affected-doc set, token anti-join); the eager
-    // localCheckpoint pins ONE execution of the gram chain regardless
-    // of how attribute dedup re-aliases the self-joined subtrees (the
-    // dedupClusters precedent)
-    val covered = grams
+    // Reassembly is ONE per-row walk over (tokens, covered positions)
+    // per AFFECTED doc (r8): the losing-window starts ride a single
+    // per-doc groupBy (bounded by document length), CoverPositions
+    // merges them into the covered-position union, and RebuildWords
+    // emits the cleaned text + kept count directly. The prior shape —
+    // explode every losing window x K positions into a corpus-wide
+    // distinct, explode every affected doc to per-token rows, anti-join
+    // on (doc_id, pos), rebuild through two collect_list groupBys —
+    // shuffled ~120M intermediate rows on a duplication-heavy corpus
+    // and dominated the query (measured at sf1; same fix in
+    // substringDedupBpe). Unaffected docs never leave the final
+    // projection. grams is checkpointed and docStarts has one consumer,
+    // so the gram chain still executes exactly once.
+    val docStarts = grams
       .join(dupKeeper, "gh")
       .filter(col("_ord") =!= col("_keeper"))
-      .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
-      .distinct()
-      .localCheckpoint()
-    // reassembly touches only AFFECTED docs (any covered position) —
-    // everything else passes through as a per-row projection, so the
-    // token explode + per-doc rebuild cost scales with the DUPLICATED
-    // fraction of the corpus, not the corpus
-    val affected = covered.select(col("doc_id")).distinct()
-    // semi-join BEFORE the explode (Catalyst won't push a join below
-    // Generate): only affected docs pay the per-token row expansion
-    val toks = base
-      .join(affected, Seq("doc_id"), "left_semi")
-      .filter(col("n_words") > 0)
-      .select(col("doc_id"), posexplode(col("_words")).as(Seq("pos", "w")))
-    val survivors = toks
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s("w"))).as("_clean"),
-        count(lit(1)).as("_nk"))
-    // affected-left-join so a FULLY covered doc (zero survivors) still
-    // resolves to ""/0 rather than falling back to its original text
-    val rebuilt = affected.join(survivors, Seq("doc_id"), "left")
+      .agg(collect_list(col("p")).as("_starts"))
+    val rebuilt = base
+      .join(docStarts, Seq("doc_id"))
       .select(col("doc_id"),
-        coalesce(col("_clean"), lit("")).as("_clean"),
-        coalesce(col("_nk"), lit(0L)).as("_nk"))
+        graft.functions.RebuildWords(col("_words"),
+          graft.functions.CoverPositions(col("_starts"), k)).as("_rb"))
+      .select(col("doc_id"),
+        col("_rb").getField("clean").as("_clean"),
+        col("_rb").getField("n_kept").as("_nk"))
     base
       .select(col("doc_id"), col("n_words"), col("_words"))
       .join(rebuilt, Seq("doc_id"), "left")
@@ -1276,44 +1265,25 @@ object TextDedup {
       .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
       .filter(col("_n") > 1)
       .select(col("gh"), col("_keeper"))
-    // eager localCheckpoint: one execution of the BPE gram chain (see
-    // substringDedup)
-    val covered = grams
+    // reassembly = one per-row walk per affected doc (see
+    // substringDedup — same CoverPositions + Rebuild rationale); the
+    // sub-word grouping (surviving symbols concatenate within a word,
+    // words join with a space) happens inside RebuildSyms' walk, so the
+    // per-(doc, word) and per-doc collect_list groupBys are gone too.
+    // Only this branch re-encodes BPE, and only for affected docs.
+    val docStarts = grams
       .join(dupKeeper, "gh")
       .filter(col("_ord") =!= col("_keeper"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("p")).as("_starts"))
+    val rebuilt = base
+      .join(docStarts, Seq("doc_id"))
       .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
-      .distinct()
-      .localCheckpoint()
-    val affected = covered.select(col("doc_id")).distinct()
-    // semi-join BEFORE the explode (Catalyst won't push a join below
-    // Generate): only affected docs pay the per-symbol row expansion
-    // and the BPE re-encode of this branch
-    val toks = base
-      .join(affected, Seq("doc_id"), "left_semi")
-      .filter(col("n_tokens") > 0)
-      .select(col("doc_id"), posexplode(col("_syms")).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"),
-        col("s")("wi").as("wi"), col("s")("sym").as("sym"))
-    val keptWords = toks
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"), col("wi"))
-      .agg(
-        concat_ws("", transform(
-          array_sort(collect_list(struct(col("pos"), col("sym")))),
-          s => s("sym"))).as("word"),
-        min(col("pos")).as("wpos"),
-        count(lit(1)).as("nk"))
-    val survivors = keptWords.groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("wpos"), col("word")))),
-          s => s("word"))).as("_clean"),
-        sum(col("nk")).as("_nk"))
-    val rebuilt = affected.join(survivors, Seq("doc_id"), "left")
+        graft.functions.RebuildSyms(col("_syms"),
+          graft.functions.CoverPositions(col("_starts"), k)).as("_rb"))
       .select(col("doc_id"),
-        coalesce(col("_clean"), lit("")).as("_clean"),
-        coalesce(col("_nk"), lit(0L)).as("_nk"))
+        col("_rb").getField("clean").as("_clean"),
+        col("_rb").getField("n_kept").as("_nk"))
     // final projection: n_tokens via the COUNT-ONLY native pass
     // (BpeTokenCount ≡ size(BpeSymbols) by the shared encoder — same
     // lowered \s+ words, same per-word symbol counts) so this branch
