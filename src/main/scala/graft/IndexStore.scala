@@ -332,28 +332,63 @@ object IndexStore {
     * Operational contract: run quiesced relative to the signatures being
     * retired — a merge in flight against a base manifest pruned mid-merge
     * could reference a swept segment (the same expire-snapshots caveat
-    * every manifest-based table format carries). Racing prune against
-    * PUBLISHES of signatures `keep` accepts is safe: a publish creates
-    * its segment before its manifest, and prune reads manifests before
-    * sweeping, so a kept manifest's segments are never swept.
+    * every manifest-based table format carries). Two safety margins
+    * shrink that window without relying on the contract alone:
+    *
+    *  - the referenced-segment set is computed from a FRESH re-listing of
+    *    `man/` taken AFTER the dead manifests are deleted, so a combined
+    *    manifest a racing merge publishes while prune runs protects its
+    *    segments from the sweep;
+    *  - segments modified within `graceMillis` of now are never swept
+    *    (a freshly published segment whose manifest is still in flight
+    *    survives); [[pruneOlderThan]] passes its retention age here, so
+    *    unquiesced age-based cleanup — the easy default — gets the
+    *    margin automatically. Direct `prune(keep)` callers default to 0
+    *    (exact sweep, for quiesced/administrative use).
+    *
+    * Racing prune against PUBLISHES of signatures `keep` accepts is safe
+    * even at grace 0: a publish creates its segment before its manifest,
+    * and prune reads manifests before sweeping, so a kept manifest's
+    * segments are never swept.
+    *
+    * Debris: `.tmp-*` entries in `seg/` and `man/` left by crashed or
+    * rename-losing publishers can never be referenced by a manifest;
+    * those older than max(graceMillis, 1h) are deleted (uncounted) — the
+    * hour floor keeps an in-flight publisher's live temp dir safe even
+    * when prune is called with grace 0.
     */
-  def prune(keep: String => Boolean): (Int, Int) = {
+  def prune(keep: String => Boolean, graceMillis: Long = 0L): (Int, Int) = {
+    val now = System.currentTimeMillis()
     val manDir = Paths.get(root, "man")
     if (!Files.isDirectory(manDir)) return (0, 0)
-    val (kept, dead) = listDir(manDir)
+    val dead = listDir(manDir)
       .filter(_.getFileName.toString.endsWith(".json"))
-      .partition(p => keep(p.getFileName.toString.stripSuffix(".json")))
+      .filterNot(p => keep(p.getFileName.toString.stripSuffix(".json")))
     dead.foreach(Files.deleteIfExists(_))
-    val referenced = kept.flatMap(p =>
-      readManifest(p.getFileName.toString.stripSuffix(".json"))
+    // fresh re-list AFTER deletion: manifests published mid-prune (e.g. a
+    // racing merge's combined manifest) join the referenced set
+    val referenced = listDir(manDir)
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => readManifest(p.getFileName.toString.stripSuffix(".json"))
         .getOrElse(Nil)).toSet
     val segRoot = Paths.get(root, "seg")
+    def mtime(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => now }
     val sweepable =
       if (!Files.isDirectory(segRoot)) Nil
       else listDir(segRoot)
         .filter(p => !p.getFileName.toString.startsWith(".tmp-"))
         .filterNot(p => referenced.contains(p.getFileName.toString))
+        .filter(p => mtime(p) < now - graceMillis)
     sweepable.foreach(deleteRecursively)
+    // aborted-publish debris: .tmp- entries past the grace age
+    val tmpCutoff = now - math.max(graceMillis, 3600L * 1000)
+    Seq(segRoot, manDir).filter(Files.isDirectory(_)).foreach { d =>
+      listDir(d)
+        .filter(p => p.getFileName.toString.startsWith(".tmp-"))
+        .filter(p => mtime(p) < tmpCutoff)
+        .foreach(deleteRecursively)
+    }
     (dead.size, sweepable.size)
   }
 
@@ -371,10 +406,10 @@ object IndexStore {
     */
   def pruneOlderThan(ageMillis: Long): (Int, Int) = {
     val cutoff = System.currentTimeMillis() - ageMillis
-    prune { entry =>
+    prune({ entry =>
       val f = manFile(entry)
       !Files.exists(f) || Files.getLastModifiedTime(f).toMillis >= cutoff
-    }
+    }, graceMillis = ageMillis)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -72,8 +72,12 @@ object LangCountsUtil {
             (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
             s"stopword '$w' is not a plain \\w literal")
           val prev = words.get(w)
+          // a word repeated inside ONE profile's alternation must still
+          // count each run once (regexp_count semantics) — dedupe i
           words.put(w,
-            if (prev == null) Array(i) else prev :+ i)
+            if (prev == null) Array(i)
+            else if (prev.last == i) prev
+            else prev :+ i)
         }
       case (RangeRe(lo, hi), i) =>
         ranges += ((Integer.parseInt(lo, 16), Integer.parseInt(hi, 16), i))
@@ -91,6 +95,12 @@ object LangCountsUtil {
     sorted.foreach { case (lo, hi, _) =>
       require(hi < 0xD800 || lo > 0xDFFF,
         s"script range [$lo,$hi] intersects the surrogate block")
+      // the regex idiom counts UTF-16 code units (2 per astral char);
+      // the scan counts codepoints — identical only within the BMP, so
+      // supplementary-plane ranges must fail fast, not silently halve
+      require(hi <= 0xFFFF,
+        s"script range [$lo,$hi] leaves the BMP; the code-unit-identity " +
+          "contract only holds for BMP ranges")
     }
     new Table(words,
       sorted.map(_._1), sorted.map(_._2), sorted.map(_._3),

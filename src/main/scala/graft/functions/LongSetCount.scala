@@ -29,7 +29,10 @@ object LongSetCountUtil {
     var i = 0
     var n = 0L
     while (i < arr.numElements()) {
-      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) n += 1
+      // getLong on a null slot returns garbage (often 0) — a null
+      // element must never count as a member
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) n += 1
       i += 1
     }
     n
