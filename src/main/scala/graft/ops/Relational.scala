@@ -159,26 +159,100 @@ object Relational {
     * compute exact linear-interpolated quantiles over the sorted values;
     * approx_percentile/HLL sketches are deliberately not oracle-paired).
     *
-    * This is the oracle-pairable EXACT tier and is priced accordingly —
-    * exact percentile + two countDistinct Expand the stream 3×. A 100 TB
-    * consumer should use the sketch tier instead:
-    * [[graft.ops.Sketches.approxPercentiles]] (rank error ≤ n/PctAccuracy,
-    * pinned in SketchesSpec) and [[graft.ops.Sketches.approxDistinct]]
-    * (HLL) ride the normal partial/final shuffle with bounded state per
-    * group — same answer shape at a small fraction of the exact cost.
+    * Scale shape (the r8→r9 rewrite): `percentile()` is a
+    * TypedImperativeAggregate whose per-group buffer holds EVERY distinct
+    * value with its count and merges single-threaded on one reducer per
+    * group — with 3 return flags, three ~n-entry buffers serialize the
+    * whole corpus through 3 tasks. Instead the four statistics families
+    * are exploded into a (kind, value) stream and counted by
+    * `groupBy(flag, kind, value)` — an ordinary partial/final hash
+    * aggregation, fully parallel over ALL partitions, whose OUTPUT is
+    * bounded by the value domain (prices are cent-quantized at the
+    * source, quantities integral, part/supp keys finite), not by the row
+    * count. Only that domain-bounded histogram reaches the per-(flag,
+    * kind) window that turns cumulative counts into interpolated
+    * percentiles and row counts into distinct counts. At 100 TB the big
+    * stream never sees a low-parallelism operator; the window sees at
+    * most |price domain| rows per partition.
+    *
+    * The interpolation mirrors Spark's own `Percentile.getPercentile`
+    * bit for bit — position = pct·(n−1); short-circuit on integral
+    * position OR equal neighbor values; else (hi−pos)·v_lo +
+    * (pos−lo)·v_hi — so the output is hash-identical to the
+    * `percentile()` form (and to DuckDB's quantile_cont oracle, which
+    * uses the same formula). The value at index ⌈pos⌉ is the SAME
+    * histogram row when its multiplicity covers both indexes, else
+    * `lead(value)`.
+    *
+    * A 100 TB consumer with values NOT drawn from a bounded domain
+    * should use the sketch tier: [[graft.ops.Sketches.approxPercentiles]]
+    * (rank error ≤ n/PctAccuracy, pinned in SketchesSpec) and
+    * [[graft.ops.Sketches.approxDistinct]] (HLL).
     */
-  def priceStats(spark: SparkSession, dir: String): DataFrame =
-    // exact percentiles + two distincts Expand the stream 3x; fanOut
-    // keeps the partial aggregation parallel over single-file inputs
-    Par.fanOut(Tables.load(spark, dir, "lineitem"))
+  def priceStats(spark: SparkSession, dir: String): DataFrame = {
+    // one scan, four value families: p/q carry the double value (exact
+    // cent/integer doubles — grouping on the raw double is lossless),
+    // pk/sk carry the long key; the unused slot is a constant so the
+    // histogram key stays narrow
+    val exploded = Par.fanOut(Tables.load(spark, dir, "lineitem"))
+      .select(col("l_returnflag"), explode(array(
+        struct(lit("p").as("kind"), col("l_extendedprice").as("vd"),
+          lit(0L).as("vl")),
+        struct(lit("q").as("kind"), col("l_quantity").as("vd"),
+          lit(0L).as("vl")),
+        struct(lit("pk").as("kind"), lit(0.0).as("vd"),
+          col("l_partkey").as("vl")),
+        struct(lit("sk").as("kind"), lit(0.0).as("vd"),
+          col("l_suppkey").as("vl")))).as("e"))
+      .select(col("l_returnflag"), col("e.kind").as("kind"),
+        col("e.vd").as("vd"), col("e.vl").as("vl"))
+      .filter(col("vd").isNotNull && col("vl").isNotNull)
+
+    // the big shuffle: partial/final hash agg, output domain-bounded
+    val hist = exploded.groupBy("l_returnflag", "kind", "vd", "vl")
+      .agg(count(lit(1)).as("cnt"))
+
+    // domain-bounded rows only from here on; (vd, vl) are distinct per
+    // partition so the running-sum RANGE frame equals ROWS
+    val w = Window.partitionBy("l_returnflag", "kind").orderBy("vd", "vl")
+    val wAll = Window.partitionBy("l_returnflag", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("nxt", lead(col("vd"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("nvals", count(lit(1)).over(wAll))
+
+    // Spark Percentile.getPercentile, expressed over the histogram: the
+    // row whose index range [cum-cnt, cum-1] contains ⌊pos⌋ carries the
+    // result; null on every other row
+    def pick(pct: Double): Column = {
+      val pos = lit(pct) * (col("n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val vLo = col("vd")
+      val vHi = when(hi <= col("cum") - 1, col("vd")).otherwise(col("nxt"))
+      val res = when(hi === lo || vHi === vLo, vLo)
+        .otherwise((hi.cast("double") - pos) * vLo +
+          (pos - lo.cast("double")) * vHi)
+      when(lo >= col("cum") - col("cnt") && lo <= col("cum") - 1, res)
+    }
+
+    cum
+      .withColumn("m50", when(col("kind").isin("p", "q"), pick(0.5)))
+      .withColumn("m95", when(col("kind") === "p", pick(0.95)))
+      .filter(col("m50").isNotNull || col("m95").isNotNull ||
+        (col("kind").isin("pk", "sk") && col("rn") === 1))
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"))
+        round(max(when(col("kind") === "p", col("m50"))), 2).as("p50_price"),
+        round(max(when(col("kind") === "p", col("m95"))), 2).as("p95_price"),
+        round(max(when(col("kind") === "q", col("m50"))), 2).as("p50_qty"),
+        max(when(col("kind") === "pk", col("nvals"))).as("n_parts"),
+        max(when(col("kind") === "sk", col("nvals"))).as("n_supps"))
       .orderBy("l_returnflag")
+  }
 
   /** As-of join over the events stream: each click matched to the user's
     * most recent prior (or simultaneous) purchase. Right side is deduped to

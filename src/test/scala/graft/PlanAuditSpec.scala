@@ -121,7 +121,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // jaccard-pairs chain (incl. its sort) + two doc_id source joins +
     // the distinct-x two-phase agg + tiny totals + output sort
     "q_source_overlap" -> 10,
-    "q_minhash_pairs" -> 3, "q_price_stats" -> 4, "q_pricing_rollup" -> 2,
+    "q_minhash_pairs" -> 3,
+    // r9: +1 over the percentile() form — fanOut + the full-parallel
+    // (flag, kind, value) histogram agg + the domain-bounded window +
+    // tiny final agg + output sort; the extra exchange carries only
+    // histogram rows and buys removing percentile()'s one-reducer-per-
+    // flag value buffer (the registry's former #1 sf1 cost)
+    "q_price_stats" -> 5, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 2, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
     // + corpus left join + output sort
