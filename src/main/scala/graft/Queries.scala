@@ -549,7 +549,13 @@ object Queries {
     // audio/video decode; output is deterministic by construction — oracle
     // is the literal expected VALUES
     "q_media_features" -> ((s: SparkSession, _: String) =>
-      Media.featureStats(Media.decode(Media.mediaTable(s, 300))))
+      Media.featureStats(Media.decode(Media.mediaTable(s, 300)))),
+    // cross-modal near-dup: native 64-bit dHash over the REAL ImageIO
+    // decode, banded hamming buckets, bit_count(xor) verify — the
+    // simhashDups contract for the image modality; the oracle re-derives
+    // every pixel/grid/bit by arithmetic, independent of any decoder
+    "q_image_dups" -> ((s: SparkSession, _: String) =>
+      ImageDedup.imageDups(ImageDedup.imageTable(s)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +596,7 @@ object Queries {
     "q_substring_dedup_bpe" -> SqlText.substringDedupBpe,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
+    "q_image_dups" -> SqlText.imageDups,
     "q_containment_pairs" -> SqlText.containmentPairs,
     "q_source_overlap" -> SqlText.sourceOverlap,
     "q_edit_pairs" -> SqlText.editPairs,

@@ -1,0 +1,172 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ImageDHash, ImageDHashUtil}
+
+/** Cross-modal (image) near-duplicate detection — the perceptual-hash
+  * sibling of [[TextDedup.simhashDups]]: a 64-bit dHash per image
+  * (native [[graft.functions.ImageDHash]] over the REAL ImageIO decode),
+  * banded hamming buckets, capped in-bucket pairing, exact
+  * `bit_count(xor)` verification. The engine dedups text at every
+  * granularity; this closes the image modality with the same contract
+  * and the same scale shape (one groupBy(band) shuffle, never
+  * all-pairs).
+  *
+  * Banding math mirrors the simhash tier: 4 disjoint 16-bit bands over
+  * the 64-bit hash — pigeonhole GUARANTEES a shared band for hamming
+  * <= 3, so recall is exact there (which covers every engineered
+  * variant pair in the synthetic corpus: re-encode/resize/brightness =
+  * 0, a one-cell patch <= 2); pairs in the 4..[[ImgHamMax]] range
+  * surface only when their differing bits cluster outside one band —
+  * the same documented trade as [[TextDedup.SimBands]], mirrored
+  * bit-for-bit in the DuckDB oracle.
+  *
+  * Scale notes (100 TB of images):
+  *  - the PAYLOAD never shuffles: the dHash projection runs scan-side
+  *    (native expression, codegen) and only (media_id, hash) — 16
+  *    bytes/row — flows into the banded join;
+  *  - hashes are consumed three times (bucketing + both verify sides),
+  *    so the skinny frame persists once, exactly like simhashDups'
+  *    signature frame;
+  *  - buckets are capped at [[TextDedup.MaxBucket]] ids — a stop-sign
+  *    against quadratic blowup on degenerate banks (e.g. millions of
+  *    near-black thumbnails sharing a band value), same contract as the
+  *    MinHash LSH tier.
+  */
+object ImageDedup {
+
+  /** Synthetic corpus shape: [[Groups]] groups x 4 variants. */
+  val Groups = 60
+  val BaseW = 36 // divisible by the 9-wide grid: 4px blocks
+  val BaseH = 32 // divisible by the 8-tall grid: 4px blocks
+  /** Luma values stay in [0, LumaMod): headroom for the +Shift variant. */
+  val LumaMod = 200
+  /** Variant 1 brightness shift — dHash-invariant (differences move
+    * together), pinned at hamming 0 by ImageDedupSpec.
+    */
+  val Shift = 16
+  /** Variant 2 patch: the luma inside grid cell (PatchGx, PatchGy) moves
+    * by +PatchAdd mod LumaMod — flips at most the 2 comparison bits
+    * touching that cell, so hamming(v0, v2) <= 2.
+    */
+  val PatchAdd = 97
+  val PatchGx = 2
+  val PatchGy = 3
+
+  val ImgBands = 4
+  val ImgBandBits = 16 // 4 x 16 = 64 bits
+  val ImgHamMax = 5
+
+  /** The deterministic pattern luma at BASE raster coordinates — pure
+    * integer arithmetic, replicated verbatim by the DuckDB oracle, so
+    * the real decode+hash pipeline is checked against an independent
+    * derivation (any divergence in the decoder, the luma fold, the
+    * block-mean convention, or the bit packing fails the oracle).
+    *
+    * Variants: v0 = base pattern; v1 = SAME pattern (rendered 2x
+    * pixel-doubled, +Shift, BMP-encoded by [[imageTable]]); v2 = base
+    * with the one-cell patch; v3 = an unrelated pattern (different
+    * multipliers), distinct from every variant of its group.
+    */
+  private[graft] def luma(g: Long, v: Int, bx: Int, by: Int): Int = {
+    // the MULTIPLIERS vary with g, not just the offset: dHash compares
+    // neighbor differences, so a g-dependent constant alone would cancel
+    // and every group would collide with every other
+    if (v == 3)
+      ((g * 37 + 11 + bx.toLong * (101 + 9 * (g % 17)) +
+        by.toLong * (47 + 5 * (g % 19)) +
+        bx.toLong * by * (13 + 3 * (g % 23))) % LumaMod).toInt
+    else {
+      val base =
+        ((g * 37 + bx.toLong * (73 + 7 * (g % 13)) +
+          by.toLong * (151 + 5 * (g % 11)) +
+          bx.toLong * by * (29 + 3 * (g % 7))) % LumaMod).toInt
+      if (v == 2 && bx * ImageDHashUtil.GridW / BaseW == PatchGx &&
+          by * ImageDHashUtil.GridH / BaseH == PatchGy)
+        (base + PatchAdd) % LumaMod
+      else base
+    }
+  }
+
+  /** Render one variant raster and encode it: v1 is the 2x pixel-doubled,
+    * brightness-shifted BMP re-encode (three perceptual-invariance axes
+    * in one variant); everything else is a PNG at base size.
+    */
+  private[graft] def encode(g: Long, v: Int): Array[Byte] = {
+    val w = if (v == 1) 2 * BaseW else BaseW
+    val h = if (v == 1) 2 * BaseH else BaseH
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bx = if (v == 1) x / 2 else x
+        val by = if (v == 1) y / 2 else y
+        val l = luma(g, v, bx, by) + (if (v == 1) Shift else 0)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (v == 1) "bmp" else "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic image-dedup corpus: real PNG/BMP payloads
+    * whose decoded rasters are pure arithmetic in (group, variant, x, y)
+    * — the image analog of Media.mediaTable's constant-gray principle,
+    * extended to patterned rasters so the perceptual hash has structure
+    * to fingerprint.
+    */
+  def imageTable(spark: SparkSession, nGroups: Int = Groups): DataFrame = {
+    import spark.implicits._
+    spark.range(nGroups * 4L)
+      .map { id => (id, encode(id / 4, (id % 4).toInt)) }
+      .toDF("media_id", "payload")
+  }
+
+  /** Perceptual near-dup pairs: (img_a, img_b, hamming) with img_a <
+    * img_b and hamming <= maxHamming — the exact simhashDups shape over
+    * the image modality.
+    */
+  def imageDups(images: DataFrame,
+      maxHamming: Int = ImgHamMax): DataFrame = {
+    // skinny (id, hash) frame: the expensive decode runs ONCE, payloads
+    // never pass this projection
+    val hashes = Par.fanOut(images, "media_id")
+      .select(col("media_id"), ImageDHash(col("payload")).as("h"))
+      .filter(col("h").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fanout = images.sparkSession.sessionState.conf.numShufflePartitions
+    val mask = (1L << ImgBandBits) - 1L
+    val buckets = hashes
+      .select(col("media_id"),
+        explode(sequence(lit(0), lit(ImgBands - 1))).as("i"), col("h"))
+      .withColumn("bv",
+        call_function("shiftright", col("h"), col("i") * lit(ImgBandBits))
+          .bitwiseAND(lit(mask)))
+      // pin the bucket exchange width (AQE would coalesce the tiny-BYTES
+      // band rows to one partition and serialize the pair explode —
+      // same rationale as simhashDups)
+      .repartition(fanout, col("i"), col("bv"))
+      .groupBy(col("i"), col("bv"))
+      .agg(sort_array(collect_list(col("media_id"))).as("ids"))
+    val pairs = TextDedup.suffixPairs(buckets, TextDedup.MaxBucket)
+      .withColumnRenamed("doc_a", "img_a")
+      .withColumnRenamed("doc_b", "img_b")
+    val hOf = hashes.select(col("media_id"), col("h"))
+    pairs
+      .join(hOf.as("ha"), col("img_a") === col("ha.media_id"))
+      .join(hOf.as("hb"), col("img_b") === col("hb.media_id"))
+      .withColumn("hamming",
+        bit_count(col("ha.h").bitwiseXOR(col("hb.h"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("img_a"), col("img_b"), col("hamming"))
+      .orderBy("img_a", "img_b")
+  }
+}

@@ -119,7 +119,7 @@ object TextDedup {
     * once per bucket; buckets above the cap are dropped (the LSH recall
     * trade — quadratic pair generation must be bounded).
     */
-  private def suffixPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+  private[ops] def suffixPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val ids = col("ids")
     val pairs = flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)),

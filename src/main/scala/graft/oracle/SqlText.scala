@@ -1888,4 +1888,74 @@ object SqlText {
        |    AND wc > 0 AND clfscore >= 0 AS admit_clf
        |FROM b LEFT JOIN contam USING (doc_id) ORDER BY b.doc_id""".stripMargin
   }
+
+  /** Oracle for q_image_dups: the perceptual-hash image near-dup pairs,
+    * derived INDEPENDENTLY of any decoder — the synthetic corpus's
+    * rasters are pure arithmetic in (group, variant, x, y)
+    * ([[graft.ops.ImageDedup.luma]], replicated here verbatim), so
+    * DuckDB re-derives every pixel, block mean (the x·9//w convention,
+    * integer division), dHash bit, band bucket, and exact hamming
+    * verify from first principles. The Spark side decodes REAL PNG/BMP
+    * payloads through ImageIO — a divergence anywhere in the codec
+    * round-trip, luma fold, grid convention, or bit packing fails this
+    * oracle. bit_or packs the signature (bit 63 would overflow a
+    * summed BIGINT).
+    */
+  val imageDups: String = {
+    import graft.ops.ImageDedup._
+    val gw = graft.functions.ImageDHashUtil.GridW
+    val gh = graft.functions.ImageDHashUtil.GridH
+    val mask = (1L << ImgBandBits) - 1
+    val base = s"(g*37 + bx*(73 + 7*(g%13)) + by*(151 + 5*(g%11)) +" +
+      s" bx*by*(29 + 3*(g%7))) % $LumaMod"
+    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+       |vs AS (SELECT unnest(range(4)) AS v),
+       |imgs AS (SELECT g*4 + v AS media_id, g, v,
+       |    CASE WHEN v = 1 THEN ${2 * BaseW} ELSE $BaseW END AS w,
+       |    CASE WHEN v = 1 THEN ${2 * BaseH} ELSE $BaseH END AS h
+       |  FROM gs, vs),
+       |xs AS (SELECT unnest(range(${2 * BaseW})) AS x),
+       |ys AS (SELECT unnest(range(${2 * BaseH})) AS y),
+       |px AS (SELECT media_id, g, v, x, y, w, h,
+       |    CASE WHEN v = 1 THEN x // 2 ELSE x END AS bx,
+       |    CASE WHEN v = 1 THEN y // 2 ELSE y END AS by
+       |  FROM imgs, xs, ys WHERE x < w AND y < h),
+       |lum AS (SELECT media_id, x * $gw // w AS gx, y * $gh // h AS gy,
+       |    (CASE
+       |       WHEN v = 3
+       |         THEN (g*37 + 11 + bx*(101 + 9*(g%17)) + by*(47 + 5*(g%19))
+       |               + bx*by*(13 + 3*(g%23))) % $LumaMod
+       |       WHEN v = 2 AND bx * $gw // $BaseW = $PatchGx
+       |            AND by * $gh // $BaseH = $PatchGy
+       |         THEN ($base + $PatchAdd) % $LumaMod
+       |       ELSE $base
+       |     END) + CASE WHEN v = 1 THEN $Shift ELSE 0 END AS lum
+       |  FROM px),
+       |grid AS (SELECT media_id, gx, gy, sum(lum) // count(*) AS m
+       |  FROM lum GROUP BY 1, 2, 3),
+       |sig AS (SELECT a.media_id,
+       |    bit_or(CASE WHEN b.m <= a.m THEN 0
+       |      WHEN a.gy*8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << (a.gy*8 + a.gx)) END) AS h
+       |  FROM grid a JOIN grid b ON a.media_id = b.media_id
+       |    AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  GROUP BY 1),
+       |bands AS (SELECT media_id, i, (h >> ($ImgBandBits * i)) & $mask AS bv
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(range($ImgBands)) AS i)),
+       |okb AS (SELECT i, bv FROM bands GROUP BY i, bv
+       |  HAVING count(*) <= ${graft.ops.TextDedup.MaxBucket}),
+       |pairs AS (SELECT DISTINCT a.media_id AS img_a, b2.media_id AS img_b
+       |  FROM bands a
+       |  JOIN okb ON okb.i = a.i AND okb.bv = a.bv
+       |  JOIN bands b2 ON a.i = b2.i AND a.bv = b2.bv
+       |    AND a.media_id < b2.media_id)
+       |SELECT p.img_a, p.img_b,
+       |  CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN sig sa ON p.img_a = sa.media_id
+       |JOIN sig sb ON p.img_b = sb.media_id
+       |WHERE bit_count(xor(sa.h, sb.h)) <= $ImgHamMax
+       |ORDER BY img_a, img_b""".stripMargin
+  }
 }

@@ -180,6 +180,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // one scan -> per-lang partial agg + output sort
     "q_tokenizer_fertility" -> 3,
     "q_simhash" -> 2, "q_simhash_dups" -> 3,
+    // same banded-buckets shape as q_simhash_dups (band repartition +
+    // pair distinct + output sort; verify joins broadcast at audit scale)
+    "q_image_dups" -> 3,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 2,
     "q_token_stats" -> 2,
