@@ -572,10 +572,12 @@ object TextAnalysis {
     * filtering at 100 TB.
     */
   def qualityClassifier(docs: DataFrame): DataFrame = {
-    val (nToks, score) = classifierExprs
+    // r9: the fused native scan (GateStats) supplies both fields in one
+    // traversal; classifierExprs stays as the spec'd reference form
+    val gs = graft.functions.GateStats(lower(col("text")))
     docs
-      .withColumn("n_tokens", nToks)
-      .withColumn("score", score)
+      .withColumn("n_tokens", gs.getField("wc").cast("long"))
+      .withColumn("score", gs.getField("clf_score"))
       .select(col("doc_id"), col("n_tokens"), col("score"),
         when(col("n_tokens") > 0,
           round(col("score").cast("double") / col("n_tokens"), 4))
@@ -604,10 +606,27 @@ object TextAnalysis {
     * `clf_mean_weight` and `clf_keep` added — the classifier column of
     * the streaming ingest gate, stateless like the rest of the gate.
     */
-  def classifierAnnotate(docs: DataFrame): DataFrame = {
+  def classifierAnnotate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_clf_n",
+        graft.functions.GateStats(lower(col("text")))
+          .getField("wc").cast("long"))
+      .withColumn("_clf_s",
+        graft.functions.GateStats(lower(col("text")))
+          .getField("clf_score"))
+      .withColumns(scala.collection.immutable.ListMap(
+        "clf_mean_weight" -> when(col("_clf_n") > 0,
+            round(col("_clf_s").cast("double") / col("_clf_n"), 4))
+          .otherwise(lit(0.0)),
+        "clf_keep" -> (col("_clf_n") > 0 && col("_clf_s") >= 0)))
+      .drop("_clf_n", "_clf_s")
+
+  /** The pre-fusion expression form of [[classifierAnnotate]] — kept as
+    * the independent derivation GateStatsSpec checks the native scan
+    * against (same role as LangCounts' regex form).
+    */
+  private[graft] def classifierAnnotateRef(docs: DataFrame): DataFrame = {
     val (nToks, score) = classifierExprs
-    // alias the two base expressions once so the token fold runs once
-    // per row, not once per derived column
     docs.withColumn("_clf_n", nToks).withColumn("_clf_s", score)
       .withColumns(scala.collection.immutable.ListMap(
         "clf_mean_weight" -> when(col("_clf_n") > 0,
@@ -718,6 +737,39 @@ object TextAnalysis {
     * the event-time/embedding columns must survive the gate.
     */
   def gopherAnnotate(docs: DataFrame): DataFrame = {
+    // r9: ONE native scan ([[graft.functions.GateStats]]) replaces the
+    // split + per-word rlike + concat_ws + EnStopwords-regex traversals;
+    // every derived column below is arithmetic over the struct (the
+    // repeated GateStats calls collapse via codegen subexpression
+    // elimination — one compute per row, PlanAudit-visible)
+    val gs = graft.functions.GateStats(lower(col("text")))
+    val wc = gs.getField("wc")
+    val wcSafe = greatest(wc, lit(1))
+    val chars = gs.getField("chars")
+    val alphaW = gs.getField("alphaw")
+    val stops = gs.getField("stops")
+    val okWc = wc.between(GopherMinWords, GopherMaxWords)
+    val okMwl = chars.between(wc * GopherMinMeanWl, wc * GopherMaxMeanWl)
+    val okAlpha = alphaW * 5 >= wc * 4
+    val okStops = stops >= GopherMinStops
+    docs.withColumns(scala.collection.immutable.ListMap(
+      "word_count" -> wc,
+      "mean_word_len" -> round(chars.cast("double") / wcSafe, 4),
+      "alpha_frac" -> round(alphaW.cast("double") / wcSafe, 4),
+      "stop_count" -> stops.cast("long"),
+      "keep" -> (okWc && okMwl && okAlpha && okStops),
+      "reject_reason" -> when(!okWc, lit("word_count"))
+        .when(!okMwl, lit("mean_word_len"))
+        .when(!okAlpha, lit("alpha_frac"))
+        .when(!okStops, lit("stopwords"))
+        .otherwise(lit(null).cast("string"))))
+  }
+
+  /** The pre-fusion expression form of [[gopherAnnotate]] — the
+    * independent regex/HOF derivation GateStatsSpec pins the native
+    * scan against.
+    */
+  private[graft] def gopherAnnotateRef(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val wc = size(w)
     val wcSafe = greatest(wc, lit(1))
