@@ -117,6 +117,8 @@ object Queries {
     s"m=${EmbedPq.SubSpaces},k=${EmbedPq.CodebookK}," +
       s"iters=${EmbedPq.PqIters},q=${EmbedSim.QuantScale}"
   private val clusterParams = s"$sigParams,jaccard=0.5"
+  private val substrParams =
+    s"k=${TextDedup.SubstrGram},grams=h56,docdistinct"
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
@@ -264,6 +266,25 @@ object Queries {
     // repeats word-level windows cannot see once OOV words split
     "q_substring_dedup_bpe" -> ((s: SparkSession, d: String) =>
       TextDedup.substringDedupBpe(Corpus.withBoilerplate(s, d))),
+    // incremental substring tier: today's crawl deduped against the
+    // STANDING gram index (loaded, never rescanned), and the increment's
+    // grams folded into the index in O(increment) for day N+1 — the
+    // substring sibling of q_dedup_incremental
+    "q_substring_dedup_incr" -> ((s: SparkSession, d: String) => {
+      val standing = Corpus.withBoilerplate(s, d)
+      val incr = Corpus.substrIncrement(s, d)
+      val aGrams = memoize(s, d, "subgrams") {
+        val a = IndexStore.loadOrBuild(s, "subgrams", standing,
+          substrParams)(TextDedup.substrGramRows(standing))
+        // publish the merged standing ∪ increment index for tomorrow —
+        // one new segment + manifest, the standing segments untouched
+        IndexStore.mergeOrBuild(s, "subgrams", standing, incr,
+          substrParams)(TextDedup.substrGramRows(standing))(
+          TextDedup.substrGramRows(incr))
+        a
+      }
+      TextDedup.substringDedupIncremental(aGrams, incr)
+    }),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
       TextDedup.minhashPairsOf(nearSignatures(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
@@ -594,6 +615,7 @@ object Queries {
     "q_chunk_dedup" -> SqlText.chunkDedup,
     "q_substring_dedup" -> SqlText.substringDedup,
     "q_substring_dedup_bpe" -> SqlText.substringDedupBpe,
+    "q_substring_dedup_incr" -> SqlText.substringDedupIncr,
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_image_dups" -> SqlText.imageDups,

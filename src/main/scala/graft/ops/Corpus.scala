@@ -56,6 +56,31 @@ object Corpus {
         .otherwise(col("text")).as("text"))
   }
 
+  /** The substring-dedup increment ("today's crawl" for the sliding-
+    * window tier): every doc_id % 9 == 0 document RE-CRAWLED under
+    * doc_id + 200000 with the boilerplate spliced at a FIXED offset 3 —
+    * its text repeats the standing copy's token stream nearly verbatim
+    * (plus the corpus-wide boilerplate span), so almost every window
+    * should lose to the standing gram index; and every doc_id % 9 == 3
+    * document re-issued REVERSED under doc_id + 300000 — same vocabulary,
+    * but no >= K-token run of the reversed sequence appears anywhere in
+    * the standing corpus, so it must survive intact. Mirrored in
+    * [[graft.oracle.SqlText.substringDedupIncr]].
+    */
+  def substrIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val w = TextHash.words(col("text"))
+    val bp = array(Boilerplate.map(lit): _*)
+    val recrawl = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", concat(slice(w, lit(1), lit(3)), bp,
+          slice(w, lit(4), greatest(size(w) - 3, lit(0))))).as("text"))
+    val fresh = docs.filter(col("doc_id") % 9 === 3)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat_ws(" ", reverse(w)).as("text"))
+    recrawl.unionAll(fresh)
+  }
+
   /** The NEW-batch half of the near-dup corpus alone: every doc_id % 13
     * == 0 document repeated under doc_id + 100000 with its last word
     * removed — "today's crawl contains near-copies of already-indexed

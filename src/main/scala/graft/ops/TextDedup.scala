@@ -1197,6 +1197,106 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** The standing substring-gram index rows for one corpus: per-doc
+    * DISTINCT window-gram hashes, the skinny (doc_id, gh) projection
+    * [[substringDedupIncremental]] consults. A per-document map —
+    * build(A ∪ B) ≡ build(A) ∪ build(B) as multisets — so
+    * [[graft.IndexStore.mergeOrBuild]] folds a daily increment into the
+    * standing index in O(increment) bytes, exactly the contract the
+    * MinHash band index already uses. Per-doc distinctness loses nothing:
+    * the consumer asks only "has this gram EVER been seen", and keeps the
+    * index at one row per distinct gram per doc.
+    */
+  def substrGramRows(corpus: DataFrame, k: Int = SubstrGram): DataFrame =
+    Par.fanOut(corpus)
+      .withColumn("_words", words(col("text")))
+      .filter(size(col("_words")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.WindowHash(col("_words"), k))).as("gh"))
+
+  /** INCREMENTAL [[substringDedup]]: dedupe today's crawl against the
+    * STANDING gram index without rescanning the standing corpus — the
+    * substring-tier answer to [[incrementalDups]]. A window of an
+    * arriving document loses iff its gram was EVER seen by the standing
+    * corpus (any occurrence there predates the increment — the standing
+    * text is already published and immutable, so it always wins) or an
+    * earlier increment window holds the same gram (within-batch
+    * first-occurrence, [[substringDedup]]'s own rule). When standing
+    * `_ord`s precede increment `_ord`s (the realistic deployment:
+    * monotonically assigned ids), this is EXACTLY the full-rebuild
+    * semantics restricted to the increment's documents —
+    * SubstrIncrSpec pins that value identity.
+    *
+    * Scale shape (the whole point): the gram explode, keeper aggregate,
+    * covered-position union, and reassembly all run over the INCREMENT
+    * only — increment-sized shuffles end to end. The standing index is
+    * consulted by ONE scan, semi-joined against the increment's
+    * (broadcast) distinct gram set — the 100 TB index never shuffles,
+    * never re-aggregates, and grows by an O(increment) IndexStore merge
+    * per day.
+    */
+  def substringDedupIncremental(standingGrams: DataFrame,
+      increment: DataFrame, k: Int = SubstrGram): DataFrame = {
+    val base = Par.fanOut(increment)
+      .withColumn("_words", words(col("text")))
+      .withColumn("n_words", size(col("_words")).cast("long"))
+    val grams = base
+      .filter(col("n_words") >= k)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHash(col("_words"), k))
+          .as(Seq("p", "gh")))
+      .withColumn("_ord", {
+        val ord = col("doc_id") * ChunkPosBase + col("p")
+        when(col("p") >= ChunkPosBase,
+          raise_error(lit(
+            "substringDedupIncremental: position overflows ChunkPosBase")))
+          .otherwise(ord)
+      })
+      // one materialization, three consumers (keeper agg, the distinct
+      // gram set, the covered join) — same rationale as substringDedup
+      .localCheckpoint(true, graft.Tier.level(increment.sparkSession))
+    val bKeeper = grams.groupBy(col("gh"))
+      .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
+    // grams the standing corpus has seen, restricted to grams the
+    // increment actually carries: one SCAN of the standing index against
+    // the broadcast increment-gram set — increment-bounded output
+    val bSet = grams.select(col("gh")).distinct()
+    val aHits = standingGrams.select(col("gh"))
+      .join(broadcast(bSet), Seq("gh"), "left_semi")
+      .distinct()
+      .withColumn("_in_a", lit(true))
+    // a gram can cover something iff it repeats within the increment or
+    // the standing corpus has it — the join build side stays churn-sized
+    val losing = bKeeper.join(aHits, Seq("gh"), "left")
+      .filter(col("_n") > 1 || coalesce(col("_in_a"), lit(false)))
+      .select(col("gh"), col("_keeper"), col("_in_a"))
+    val docStarts = grams
+      .join(losing, "gh")
+      .filter(coalesce(col("_in_a"), lit(false)) ||
+        col("_ord") =!= col("_keeper"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("p")).as("_starts"))
+    val rebuilt = base
+      .join(docStarts, Seq("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.RebuildWords(col("_words"),
+          graft.functions.CoverPositions(col("_starts"), k)).as("_rb"))
+      .select(col("doc_id"),
+        col("_rb").getField("clean").as("_clean"),
+        col("_rb").getField("n_kept").as("_nk"))
+    base
+      .select(col("doc_id"), col("n_words"), col("_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_clean"), concat_ws(" ", col("_words")))
+          .as("clean_text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("_nk"), col("n_words")))
+          .as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window gram length for [[substringDedupBpe]], in TRAINED-BPE
     * tokens — Lee et al. 2022's production granularity is 50 BPE tokens;
     * 20 suits the short synthetic docs while still sitting well inside

@@ -525,6 +525,76 @@ object SqlText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for q_substring_dedup_incr: the incremental sliding-window
+    * pass. Mirrors Corpus.withBoilerplate (the standing corpus) +
+    * Corpus.substrIncrement (recrawl + reversed fresh docs) +
+    * TextDedup.substringDedupIncremental: an increment window loses iff
+    * its gram appears ANYWHERE in the standing corpus (the published
+    * text always wins) or an earlier increment window carries it.
+    */
+  val substringDedupIncr: String = {
+    import graft.ops.TextDedup
+    val k = TextDedup.SubstrGram
+    val base = TextDedup.ChunkPosBase
+    val bp = graft.ops.Corpus.Boilerplate.map(s(_)).mkString("[", ", ", "]")
+    val gh = s"""CAST(list_sum(list_transform(range($k), j ->
+       |    CAST(th[CAST(p + j AS INTEGER) + 1] AS HUGEINT) *
+       |      ${powListSql(k)}[CAST(j AS INTEGER) + 1]))
+       |    % ${graft.functions.WindowHashUtil.P} AS BIGINT)""".stripMargin
+    s"""WITH w0 AS (SELECT doc_id, ${wordsOf("text")} AS w FROM documents),
+       |inj AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 0 THEN
+       |    list_slice(w, 1, CAST(doc_id % 7 + 1 AS INTEGER)) || $bp ||
+       |      list_slice(w, CAST(doc_id % 7 + 2 AS INTEGER), len(w))
+       |  ELSE w END AS words FROM w0),
+       |sthl AS (SELECT doc_id,
+       |  list_transform(words, x -> ${h56("x")}) AS th
+       |  FROM inj WHERE len(words) >= $k),
+       |sgp AS (SELECT doc_id, th, unnest(range(len(th) - ${k - 1})) AS p
+       |  FROM sthl),
+       |sg AS (SELECT DISTINCT $gh AS gh FROM sgp),
+       |incw AS (
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    list_slice(w, 1, 3) || $bp || list_slice(w, 4, len(w)) AS words
+       |  FROM w0 WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, list_reverse(w) AS words
+       |  FROM w0 WHERE doc_id % 9 = 3),
+       |ibase AS (SELECT doc_id, words,
+       |  CAST(len(words) AS BIGINT) AS n_words FROM incw),
+       |ithl AS (SELECT doc_id,
+       |  list_transform(words, x -> ${h56("x")}) AS th
+       |  FROM ibase WHERE n_words >= $k),
+       |igp AS (SELECT doc_id, th, unnest(range(len(th) - ${k - 1})) AS p
+       |  FROM ithl),
+       |igrams AS (SELECT doc_id, p, $gh AS gh,
+       |  doc_id * $base + p AS _ord FROM igp),
+       |ikeeper AS (SELECT gh, min(_ord) AS _k FROM igrams GROUP BY 1),
+       |cov AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT g.doc_id, g.p + unnest(range($k)) AS pos
+       |  FROM igrams g
+       |  JOIN ikeeper USING (gh)
+       |  LEFT JOIN sg ON g.gh = sg.gh
+       |  WHERE sg.gh IS NOT NULL OR g._ord != _k)),
+       |tp AS (SELECT doc_id, words, unnest(range(len(words))) AS pos
+       |  FROM ibase WHERE n_words > 0),
+       |toks AS (SELECT doc_id, pos, words[CAST(pos AS INTEGER) + 1] AS w
+       |  FROM tp),
+       |kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |rebuilt AS (SELECT doc_id,
+       |  string_agg(w, ' ' ORDER BY pos) AS _clean,
+       |  CAST(count(*) AS BIGINT) AS _nk
+       |  FROM kept GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(r._clean, '') AS clean_text,
+       |  b.n_words,
+       |  b.n_words - coalesce(r._nk, 0) AS n_removed
+       |FROM ibase b LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_substring_dedup_bpe: the sliding-window pass at
     * TRAINED-BPE granularity. Mirrors Corpus.withBoilerplate +
     * TextDedup.substringDedupBpe end-to-end: the same recursive-CTE

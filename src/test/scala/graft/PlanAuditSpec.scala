@@ -44,6 +44,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_substring_dedup" -> 6,
     // + the per-word symbol-reassembly groupBy over the word version
     "q_substring_dedup_bpe" -> 7,
+    // increment-sized end to end: fanOut + gram checkpoint + keeper agg
+    // + the increment's distinct gram set + doc-keyed reassembly + output
+    // sort; the standing index contributes ONE scan behind a broadcast
+    // semi-join — no exchange of index rows
+    "q_substring_dedup_incr" -> 7,
     // assignment argmax + cluster-cos broadcast join + custom TopK's one
     // key exchange + output sort
     "q_cluster_sample" -> 3,
