@@ -28,10 +28,29 @@ import graft.streaming.{CurationPipeline, ParquetSink, StreamGate,
   * Gopher-short. Event time advances 0.1 s per doc so the watermark
   * moves and band state churns — the unbounded-stream shape.
   *
-  * Usage: runMain graft.CurationBench [nDocs] [nBatches]. Emits one JSON
-  * line (plus curation_bench_out.json).
+  * Usage: runMain graft.CurationBench [nDocs] [nBatches] [sink]. Emits
+  * one JSON line (plus curation_bench_out.json). `sink` (or env
+  * SPARK_GRAFT_CURATION_SINK) selects the warehouse leg: `map` (default,
+  * the in-JVM test double) or `jdbc` — the REAL [[JdbcUpsertSink]]
+  * against embedded Derby, exercising the transactional executor-side
+  * two-step upsert at firehose volume (the r9 gap: the JDBC sink had
+  * only ever seen 200k rows). JDBC mode adds a REPLAY leg after the
+  * timed window: the final batch file is re-delivered under a new name
+  * and the warehouse row count must not move — keyed idempotence under
+  * at-least-once re-delivery, checked against the real database.
   */
 object CurationBench {
+
+  private val JdbcDdl =
+    """CREATE TABLE curated_docs (
+      |  doc_key VARCHAR(32) PRIMARY KEY,
+      |  doc_id BIGINT,
+      |  text VARCHAR(4096),
+      |  ts TIMESTAMP,
+      |  word_count INT,
+      |  mean_word_len DOUBLE,
+      |  alpha_frac DOUBLE,
+      |  bench_cos DOUBLE)""".stripMargin
 
   private val BenchGram = "zyx benchmark holdout sentinel"
 
@@ -131,7 +150,29 @@ object CurationBench {
     val gate = StreamGate.rowGateCtx(benchmark, k = 3)
     val sem = StreamSemGate.benchIndex(semBench)
 
-    val admitSink = new UpsertSink("doc_key")
+    val sinkMode = args.drop(2).headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CURATION_SINK", "map"))
+    val jdbcUrl = "jdbc:derby:memory:curbench;create=true"
+    val (admitSink: graft.streaming.BatchSink, admittedCount: (() => Long)) =
+      if (sinkMode == "jdbc") {
+        val c = java.sql.DriverManager.getConnection(jdbcUrl)
+        try c.createStatement().execute(JdbcDdl) finally c.close()
+        val sink = new graft.streaming.JdbcUpsertSink(jdbcUrl,
+          "curated_docs", "doc_key",
+          Seq("word_count", "mean_word_len", "alpha_frac", "bench_cos"),
+          batchSize = 500)
+        (sink, () => {
+          val cc = java.sql.DriverManager.getConnection(jdbcUrl)
+          try {
+            val rs = cc.createStatement()
+              .executeQuery("SELECT COUNT(*) FROM curated_docs")
+            rs.next(); rs.getLong(1)
+          } finally cc.close()
+        })
+      } else {
+        val sink = new UpsertSink("doc_key")
+        (sink, () => sink.size.toLong)
+      }
     val rejectDir = base.resolve("rej").toString
     val dupDir = base.resolve("dup").toString
     val schema = StructType(Seq(
@@ -167,6 +208,21 @@ object CurationBench {
       Option(sq.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     val endState = all.map(stateRows)
+
+    // JDBC idempotence replay: re-deliver the final batch's rows under a
+    // fresh file name (the file source tracks paths, so a copy IS a
+    // re-delivery of the same doc_ids) — the keyed upsert must leave the
+    // warehouse row count unchanged
+    val replay = if (sinkMode == "jdbc") {
+      val before = admittedCount()
+      writeBatchFile(stage, "replay.json",
+        1000 + (nBatches - 1) * batchSize to 999 + nBatches * batchSize)
+      release(stage.resolve("replay.json"))
+      drainAll()
+      val after = admittedCount()
+      s""","replay_rows_before":$before,"replay_rows_after":$after,""" +
+        s""""replay_idempotent":${before == after}"""
+    } else ""
     all.foreach(_.stop())
 
     val total = nBatches * batchSize
@@ -183,10 +239,11 @@ object CurationBench {
       s""""unit":"docs/sec","docs":$total,"batches":$nBatches,""" +
       s""""seconds":$sec,"steady_state_rps":${batchSize / medianBatch},""" +
       s""""median_batch_sec":$medianBatch,""" +
-      s""""admitted":${admitSink.size},"rejected":$rejects,""" +
-      s""""dup_pairs":$dupPairs,""" +
+      s""""admitted":${admittedCount()},"rejected":$rejects,""" +
+      s""""dup_pairs":$dupPairs,"sink":"$sinkMode",""" +
       s""""state_rows":${endState.mkString("[", ",", "]")},""" +
-      s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")}}"""
+      s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")}""" +
+      replay + "}"
     Files.writeString(Paths.get("curation_bench_out.json"), line)
     println(line)
     spark.stop()
