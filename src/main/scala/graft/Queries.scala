@@ -576,7 +576,14 @@ object Queries {
     // simhashDups contract for the image modality; the oracle re-derives
     // every pixel/grid/bit by arithmetic, independent of any decoder
     "q_image_dups" -> ((s: SparkSession, _: String) =>
-      ImageDedup.imageDups(ImageDedup.imageTable(s)))
+      ImageDedup.imageDups(ImageDedup.imageTable(s))),
+    // cross-modal near-dup, audio modality: native 64-bit energy-delta
+    // fingerprint over the REAL javax.sound.sampled PCM decode, same
+    // banded-hamming shape (shared Perceptual.bandedDups); the oracle
+    // re-derives every frame energy and bit by arithmetic, independent
+    // of any decoder
+    "q_audio_dups" -> ((s: SparkSession, _: String) =>
+      AudioDedup.audioDups(AudioDedup.audioTable(s)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -619,6 +626,7 @@ object Queries {
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_image_dups" -> SqlText.imageDups,
+    "q_audio_dups" -> SqlText.audioDups,
     "q_containment_pairs" -> SqlText.containmentPairs,
     "q_source_overlap" -> SqlText.sourceOverlap,
     "q_edit_pairs" -> SqlText.editPairs,

@@ -142,31 +142,7 @@ object ImageDedup {
       .select(col("media_id"), ImageDHash(col("payload")).as("h"))
       .filter(col("h").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fanout = images.sparkSession.sessionState.conf.numShufflePartitions
-    val mask = (1L << ImgBandBits) - 1L
-    val buckets = hashes
-      .select(col("media_id"),
-        explode(sequence(lit(0), lit(ImgBands - 1))).as("i"), col("h"))
-      .withColumn("bv",
-        call_function("shiftright", col("h"), col("i") * lit(ImgBandBits))
-          .bitwiseAND(lit(mask)))
-      // pin the bucket exchange width (AQE would coalesce the tiny-BYTES
-      // band rows to one partition and serialize the pair explode —
-      // same rationale as simhashDups)
-      .repartition(fanout, col("i"), col("bv"))
-      .groupBy(col("i"), col("bv"))
-      .agg(sort_array(collect_list(col("media_id"))).as("ids"))
-    val pairs = TextDedup.suffixPairs(buckets, TextDedup.MaxBucket)
-      .withColumnRenamed("doc_a", "img_a")
-      .withColumnRenamed("doc_b", "img_b")
-    val hOf = hashes.select(col("media_id"), col("h"))
-    pairs
-      .join(hOf.as("ha"), col("img_a") === col("ha.media_id"))
-      .join(hOf.as("hb"), col("img_b") === col("hb.media_id"))
-      .withColumn("hamming",
-        bit_count(col("ha.h").bitwiseXOR(col("hb.h"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("img_a"), col("img_b"), col("hamming"))
-      .orderBy("img_a", "img_b")
+    Perceptual.bandedDups(hashes, "media_id", ImgBands, ImgBandBits,
+      maxHamming, "img_a", "img_b")
   }
 }

@@ -2028,4 +2028,65 @@ object SqlText {
        |WHERE bit_count(xor(sa.h, sb.h)) <= $ImgHamMax
        |ORDER BY img_a, img_b""".stripMargin
   }
+
+  /** Oracle for q_audio_dups: the acoustic-fingerprint near-dup pairs,
+    * derived INDEPENDENTLY of any decoder — the synthetic corpus's
+    * frame energies are pure arithmetic in (group, variant, frame)
+    * ([[graft.ops.AudioDedup.amp]], replicated here verbatim), so
+    * DuckDB re-derives every frame amplitude, neighbor-delta bit, band
+    * bucket, and exact hamming verify from first principles. The Spark
+    * side decodes REAL WAV payloads through javax.sound.sampled — a
+    * divergence anywhere in the container round-trip, the |sample|
+    * fold, the 65-frame convention, or the bit packing fails this
+    * oracle. Within one clip every frame holds the same sample count,
+    * so the engine's cross-multiplied mean comparison reduces exactly
+    * to comparing the per-frame amplitudes (v1's 2x gain and 2x
+    * duplication scale both sides equally — which is WHY its
+    * fingerprint equals v0's, and why the oracle needs no v1-specific
+    * arithmetic). bit_or packs the signature (bit 63 would overflow a
+    * summed BIGINT).
+    */
+  val audioDups: String = {
+    import graft.ops.AudioDedup._
+    val nf = graft.functions.AudioFingerprintUtil.Frames
+    val mask = (1L << AudBandBits) - 1
+    val base = s"(g*37 + f*(73 + 7*(g%13)) + f*f*(29 + 3*(g%7))) % $AmpMod"
+    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+       |vs AS (SELECT unnest(range(4)) AS v),
+       |fs AS (SELECT unnest(range($nf)) AS f),
+       |amps AS (SELECT g*4 + v AS media_id, f,
+       |    CASE
+       |      WHEN v = 3
+       |        THEN (g*37 + 11 + f*(101 + 9*(g%17))
+       |              + f*f*(13 + 3*(g%23))) % $AmpMod
+       |      WHEN v = 2 AND f = $PatchF
+       |        THEN ($base + $PatchAdd) % $AmpMod
+       |      ELSE $base
+       |    END AS a
+       |  FROM gs, vs, fs),
+       |sig AS (SELECT x.media_id,
+       |    bit_or(CASE WHEN y.a <= x.a THEN 0
+       |      WHEN x.f = 63 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << x.f) END) AS h
+       |  FROM amps x JOIN amps y ON x.media_id = y.media_id
+       |    AND y.f = x.f + 1
+       |  GROUP BY 1),
+       |bands AS (SELECT media_id, i, (h >> ($AudBandBits * i)) & $mask AS bv
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(range($AudBands)) AS i)),
+       |okb AS (SELECT i, bv FROM bands GROUP BY i, bv
+       |  HAVING count(*) <= ${graft.ops.TextDedup.MaxBucket}),
+       |pairs AS (SELECT DISTINCT a.media_id AS clip_a, b2.media_id AS clip_b
+       |  FROM bands a
+       |  JOIN okb ON okb.i = a.i AND okb.bv = a.bv
+       |  JOIN bands b2 ON a.i = b2.i AND a.bv = b2.bv
+       |    AND a.media_id < b2.media_id)
+       |SELECT p.clip_a, p.clip_b,
+       |  CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN sig sa ON p.clip_a = sa.media_id
+       |JOIN sig sb ON p.clip_b = sb.media_id
+       |WHERE bit_count(xor(sa.h, sb.h)) <= $AudHamMax
+       |ORDER BY clip_a, clip_b""".stripMargin
+  }
 }

@@ -188,6 +188,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // same banded-buckets shape as q_simhash_dups (band repartition +
     // pair distinct + output sort; verify joins broadcast at audit scale)
     "q_image_dups" -> 3,
+    // identical shape, audio modality (shared Perceptual.bandedDups)
+    "q_audio_dups" -> 3,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 2,
     "q_token_stats" -> 2,
