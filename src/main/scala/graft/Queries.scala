@@ -583,7 +583,14 @@ object Queries {
     // re-derives every frame energy and bit by arithmetic, independent
     // of any decoder
     "q_audio_dups" -> ((s: SparkSession, _: String) =>
-      AudioDedup.audioDups(AudioDedup.audioTable(s)))
+      AudioDedup.audioDups(AudioDedup.audioTable(s))),
+    // cross-modal near-dup, video modality: per-frame dHashes (native
+    // walker over the REAL raw-DIB AVI decode, sharing the image tier's
+    // grid fold bit-for-bit) -> frame-set containment over a capped
+    // inverted index; the oracle re-derives every pixel/frame/bit/set
+    // by arithmetic, decoder-free
+    "q_video_dups" -> ((s: SparkSession, _: String) =>
+      VideoDedup.videoDups(VideoDedup.videoTable(s)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -627,6 +634,7 @@ object Queries {
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_image_dups" -> SqlText.imageDups,
     "q_audio_dups" -> SqlText.audioDups,
+    "q_video_dups" -> SqlText.videoDups,
     "q_containment_pairs" -> SqlText.containmentPairs,
     "q_source_overlap" -> SqlText.sourceOverlap,
     "q_edit_pairs" -> SqlText.editPairs,

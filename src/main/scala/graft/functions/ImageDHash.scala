@@ -44,14 +44,13 @@ object ImageDHashUtil {
   val GridW = 9
   val GridH = 8
 
-  def compute(payload: Array[Byte]): java.lang.Long = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
-    if (img == null || img.getWidth < GridW || img.getHeight < GridH)
-      return null
-    val w = img.getWidth
-    val h = img.getHeight
+  /** The grid fold over an arbitrary luma raster — steps 3-4 above,
+    * shared verbatim with the per-frame hashing of
+    * [[VideoFrameHashesUtil]] so the image and video modalities cannot
+    * diverge on the block-mean convention or bit packing. Caller
+    * guarantees w >= GridW and h >= GridH.
+    */
+  def hashLuma(w: Int, h: Int, lum: (Int, Int) => Int): Long = {
     val sums = new Array[Long](GridW * GridH)
     val cnts = new Array[Long](GridW * GridH)
     var y = 0
@@ -60,11 +59,8 @@ object ImageDHashUtil {
       var x = 0
       while (x < w) {
         val gx = x * GridW / w
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
         val c = gy * GridW + gx
-        sums(c) += lum
+        sums(c) += lum(x, y)
         cnts(c) += 1
         x += 1
       }
@@ -82,6 +78,20 @@ object ImageDHashUtil {
       }
       gy += 1
     }
+    hash
+  }
+
+  def compute(payload: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < GridW || img.getHeight < GridH)
+      return null
+    val hash = hashLuma(img.getWidth, img.getHeight, (x, y) => {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    })
     java.lang.Long.valueOf(hash)
   }
 }

@@ -127,10 +127,21 @@ object Media {
     * needs none. Each frame is constant gray, so decoded stats stay
     * generator-derivable.
     */
-  private[graft] def encodeAvi(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+  private[graft] def encodeAvi(w: Int, h: Int, grays: Array[Int]): Array[Byte] =
+    encodeAviLuma(w, h, grays.map(g => (_: Int, _: Int) => g))
+
+  /** The same RIFF/AVI raw-DIB layout with PATTERNED frames: frame t's
+    * pixel at DISPLAY coordinate (x, y) is the gray (lum, lum, lum) given
+    * by `frames(t)(x, y)` — rows are written bottom-up (positive
+    * biHeight), so display row y lands at file row h-1-y. Used by the
+    * video near-dup corpus, whose rasters must carry structure for the
+    * per-frame dHash to fingerprint.
+    */
+  private[graft] def encodeAviLuma(w: Int, h: Int,
+      frames: Array[(Int, Int) => Int]): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
     val frameBytes = stride * h
-    val nF = grays.length
+    val nF = frames.length
     val bos = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
@@ -158,15 +169,19 @@ object Media {
     le32(40); le32(w); le32(h); le16(1); le16(24) // bi: size, w, h, planes, bpp
     le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0) // BI_RGB...
     cc("LIST"); le32(moviSize); cc("movi")
-    grays.foreach { g =>
+    frames.foreach { f =>
       cc("00db"); le32(frameBytes)
-      var y = 0
-      while (y < h) {
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r // bottom-up: file row r is display row h-1-r
         var x = 0
-        while (x < w) { bos.write(g); bos.write(g); bos.write(g); x += 1 }
+        while (x < w) {
+          val g = f(x, y)
+          bos.write(g); bos.write(g); bos.write(g); x += 1
+        }
         var p = w * 3
         while (p < stride) { bos.write(0); p += 1 } // row pad
-        y += 1
+        r += 1
       }
     }
     bos.toByteArray

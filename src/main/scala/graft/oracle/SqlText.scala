@@ -2089,4 +2089,68 @@ object SqlText {
        |WHERE bit_count(xor(sa.h, sb.h)) <= $AudHamMax
        |ORDER BY clip_a, clip_b""".stripMargin
   }
+
+  /** Oracle for q_video_dups: frame-set-containment video near-dup,
+    * derived INDEPENDENTLY of any decoder — the synthetic corpus's
+    * frame rasters are pure arithmetic in (group, variant, frame, x, y)
+    * ([[graft.ops.VideoDedup.luma]], replicated here verbatim,
+    * INCLUDING variant 1's frame-rate doubling and brightness shift),
+    * so DuckDB re-derives every pixel, block mean, per-frame dHash bit,
+    * distinct frame-hash set, capped inverted-index pairing, and
+    * containment ratio from first principles. The Spark side walks REAL
+    * RIFF/AVI raw-DIB payloads — a divergence anywhere in the container
+    * walk, the bottom-up row order, the luma fold, the shared grid
+    * convention, or the set algebra fails this oracle. The overlap
+    * division is two exact BIGINTs, bit-identical across engines.
+    */
+  val videoDups: String = {
+    import graft.ops.VideoDedup._
+    val gw = graft.functions.ImageDHashUtil.GridW
+    val gh = graft.functions.ImageDHashUtil.GridH
+    val base = s"(g*37 + t*61 + x*(73 + 7*((g+3*t)%13))" +
+      s" + y*(151 + 5*((g+2*t)%11)) + x*y*(29 + 3*((g+t)%7))) % $LumaMod"
+    val unrel = s"(g*37 + 11 + t*53 + x*(101 + 9*((g+2*t)%17))" +
+      s" + y*(47 + 5*((g+t)%19)) + x*y*(13 + 3*((g+3*t)%23))) % $LumaMod"
+    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+       |vids AS (SELECT g*4 + v AS media_id, g, v
+       |  FROM gs, (SELECT unnest(range(4)) AS v)),
+       |fr AS (SELECT media_id, g, v, tt,
+       |    CASE WHEN v = 1 THEN tt // 2
+       |         WHEN v = 2 THEN tt + $TrimStart ELSE tt END AS t,
+       |    CASE WHEN v = 1 THEN $Shift ELSE 0 END AS sh
+       |  FROM vids, (SELECT unnest(range(${2 * NFrames})) AS tt)
+       |  WHERE tt < CASE WHEN v = 1 THEN ${2 * NFrames}
+       |    WHEN v = 2 THEN ${NFrames - TrimStart} ELSE $NFrames END),
+       |xs AS (SELECT unnest(range($BaseW)) AS x),
+       |ys AS (SELECT unnest(range($BaseH)) AS y),
+       |lum AS (SELECT media_id, tt, x * $gw // $BaseW AS gx,
+       |    y * $gh // $BaseH AS gy,
+       |    (CASE WHEN v = 3 THEN $unrel ELSE $base END) + sh AS lum
+       |  FROM fr, xs, ys),
+       |grid AS (SELECT media_id, tt, gx, gy, sum(lum) // count(*) AS m
+       |  FROM lum GROUP BY 1, 2, 3, 4),
+       |sig AS (SELECT a.media_id, a.tt,
+       |    bit_or(CASE WHEN b.m <= a.m THEN 0
+       |      WHEN a.gy*8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << (a.gy*8 + a.gx)) END) AS h
+       |  FROM grid a JOIN grid b ON a.media_id = b.media_id
+       |    AND a.tt = b.tt AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  GROUP BY 1, 2),
+       |hset AS (SELECT DISTINCT media_id, h FROM sig),
+       |sizes AS (SELECT media_id, count(*) AS n FROM hset GROUP BY 1),
+       |okh AS (SELECT h FROM hset GROUP BY h
+       |  HAVING count(*) <= ${graft.ops.TextDedup.MaxBucket}),
+       |shared AS (SELECT a.media_id AS vid_a, b.media_id AS vid_b,
+       |    count(*) AS s
+       |  FROM hset a JOIN okh USING (h)
+       |  JOIN hset b ON a.h = b.h AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT vid_a, vid_b,
+       |  CAST(s AS DOUBLE) / least(na.n, nb.n) AS overlap
+       |FROM shared
+       |JOIN sizes na ON vid_a = na.media_id
+       |JOIN sizes nb ON vid_b = nb.media_id
+       |WHERE CAST(s AS DOUBLE) / least(na.n, nb.n) >= $OverlapMin
+       |ORDER BY vid_a, vid_b""".stripMargin
+  }
 }

@@ -190,6 +190,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_image_dups" -> 3,
     // identical shape, audio modality (shared Perceptual.bandedDups)
     "q_audio_dups" -> 3,
+    // video: inverted-index bucket exchange + pair-count agg + output
+    // sort (size joins broadcast at audit scale)
+    "q_video_dups" -> 4,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 2,
     "q_token_stats" -> 2,
