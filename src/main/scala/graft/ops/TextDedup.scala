@@ -1025,13 +1025,23 @@ object TextDedup {
 
   val ChunkTokens = 10
 
-  /** Position-encoding base for the corpus-global first-occurrence min:
-    * keeper = min(doc_id * ChunkPosBase + chunk_pos). Safe while
-    * chunk_pos < 1e5 (a doc would need ~1M whitespace tokens to breach;
-    * the guard below raises instead of silently mis-keying) and
-    * doc_id < ~9.2e13 (Long.MaxValue / 1e5).
+  /** Position-encoding base the DUCKDB ORACLES use for their
+    * first-occurrence min (keeper = min(doc_id * base + pos)) — valid at
+    * oracle scale (sf0.01). The ENGINE does not pack: it takes
+    * min(struct(doc_id, pos)) — the same lexicographic order — because
+    * the packed long overflows for doc_id >= Long.MaxValue / 1e5
+    * (~9.2e13), and real corpora key documents by arbitrary 64-bit ids
+    * (hashes). Caught by the r9 sf10 sweep: MakeSf's decorrelation
+    * offsets ids by i·2^40, and at 100x the whole substring family
+    * failed with ARITHMETIC_OVERFLOW.
     */
   val ChunkPosBase = 100000L
+
+  /** The corpus-global first-occurrence ordering key: lexicographic
+    * (doc_id, position) as an orderable struct — overflow-free for the
+    * full 64-bit doc_id domain, consumed only by min() and equality.
+    */
+  private def firstOcc(pos: Column): Column = struct(col("doc_id"), pos)
 
   /** Sub-document (chunk-level) dedup — the C4 "discard any previously-seen
     * three-sentence span" pass (Raffel et al. 2020, §2.1) / RefinedWeb's
@@ -1067,12 +1077,7 @@ object TextDedup {
           sequence(lit(0), (col("n_chunks") - 1).cast("int")),
           i => concat_ws(" ", slice(col("_words"), i * k + 1, lit(k)))))
           .as(Seq("chunk_pos", "chunk")))
-      .withColumn("_ord", {
-        val ord = col("doc_id") * ChunkPosBase + col("chunk_pos")
-        when(col("chunk_pos") >= ChunkPosBase,
-          raise_error(lit("chunkDedup: chunk_pos overflows ChunkPosBase")))
-          .otherwise(ord)
-      })
+      .withColumn("_ord", firstOcc(col("chunk_pos")))
     val keeper = chunks.groupBy(col("chunk"))
       .agg(min(col("_ord")).as("_keeper"))
     val kept = chunks
@@ -1135,12 +1140,6 @@ object TextDedup {
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHash(col("_words"), k))
           .as(Seq("p", "gh")))
-      .withColumn("_ord", {
-        val ord = col("doc_id") * ChunkPosBase + col("p")
-        when(col("p") >= ChunkPosBase,
-          raise_error(lit("substringDedup: position overflows ChunkPosBase")))
-          .otherwise(ord)
-      })
       // pin ONE materialization of the gram build: the keeper aggregate
       // and the covered join's stream side both read this checkpoint —
       // without it each self-join branch re-runs the window hashing,
@@ -1149,8 +1148,12 @@ object TextDedup {
       // Storage tier per graft.Tier: deserialized by default — this
       // checkpoint is read by BOTH join branches, and the serialized
       // tier's per-read deserialization measured 23.2 → 58.8 s on
-      // q_substring_dedup_bpe at sf1 (r7 same-condition A/B)
+      // q_substring_dedup_bpe at sf1 (r7 same-condition A/B).
+      // The first-occurrence struct is derived AFTER the checkpoint —
+      // it is a pure function of stored columns, so storing it would
+      // only widen every checkpointed row
       .localCheckpoint(true, graft.Tier.level(corpus.sparkSession))
+      .withColumn("_ord", firstOcc(col("p")))
     // only DUPLICATED grams can cover anything (a unique gram's sole
     // occurrence IS the keeper): filtering the join's build side to them
     // keeps it churn-sized — AQE broadcasts it at runtime and the gram
@@ -1246,16 +1249,11 @@ object TextDedup {
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHash(col("_words"), k))
           .as(Seq("p", "gh")))
-      .withColumn("_ord", {
-        val ord = col("doc_id") * ChunkPosBase + col("p")
-        when(col("p") >= ChunkPosBase,
-          raise_error(lit(
-            "substringDedupIncremental: position overflows ChunkPosBase")))
-          .otherwise(ord)
-      })
       // one materialization, three consumers (keeper agg, the distinct
-      // gram set, the covered join) — same rationale as substringDedup
+      // gram set, the covered join) — same rationale as substringDedup,
+      // with the ordering struct derived post-checkpoint
       .localCheckpoint(true, graft.Tier.level(increment.sparkSession))
+      .withColumn("_ord", firstOcc(col("p")))
     val bKeeper = grams.groupBy(col("gh"))
       .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
     // grams the standing corpus has seen, restricted to grams the
@@ -1350,15 +1348,11 @@ object TextDedup {
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHash(symsOf, k))
           .as(Seq("p", "gh")))
-      .withColumn("_ord", {
-        val ord = col("doc_id") * ChunkPosBase + col("p")
-        when(col("p") >= ChunkPosBase,
-          raise_error(lit("substringDedupBpe: position overflows ChunkPosBase")))
-          .otherwise(ord)
-      })
       // single materialization of the BPE window hashing (see
-      // substringDedup — the same checkpoint pin, same tier policy)
+      // substringDedup — the same checkpoint pin, same tier policy,
+      // ordering struct derived post-checkpoint)
       .localCheckpoint(true, graft.Tier.level(corpus.sparkSession))
+      .withColumn("_ord", firstOcc(col("p")))
     // duplicated grams only on the build side; affected docs only in the
     // reassembly — see [[substringDedup]] (same two restructures)
     val dupKeeper = grams.groupBy(col("gh"))
