@@ -119,6 +119,10 @@ object Queries {
   private val clusterParams = s"$sigParams,jaccard=0.5"
   private val substrParams =
     s"k=${TextDedup.SubstrGram},grams=h56,docdistinct"
+  private val imgHashParams =
+    s"grid=${graft.functions.ImageDHashUtil.GridW}x" +
+      s"${graft.functions.ImageDHashUtil.GridH}," +
+      s"bands=${ImageDedup.ImgBands}x${ImageDedup.ImgBandBits}"
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
@@ -577,6 +581,22 @@ object Queries {
     // every pixel/grid/bit by arithmetic, independent of any decoder
     "q_image_dups" -> ((s: SparkSession, _: String) =>
       ImageDedup.imageDups(ImageDedup.imageTable(s))),
+    // the perceptual sibling of q_dedup_incremental: today's media batch
+    // (re-ingested assets + genuinely new images) against the STANDING
+    // fingerprint index — merged in O(increment) via IndexStore, hot-band
+    // cap decided on the index side, increment-sized shuffles only
+    "q_image_dups_incr" -> ((s: SparkSession, d: String) => {
+      val hashes = memoize(s, d, "imghash") {
+        IndexStore.mergeOrBuild(s, "imghash",
+          ImageDedup.imageTable(s), ImageDedup.incrementTable(s),
+          imgHashParams) {
+          ImageDedup.hashRows(ImageDedup.imageTable(s))
+        } {
+          ImageDedup.hashRows(ImageDedup.incrementTable(s))
+        }
+      }
+      ImageDedup.imageDupsIncremental(hashes)
+    }),
     // cross-modal near-dup, audio modality: native 64-bit energy-delta
     // fingerprint over the REAL javax.sound.sampled PCM decode, same
     // banded-hamming shape (shared Perceptual.bandedDups); the oracle
@@ -633,6 +653,7 @@ object Queries {
     "q_minhash_pairs" -> SqlText.minhashPairs,
     "q_jaccard_pairs" -> SqlText.jaccardPairs,
     "q_image_dups" -> SqlText.imageDups,
+    "q_image_dups_incr" -> SqlText.imageDupsIncr,
     "q_audio_dups" -> SqlText.audioDups,
     "q_video_dups" -> SqlText.videoDups,
     "q_containment_pairs" -> SqlText.containmentPairs,

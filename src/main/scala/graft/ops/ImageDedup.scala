@@ -136,13 +136,78 @@ object ImageDedup {
     */
   def imageDups(images: DataFrame,
       maxHamming: Int = ImgHamMax): DataFrame = {
-    // skinny (id, hash) frame: the expensive decode runs ONCE, payloads
-    // never pass this projection
-    val hashes = Par.fanOut(images, "media_id")
-      .select(col("media_id"), ImageDHash(col("payload")).as("h"))
-      .filter(col("h").isNotNull)
+    val hashes = hashRows(images)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Perceptual.bandedDups(hashes, "media_id", ImgBands, ImgBandBits,
       maxHamming, "img_a", "img_b")
   }
+
+  /** The skinny (media_id, h) fingerprint projection: the expensive
+    * decode runs ONCE scan-side, payloads never pass this point. These
+    * rows ARE the standing perceptual index [[imageDupsIncremental]]
+    * consults — a per-image map (build(A ∪ B) ≡ build(A) ∪ build(B)),
+    * so [[graft.IndexStore.mergeOrBuild]] folds a daily media batch
+    * into the standing index in O(increment) bytes, the same contract
+    * as the MinHash band index and the substring gram index.
+    */
+  def hashRows(images: DataFrame): DataFrame =
+    Par.fanOut(images, "media_id")
+      .select(col("media_id"), ImageDHash(col("payload")).as("h"))
+      .filter(col("h").isNotNull)
+
+  /** Increment ids start here — far above any standing corpus id. */
+  val NewMediaBase = 1000000L
+  /** Increment near-dup brightness delta (dHash-invariant, like Shift). */
+  val IncShift = 9
+
+  /** A daily-batch increment for the incremental tier: for every third
+    * group a RE-INGESTED copy of the group's base image (BMP re-encode
+    * at +IncShift brightness → fingerprint-identical to v0/v1, within 2
+    * bits of v2 — the "same asset re-uploaded" case), for every 3k+1
+    * group a genuinely new image (fresh multipliers, pairs with
+    * nothing); 3k+2 groups get no increment row. Pure arithmetic like
+    * [[imageTable]], replicated verbatim by the oracle.
+    */
+  private[graft] def incLuma(g: Long, bx: Int, by: Int): Int =
+    ((g * 41 + 23 + bx.toLong * (89 + 11 * (g % 19)) +
+      by.toLong * (59 + 7 * (g % 17)) +
+      bx.toLong * by * (17 + 5 * (g % 13))) % LumaMod).toInt
+
+  private[graft] def encodeIncrement(g: Long): Array[Byte] = {
+    val img = new BufferedImage(BaseW, BaseH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < BaseH) {
+      var x = 0
+      while (x < BaseW) {
+        val l =
+          if (g % 3 == 0) luma(g, 0, x, y) + IncShift
+          else incLuma(g, x, y)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (g % 3 == 0) "bmp" else "png", bos)
+    bos.toByteArray
+  }
+
+  def incrementTable(spark: SparkSession,
+      nGroups: Int = Groups): DataFrame = {
+    import spark.implicits._
+    spark.range(nGroups.toLong)
+      .filter(_ % 3 != 2)
+      .map { g => (NewMediaBase + g, encodeIncrement(g)) }
+      .toDF("media_id", "payload")
+  }
+
+  /** Incremental image near-dup: (indexed_id, new_id, hamming) pairs of
+    * today's batch against the standing fingerprint index — shuffle
+    * volume proportional to the increment, cap decided on the index
+    * side (see [[Perceptual.bandedDupsIncremental]]).
+    */
+  def imageDupsIncremental(hashes: DataFrame,
+      maxHamming: Int = ImgHamMax): DataFrame =
+    Perceptual.bandedDupsIncremental(hashes, "media_id", ImgBands,
+      ImgBandBits, maxHamming, NewMediaBase, "indexed_id", "new_id")
 }

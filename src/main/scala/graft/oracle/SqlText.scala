@@ -2029,6 +2029,84 @@ object SqlText {
        |ORDER BY img_a, img_b""".stripMargin
   }
 
+  /** Oracle for q_image_dups_incr: the incremental perceptual tier —
+    * today's batch (re-ingested assets at +IncShift brightness, BMP; and
+    * genuinely new images) against the standing corpus's fingerprints.
+    * Every raster on BOTH sides is re-derived from the generator
+    * arithmetic (including the increment's brightness delta), bands are
+    * capped on the STANDING side only, and candidates are
+    * increment-x-index band matches — mirroring
+    * Perceptual.bandedDupsIncremental bit for bit.
+    */
+  val imageDupsIncr: String = {
+    import graft.ops.ImageDedup._
+    val gw = graft.functions.ImageDHashUtil.GridW
+    val gh = graft.functions.ImageDHashUtil.GridH
+    val mask = (1L << ImgBandBits) - 1
+    val base = s"(g*37 + bx*(73 + 7*(g%13)) + by*(151 + 5*(g%11)) +" +
+      s" bx*by*(29 + 3*(g%7))) % $LumaMod"
+    val inc = s"(g*41 + 23 + bx*(89 + 11*(g%19)) + by*(59 + 7*(g%17)) +" +
+      s" bx*by*(17 + 5*(g%13))) % $LumaMod"
+    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+       |imgs AS (
+       |  SELECT g*4 + v AS media_id, g, v,
+       |    CASE WHEN v = 1 THEN ${2 * BaseW} ELSE $BaseW END AS w,
+       |    CASE WHEN v = 1 THEN ${2 * BaseH} ELSE $BaseH END AS h
+       |  FROM gs, (SELECT unnest(range(4)) AS v)
+       |  UNION ALL
+       |  SELECT $NewMediaBase + g, g,
+       |    CASE WHEN g % 3 = 0 THEN 10 ELSE 11 END,
+       |    $BaseW, $BaseH
+       |  FROM gs WHERE g % 3 != 2),
+       |xs AS (SELECT unnest(range(${2 * BaseW})) AS x),
+       |ys AS (SELECT unnest(range(${2 * BaseH})) AS y),
+       |px AS (SELECT media_id, g, v, x, y, w, h,
+       |    CASE WHEN v = 1 THEN x // 2 ELSE x END AS bx,
+       |    CASE WHEN v = 1 THEN y // 2 ELSE y END AS by
+       |  FROM imgs, xs, ys WHERE x < w AND y < h),
+       |lum AS (SELECT media_id, x * $gw // w AS gx, y * $gh // h AS gy,
+       |    (CASE
+       |       WHEN v = 3
+       |         THEN (g*37 + 11 + bx*(101 + 9*(g%17)) + by*(47 + 5*(g%19))
+       |               + bx*by*(13 + 3*(g%23))) % $LumaMod
+       |       WHEN v = 11 THEN $inc
+       |       WHEN v = 2 AND bx * $gw // $BaseW = $PatchGx
+       |            AND by * $gh // $BaseH = $PatchGy
+       |         THEN ($base + $PatchAdd) % $LumaMod
+       |       ELSE $base
+       |     END) + CASE WHEN v = 1 THEN $Shift
+       |                 WHEN v = 10 THEN $IncShift ELSE 0 END AS lum
+       |  FROM px),
+       |grid AS (SELECT media_id, gx, gy, sum(lum) // count(*) AS m
+       |  FROM lum GROUP BY 1, 2, 3),
+       |sig AS (SELECT a.media_id,
+       |    bit_or(CASE WHEN b.m <= a.m THEN 0
+       |      WHEN a.gy*8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << (a.gy*8 + a.gx)) END) AS h
+       |  FROM grid a JOIN grid b ON a.media_id = b.media_id
+       |    AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  GROUP BY 1),
+       |bands AS (SELECT media_id, i, (h >> ($ImgBandBits * i)) & $mask AS bv
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(range($ImgBands)) AS i)),
+       |ixb AS (SELECT * FROM bands WHERE media_id < $NewMediaBase),
+       |okb AS (SELECT i, bv FROM ixb GROUP BY i, bv
+       |  HAVING count(*) <= ${graft.ops.TextDedup.MaxBucket}),
+       |cand AS (SELECT DISTINCT ix.media_id AS indexed_id,
+       |    f.media_id AS new_id
+       |  FROM bands f
+       |  JOIN ixb ix ON f.i = ix.i AND f.bv = ix.bv
+       |  JOIN okb ON okb.i = ix.i AND okb.bv = ix.bv
+       |  WHERE f.media_id >= $NewMediaBase)
+       |SELECT c.indexed_id, c.new_id,
+       |  CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sig sa ON c.indexed_id = sa.media_id
+       |JOIN sig sb ON c.new_id = sb.media_id
+       |WHERE bit_count(xor(sa.h, sb.h)) <= $ImgHamMax
+       |ORDER BY indexed_id, new_id""".stripMargin
+  }
+
   /** Oracle for q_audio_dups: the acoustic-fingerprint near-dup pairs,
     * derived INDEPENDENTLY of any decoder — the synthetic corpus's
     * frame energies are pure arithmetic in (group, variant, frame)

@@ -78,4 +78,30 @@ class ImageDedupSpec extends AnyFunSuite with Matchers with TestSpark {
     pairs.filter(p => p._1 % 4 == 0 && p._2 == p._1 + 1)
       .foreach(_._3 shouldBe 0L)
   }
+
+  test("incremental tier: re-ingested assets pair with exactly their " +
+      "group's near-dup variants, genuinely new images with nothing") {
+    val n = 12
+    val hashes = ImageDedup.hashRows(ImageDedup.imageTable(spark, n))
+      .unionByName(
+        ImageDedup.hashRows(ImageDedup.incrementTable(spark, n)))
+    val pairs = ImageDedup.imageDupsIncremental(hashes)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0L until n.toLong).foreach { g =>
+      val newId = ImageDedup.NewMediaBase + g
+      val got = pairs.filter(_._2 == newId).map(_._1).sorted
+      if (g % 3 == 0) {
+        // the +IncShift BMP re-encode is fingerprint-identical to
+        // v0/v1 and within the one-cell patch of v2 — and NOTHING else
+        got shouldBe Seq(4 * g, 4 * g + 1, 4 * g + 2)
+        pairs.filter(p => p._2 == newId && p._1 != 4 * g + 2)
+          .foreach(_._3 shouldBe 0L)
+      } else {
+        got shouldBe empty // new images (g%3==1) and absent ids (g%3==2)
+      }
+    }
+    // no index-vs-index pair leaks into the incremental output
+    pairs.foreach(_._2 should be >= ImageDedup.NewMediaBase)
+  }
 }

@@ -188,6 +188,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // same banded-buckets shape as q_simhash_dups (band repartition +
     // pair distinct + output sort; verify joins broadcast at audit scale)
     "q_image_dups" -> 3,
+    // incremental perceptual: index-side band agg + candidate distinct +
+    // output sort (verify joins broadcast at audit scale)
+    "q_image_dups_incr" -> 4,
     // identical shape, audio modality (shared Perceptual.bandedDups)
     "q_audio_dups" -> 3,
     // video: inverted-index bucket exchange + pair-count agg + output
