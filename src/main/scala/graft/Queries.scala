@@ -123,6 +123,9 @@ object Queries {
     s"grid=${graft.functions.ImageDHashUtil.GridW}x" +
       s"${graft.functions.ImageDHashUtil.GridH}," +
       s"bands=${ImageDedup.ImgBands}x${ImageDedup.ImgBandBits}"
+  private val audHashParams =
+    s"frames=${graft.functions.AudioFingerprintUtil.Frames}," +
+      s"bands=${AudioDedup.AudBands}x${AudioDedup.AudBandBits}"
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
@@ -604,6 +607,20 @@ object Queries {
     // of any decoder
     "q_audio_dups" -> ((s: SparkSession, _: String) =>
       AudioDedup.audioDups(AudioDedup.audioTable(s))),
+    // the audio twin of q_image_dups_incr: today's batch against the
+    // standing acoustic fingerprint index, IndexStore-merged
+    "q_audio_dups_incr" -> ((s: SparkSession, d: String) => {
+      val hashes = memoize(s, d, "audhash") {
+        IndexStore.mergeOrBuild(s, "audhash",
+          AudioDedup.audioTable(s), AudioDedup.incrementTable(s),
+          audHashParams) {
+          AudioDedup.hashRows(AudioDedup.audioTable(s))
+        } {
+          AudioDedup.hashRows(AudioDedup.incrementTable(s))
+        }
+      }
+      AudioDedup.audioDupsIncremental(hashes)
+    }),
     // cross-modal near-dup, video modality: per-frame dHashes (native
     // walker over the REAL raw-DIB AVI decode, sharing the image tier's
     // grid fold bit-for-bit) -> frame-set containment over a capped
@@ -655,6 +672,7 @@ object Queries {
     "q_image_dups" -> SqlText.imageDups,
     "q_image_dups_incr" -> SqlText.imageDupsIncr,
     "q_audio_dups" -> SqlText.audioDups,
+    "q_audio_dups_incr" -> SqlText.audioDupsIncr,
     "q_video_dups" -> SqlText.videoDups,
     "q_containment_pairs" -> SqlText.containmentPairs,
     "q_source_overlap" -> SqlText.sourceOverlap,

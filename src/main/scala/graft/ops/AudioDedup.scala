@@ -129,13 +129,76 @@ object AudioDedup {
     */
   def audioDups(clips: DataFrame,
       maxHamming: Int = AudHamMax): DataFrame = {
-    // skinny (id, fingerprint) frame: the decode runs ONCE, payloads
-    // never pass this projection
-    val hashes = Par.fanOut(clips, "media_id")
-      .select(col("media_id"), AudioFingerprint(col("payload")).as("h"))
-      .filter(col("h").isNotNull)
+    val hashes = hashRows(clips)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Perceptual.bandedDups(hashes, "media_id", AudBands, AudBandBits,
       maxHamming, "clip_a", "clip_b")
   }
+
+  /** The skinny (media_id, h) fingerprint projection — decode runs ONCE
+    * scan-side; these rows ARE the standing acoustic index (a per-clip
+    * map, IndexStore-mergeable in O(increment)), the audio twin of
+    * [[ImageDedup.hashRows]].
+    */
+  def hashRows(clips: DataFrame): DataFrame =
+    Par.fanOut(clips, "media_id")
+      .select(col("media_id"), AudioFingerprint(col("payload")).as("h"))
+      .filter(col("h").isNotNull)
+
+  /** Increment ids start here — far above any standing corpus id. */
+  val NewMediaBase = 1000000L
+  /** Increment near-dup gain (fingerprint-invariant, like v1's 2x). */
+  val IncGain = 3
+
+  /** A daily-batch increment: for every third group a RE-INGESTED copy
+    * of the group's base clip at [[IncGain]]x gain (fingerprint-
+    * identical — "the same recording re-uploaded louder"), for every
+    * 3k+1 group a genuinely new clip (fresh multipliers, pairs with
+    * nothing); 3k+2 groups get no increment row. Pure arithmetic,
+    * replicated verbatim by the oracle.
+    */
+  private[graft] def incAmp(g: Long, f: Int): Int =
+    ((g * 41 + 29 + f.toLong * (97 + 11 * (g % 19)) +
+      f.toLong * f * (19 + 7 * (g % 13))) % AmpMod).toInt
+
+  private[graft] def encodeIncrement(g: Long): Array[Byte] = {
+    val nf = AudioFingerprintUtil.Frames
+    val n = nf * FrameK
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a =
+        if (g % 3 == 0) amp(g, 0, i / FrameK) * IncGain
+        else incAmp(g, i / FrameK)
+      val s = if (i % 2 == 0) a else -a
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def incrementTable(spark: SparkSession,
+      nGroups: Int = Groups): DataFrame = {
+    import spark.implicits._
+    spark.range(nGroups.toLong)
+      .filter(_ % 3 != 2)
+      .map { g => (NewMediaBase + g, encodeIncrement(g)) }
+      .toDF("media_id", "payload")
+  }
+
+  /** Incremental audio near-dup: (indexed_id, new_id, hamming) of
+    * today's batch against the standing fingerprint index — same shared
+    * [[Perceptual.bandedDupsIncremental]] as the image tier.
+    */
+  def audioDupsIncremental(hashes: DataFrame,
+      maxHamming: Int = AudHamMax): DataFrame =
+    Perceptual.bandedDupsIncremental(hashes, "media_id", AudBands,
+      AudBandBits, maxHamming, NewMediaBase, "indexed_id", "new_id")
 }

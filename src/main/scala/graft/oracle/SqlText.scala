@@ -2168,6 +2168,68 @@ object SqlText {
        |ORDER BY clip_a, clip_b""".stripMargin
   }
 
+  /** Oracle for q_audio_dups_incr: the incremental acoustic tier —
+    * today's batch (re-ingested clips at IncGain x gain, fingerprint-
+    * identical by the cross-multiplied mean comparison, plus genuinely
+    * new clips) against the standing corpus's fingerprints. Bands
+    * capped on the STANDING side only; candidates are increment-x-index
+    * band matches — Perceptual.bandedDupsIncremental, decoder-free.
+    */
+  val audioDupsIncr: String = {
+    import graft.ops.AudioDedup._
+    val nf = graft.functions.AudioFingerprintUtil.Frames
+    val mask = (1L << AudBandBits) - 1
+    val base = s"(g*37 + f*(73 + 7*(g%13)) + f*f*(29 + 3*(g%7))) % $AmpMod"
+    val inc = s"(g*41 + 29 + f*(97 + 11*(g%19)) + f*f*(19 + 7*(g%13)))" +
+      s" % $AmpMod"
+    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+       |fs AS (SELECT unnest(range($nf)) AS f),
+       |clips AS (
+       |  SELECT g*4 + v AS media_id, g, v
+       |  FROM gs, (SELECT unnest(range(4)) AS v)
+       |  UNION ALL
+       |  SELECT $NewMediaBase + g, g,
+       |    CASE WHEN g % 3 = 0 THEN 10 ELSE 11 END
+       |  FROM gs WHERE g % 3 != 2),
+       |amps AS (SELECT media_id, f,
+       |    CASE
+       |      WHEN v = 3
+       |        THEN (g*37 + 11 + f*(101 + 9*(g%17))
+       |              + f*f*(13 + 3*(g%23))) % $AmpMod
+       |      WHEN v = 11 THEN $inc
+       |      WHEN v = 2 AND f = $PatchF
+       |        THEN ($base + $PatchAdd) % $AmpMod
+       |      ELSE $base
+       |    END AS a
+       |  FROM clips, fs),
+       |sig AS (SELECT x.media_id,
+       |    bit_or(CASE WHEN y.a <= x.a THEN 0
+       |      WHEN x.f = 63 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << x.f) END) AS h
+       |  FROM amps x JOIN amps y ON x.media_id = y.media_id
+       |    AND y.f = x.f + 1
+       |  GROUP BY 1),
+       |bands AS (SELECT media_id, i, (h >> ($AudBandBits * i)) & $mask AS bv
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(range($AudBands)) AS i)),
+       |ixb AS (SELECT * FROM bands WHERE media_id < $NewMediaBase),
+       |okb AS (SELECT i, bv FROM ixb GROUP BY i, bv
+       |  HAVING count(*) <= ${graft.ops.TextDedup.MaxBucket}),
+       |cand AS (SELECT DISTINCT ix.media_id AS indexed_id,
+       |    f.media_id AS new_id
+       |  FROM bands f
+       |  JOIN ixb ix ON f.i = ix.i AND f.bv = ix.bv
+       |  JOIN okb ON okb.i = ix.i AND okb.bv = ix.bv
+       |  WHERE f.media_id >= $NewMediaBase)
+       |SELECT c.indexed_id, c.new_id,
+       |  CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sig sa ON c.indexed_id = sa.media_id
+       |JOIN sig sb ON c.new_id = sb.media_id
+       |WHERE bit_count(xor(sa.h, sb.h)) <= $AudHamMax
+       |ORDER BY indexed_id, new_id""".stripMargin
+  }
+
   /** Oracle for q_video_dups: frame-set-containment video near-dup,
     * derived INDEPENDENTLY of any decoder — the synthetic corpus's
     * frame rasters are pure arithmetic in (group, variant, frame, x, y)

@@ -90,4 +90,27 @@ class AudioDedupSpec extends AnyFunSuite with Matchers with TestSpark {
     pairs.filter(p => p._1 % 4 == 0 && p._2 == p._1 + 1)
       .foreach(_._3 shouldBe 0L)
   }
+
+  test("incremental tier: re-uploaded clips at 3x gain pair with " +
+      "exactly their group's variants, genuinely new clips with nothing") {
+    val n = 12
+    val hashes = AudioDedup.hashRows(AudioDedup.audioTable(spark, n))
+      .unionByName(
+        AudioDedup.hashRows(AudioDedup.incrementTable(spark, n)))
+    val pairs = AudioDedup.audioDupsIncremental(hashes)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0L until n.toLong).foreach { g =>
+      val newId = AudioDedup.NewMediaBase + g
+      val got = pairs.filter(_._2 == newId).map(_._1).sorted
+      if (g % 3 == 0) {
+        got shouldBe Seq(4 * g, 4 * g + 1, 4 * g + 2)
+        pairs.filter(p => p._2 == newId && p._1 != 4 * g + 2)
+          .foreach(_._3 shouldBe 0L) // gain-invariance: exact vs v0/v1
+      } else {
+        got shouldBe empty
+      }
+    }
+    pairs.foreach(_._2 should be >= AudioDedup.NewMediaBase)
+  }
 }

@@ -193,6 +193,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_image_dups_incr" -> 4,
     // identical shape, audio modality (shared Perceptual.bandedDups)
     "q_audio_dups" -> 3,
+    // incremental acoustic tier — same shape as q_image_dups_incr
+    "q_audio_dups_incr" -> 4,
     // video: inverted-index bucket exchange + pair-count agg + output
     // sort (size joins broadcast at audit scale)
     "q_video_dups" -> 4,
