@@ -39,18 +39,25 @@ import org.apache.spark.sql.types._
   *
   * Exactness bound: the cross-products stay inside a signed 64-bit
   * integer for n < 2^24 samples (≈ 35 min at 8 kHz; sum ≤ 32767·n,
-  * cnt ≤ n). Corpus-scale clips beyond that would chunk upstream —
-  * the same "clip, then fingerprint" contract real audio dedup uses.
+  * cnt ≤ n). The bound is ENFORCED — a longer clip returns null
+  * rather than a silently-overflowed garbage fingerprint. Corpus-scale
+  * clips chunk upstream — the same "clip, then fingerprint" contract
+  * real audio dedup uses.
   *
   * Returns NULL for payloads the decoder rejects (unknown container,
-  * non-PCM16 / stereo / big-endian) and for clips shorter than 65
-  * samples (an empty frame would make the mean undefined) — the same
-  * declared-fallback contract as [[ImageDHash]], visible instead of
-  * silently hashing garbage.
+  * non-PCM16 / stereo / big-endian), for clips shorter than 65
+  * samples (an empty frame would make the mean undefined), and for
+  * clips at or beyond [[MaxSamples]] — the same declared-fallback
+  * contract as [[ImageDHash]], visible instead of silently hashing
+  * garbage.
   */
 object AudioFingerprintUtil {
   /** 65 frames → 64 neighbor-delta bits. */
   val Frames = 65
+  /** Exactness ceiling: sums(f+1)·cnts(f) ≤ 32767·n·n overflows Long at
+    * n ≥ 2^24 — clips that long hit the null fallback, not a wrong hash.
+    */
+  val MaxSamples: Int = 1 << 24
 
   def compute(payload: Array[Byte]): java.lang.Long = {
     val samples =
@@ -66,7 +73,7 @@ object AudioFingerprintUtil {
       } catch { case _: Exception => null }
     if (samples == null) return null
     val n = samples.length / 2
-    if (n < Frames) return null
+    if (n < Frames || n >= MaxSamples) return null
     val sums = new Array[Long](Frames)
     val cnts = new Array[Long](Frames)
     var i = 0

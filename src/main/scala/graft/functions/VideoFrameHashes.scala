@@ -34,6 +34,8 @@ import org.apache.spark.sql.types._
   */
 object VideoFrameHashesUtil {
   private val MJPG = 0x47504a4d
+  /** LIST nesting bound for untrusted payloads (real AVIs use 2-3). */
+  private val MaxListDepth = 64
 
   def compute(p: Array[Byte]): Array[Long] =
     try {
@@ -69,14 +71,21 @@ object VideoFrameHashesUtil {
         })
         true
       }
-      def walk(from: Int, to: Int): Boolean = {
+      // depth-capped: real AVI nests LISTs 2-3 deep; a crafted payload of
+      // ~12-byte nested LIST headers would otherwise recurse once per
+      // level and overflow the stack (an Error, which the Exception
+      // fallback below does NOT catch) — the cap turns such a payload
+      // into the declared null fallback instead of a task crash
+      def walk(from: Int, to: Int, depth: Int): Boolean = {
+        if (depth > MaxListDepth) return false
         var o = from
         while (o + 8 <= to) {
           val id = cc(o)
           val size = le32(o + 4)
           if (size < 0 || o + 8 + size > to) return false
           if (id == "LIST") {
-            if (size < 4 || !walk(o + 12, o + 8 + size)) return false
+            if (size < 4 || !walk(o + 12, o + 8 + size, depth + 1))
+              return false
           } else if (id == "strf") {
             if (size < 40) return false
             val biW = le32(o + 8 + 4); val biH = le32(o + 8 + 8)
@@ -96,7 +105,7 @@ object VideoFrameHashesUtil {
         }
         true
       }
-      if (!walk(12, 12 + le32(4) - 4) || !ok || hashes.isEmpty) null
+      if (!walk(12, 12 + le32(4) - 4, 0) || !ok || hashes.isEmpty) null
       else hashes.toArray
     } catch { case _: Exception => null }
 }

@@ -324,15 +324,20 @@ object Media {
         nFrames += 1
         true
       }
-      // walk a chunk range [from, to); LISTs recurse into their payload
-      def walk(from: Int, to: Int): Boolean = {
+      // walk a chunk range [from, to); LISTs recurse into their payload.
+      // Depth-capped (real AVIs nest 2-3 deep): a crafted payload of
+      // nested 12-byte LIST headers would otherwise overflow the stack —
+      // an Error the Exception fallback does not catch
+      def walk(from: Int, to: Int, depth: Int): Boolean = {
+        if (depth > 64) return false
         var o = from
         while (o + 8 <= to) {
           val id = cc(o)
           val size = le32(o + 4)
           if (size < 0 || o + 8 + size > to) return false
           if (id == "LIST") {
-            if (size < 4 || !walk(o + 12, o + 8 + size)) return false
+            if (size < 4 || !walk(o + 12, o + 8 + size, depth + 1))
+              return false
           } else if (id == "strf") {
             if (size < 40) return false
             val biW = le32(o + 8 + 4); val biH = le32(o + 8 + 8)
@@ -351,7 +356,7 @@ object Media {
         }
         true
       }
-      if (!walk(12, 12 + le32(4) - 4) || !ok || nFrames == 0) None
+      if (!walk(12, 12 + le32(4) - 4, 0) || !ok || nFrames == 0) None
       else Some((cks, sum.toDouble / px, nFrames, w, h))
     } catch { case _: Exception => None }
 

@@ -61,20 +61,32 @@ object Perceptual {
     * (typically an [[graft.IndexStore]] merge of the standing index
     * plus today's batch); rows with id >= newIdBase are the increment.
     *
-    * Scale shape: the increment's band keys join the index's band
-    * table — shuffle volume proportional to the INCREMENT, never the
-    * corpus (at 100 TB the index bands are a standing bucketed table
-    * and this join co-locates on it; a small-enough increment
-    * broadcasts). The hot-band cap is decided on the INDEX side alone —
-    * the standing index already knows its degenerate banks (black
-    * frames, silence), so a pathological increment cannot re-admit a
-    * banned bucket. Verification is exact bit_count(xor) on candidates
-    * only.
+    * Scale shape: the standing index is consulted by ONE scan behind a
+    * broadcast semi-join against the increment's distinct band keys
+    * (the [[TextDedup.substringDedupIncremental]] contract) — the
+    * surviving `touched` rows are increment-band-bounded and persist
+    * once for their two consumers (the hot-band cap count and the
+    * candidate join), so the 100 TB index never shuffles and is never
+    * read twice. The cap itself is still decided on the INDEX side
+    * alone — restricting by band KEY keeps every touched band's full
+    * index population, so a pathological increment cannot re-admit a
+    * bucket the standing index already knows is degenerate (black
+    * frames, silence). Verification is exact bit_count(xor) on
+    * candidates only.
+    *
+    * `hashes` is persisted here if the caller has not already done so
+    * (it feeds four subtrees: index/fresh bands + both verify sides —
+    * an unpersisted frame built on decode+fingerprint would re-run the
+    * decode per consumer).
     */
   private[ops] def bandedDupsIncremental(hashes: DataFrame, idCol: String,
       bands: Int, bandBits: Int, maxHamming: Int, newIdBase: Long,
       outIdx: String, outNew: String): DataFrame = {
-    val fanout = hashes.sparkSession.sessionState.conf.numShufflePartitions
+    import org.apache.spark.storage.StorageLevel
+    val cached =
+      if (hashes.storageLevel == StorageLevel.NONE)
+        hashes.persist(StorageLevel.MEMORY_AND_DISK)
+      else hashes
     val mask = (1L << bandBits) - 1L
     def bandsOf(df: DataFrame) = df
       .select(col(idCol),
@@ -83,20 +95,24 @@ object Perceptual {
         call_function("shiftright", col("h"), col("i") * lit(bandBits))
           .bitwiseAND(lit(mask)))
       .select(col(idCol), col("i"), col("bv"))
-    val index = hashes.filter(col(idCol) < newIdBase)
-    val fresh = hashes.filter(col(idCol) >= newIdBase)
-    val okBands = bandsOf(index)
-      .repartition(fanout, col("i"), col("bv"))
+    val index = cached.filter(col(idCol) < newIdBase)
+    val fresh = cached.filter(col(idCol) >= newIdBase)
+    val freshBands = bandsOf(fresh)
+    val touched = bandsOf(index)
+      .join(broadcast(freshBands.select(col("i"), col("bv")).distinct()),
+        Seq("i", "bv"), "leftsemi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val okBands = touched
       .groupBy(col("i"), col("bv"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= TextDedup.MaxBucket)
       .select(col("i"), col("bv"))
-    val cand = bandsOf(fresh).as("f")
-      .join(bandsOf(index).join(okBands, Seq("i", "bv")).as("ix"),
+    val cand = freshBands.as("f")
+      .join(touched.join(okBands, Seq("i", "bv")).as("ix"),
         Seq("i", "bv"))
       .select(col(s"ix.$idCol").as(outIdx), col(s"f.$idCol").as(outNew))
       .distinct()
-    val hOf = hashes.select(col(idCol), col("h"))
+    val hOf = cached.select(col(idCol), col("h"))
     cand
       .join(hOf.as("ha"), col(outIdx) === col(s"ha.$idCol"))
       .join(hOf.as("hb"), col(outNew) === col(s"hb.$idCol"))
