@@ -126,6 +126,10 @@ object Queries {
   private val audHashParams =
     s"frames=${graft.functions.AudioFingerprintUtil.Frames}," +
       s"bands=${AudioDedup.AudBands}x${AudioDedup.AudBandBits}"
+  private val vidHashParams =
+    s"grid=${graft.functions.ImageDHashUtil.GridW}x" +
+      s"${graft.functions.ImageDHashUtil.GridH}," +
+      s"sets=h64n,cap=${TextDedup.MaxBucket}"
 
   private def docsAnnotated(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, dir, "ann") {
@@ -627,7 +631,24 @@ object Queries {
     // inverted index; the oracle re-derives every pixel/frame/bit/set
     // by arithmetic, decoder-free
     "q_video_dups" -> ((s: SparkSession, _: String) =>
-      VideoDedup.videoDups(VideoDedup.videoTable(s)))
+      VideoDedup.videoDups(VideoDedup.videoTable(s))),
+    // the video leg of the standing-index contract (completing the
+    // incremental symmetry across MinHash bands, substring grams, and
+    // image/audio fingerprints): today's clip batch containment-joined
+    // against the standing frame-hash inverted index, IndexStore-merged
+    // in O(increment), hot-hash cap decided index-side
+    "q_video_dups_incr" -> ((s: SparkSession, d: String) => {
+      val hashes = memoize(s, d, "vidhash") {
+        IndexStore.mergeOrBuild(s, "vidhash",
+          VideoDedup.videoTable(s), VideoDedup.incrementTable(s),
+          vidHashParams) {
+          VideoDedup.hashRows(VideoDedup.videoTable(s))
+        } {
+          VideoDedup.hashRows(VideoDedup.incrementTable(s))
+        }
+      }
+      VideoDedup.videoDupsIncremental(hashes)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,6 +695,7 @@ object Queries {
     "q_audio_dups" -> SqlText.audioDups,
     "q_audio_dups_incr" -> SqlText.audioDupsIncr,
     "q_video_dups" -> SqlText.videoDups,
+    "q_video_dups_incr" -> SqlText.videoDupsIncr,
     "q_containment_pairs" -> SqlText.containmentPairs,
     "q_source_overlap" -> SqlText.sourceOverlap,
     "q_edit_pairs" -> SqlText.editPairs,

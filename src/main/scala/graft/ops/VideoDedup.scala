@@ -96,6 +96,28 @@ object VideoDedup {
       .toDF("media_id", "payload")
   }
 
+  /** The skinny exploded frame-hash projection (media_id, h, n): one row
+    * per DISTINCT frame hash of each decodable clip, n = the clip's
+    * distinct-hash set size. These rows ARE the standing video index
+    * [[videoDupsIncremental]] consults — a per-clip map (n is a function
+    * of the clip's own payload alone, so build(A ∪ B) ≡ build(A) ∪
+    * build(B) row-for-row), which is what lets
+    * [[graft.IndexStore.mergeOrBuild]] fold a daily clip batch into the
+    * standing index in O(increment) bytes, the same contract as the
+    * image/audio fingerprint indexes. Carrying n IN the index row is
+    * deliberate: the incremental path then derives per-clip set sizes by
+    * PROJECTION (distinct over already-touched rows), never by a
+    * corpus-wide re-aggregation of the standing index.
+    */
+  def hashRows(videos: DataFrame): DataFrame = {
+    val sets = Par.fanOut(videos, "media_id")
+      .select(col("media_id"),
+        array_distinct(VideoFrameHashes(col("payload"))).as("hs"))
+      .filter(col("hs").isNotNull)
+    sets.select(col("media_id"), explode(col("hs")).as("h"),
+      size(col("hs")).as("n"))
+  }
+
   /** Temporal near-dup pairs: (vid_a, vid_b, overlap) with vid_a <
     * vid_b and overlap = |shared distinct frame hashes| / min(|A|, |B|)
     * >= overlapMin. The division is two exact BIGINTs — bit-identical
@@ -145,5 +167,103 @@ object VideoDedup {
       .filter(col("overlap") >= overlapMin)
       .select(col("vid_a"), col("vid_b"), col("overlap"))
       .orderBy("vid_a", "vid_b")
+  }
+
+  /** Increment ids start here — far above any standing corpus id. */
+  val NewMediaBase = 1000000L
+  /** Increment brightness shift (frame-hash-invariant, like Shift). */
+  val IncShift = 9
+
+  /** A daily clip-ingest increment for the incremental tier: for every
+    * third group a RE-INGESTED excerpt of the group's base clip (frames
+    * [[TrimStart]]..[[NFrames]]-1 at +[[IncShift]] brightness, raw-DIB
+    * re-encode — its frame-hash set is EXACTLY the trimmed variant's,
+    * so it pairs at containment 1.0 with v0/v1/v2: "the same footage
+    * re-uploaded trimmed and brightened"), for every 3k+1 group a
+    * genuinely new clip (fresh t-mixed multipliers, pairs with
+    * nothing); 3k+2 groups get no increment row. Pure arithmetic like
+    * [[videoTable]], replicated verbatim by the oracle.
+    */
+  private[graft] def incLuma(g: Long, t: Int, bx: Int, by: Int): Int =
+    ((g * 41 + 23 + t.toLong * 59 + bx.toLong * (89 + 11 * ((g + 2 * t) % 19)) +
+      by.toLong * (59 + 7 * ((g + t) % 17)) +
+      bx.toLong * by * (17 + 5 * ((g + 3 * t) % 13))) % LumaMod).toInt
+
+  private[graft] def encodeIncrement(g: Long): Array[Byte] = {
+    val frames: Array[(Int, Int) => Int] =
+      if (g % 3 == 0)
+        Array.tabulate(NFrames - TrimStart)(t =>
+          (x, y) => luma(g, 0, t + TrimStart, x, y) + IncShift)
+      else
+        Array.tabulate(NFrames)(t => (x, y) => incLuma(g, t, x, y))
+    Media.encodeAviLuma(BaseW, BaseH, frames)
+  }
+
+  def incrementTable(spark: SparkSession,
+      nGroups: Int = Groups): DataFrame = {
+    import spark.implicits._
+    spark.range(nGroups.toLong)
+      .filter(_ % 3 != 2)
+      .map { g => (NewMediaBase + g, encodeIncrement(g)) }
+      .toDF("media_id", "payload")
+  }
+
+  /** Incremental video near-dup: (indexed_id, new_id, overlap) frame-set
+    * containment of today's clip batch against the STANDING frame-hash
+    * inverted index — the video leg of the standing-index contract the
+    * MinHash bands, substring grams, and image/audio fingerprints
+    * already carry. `hashes` is one (media_id, h, n) frame (typically an
+    * [[graft.IndexStore]] merge of the standing index plus today's
+    * batch); rows with media_id >= [[NewMediaBase]] are the increment.
+    *
+    * Scale shape (the daily path of a 100 TB video catalog):
+    *  - the standing index is consulted by ONE scan behind a broadcast
+    *    semi-join against the increment's distinct frame hashes — the
+    *    surviving `touched` rows are increment-hash-bounded and persist
+    *    once for their three consumers (hot-hash cap, pair count, index
+    *    sizes); the catalog-sized index never shuffles;
+    *  - the hot-hash cap (test cards, black frames shared by thousands
+    *    of clips) is decided on the INDEX side: restricting by hash KEY
+    *    keeps each touched hash's full index population, so counts
+    *    equal the standing bucket sizes and a pathological increment
+    *    cannot re-admit a banned hash;
+    *  - per-pair shared counts come from the capped join's aggregation
+    *    (each joined row is one distinct shared hash — the same
+    *    count-IS-intersection trick as [[videoDups]]); per-clip set
+    *    sizes RIDE THE SAME AGGREGATION as first(n) — n is carried in
+    *    the index row and functionally dependent on media_id, so no
+    *    size re-aggregation, no extra joins, no second index pass.
+    * Index-vs-index pairs never form (the fresh side is increment-only
+    * by construction).
+    */
+  def videoDupsIncremental(hashes: DataFrame,
+      overlapMin: Double = OverlapMin): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cached =
+      if (hashes.storageLevel == StorageLevel.NONE)
+        hashes.persist(StorageLevel.MEMORY_AND_DISK)
+      else hashes
+    val index = cached.filter(col("media_id") < NewMediaBase)
+    val fresh = cached.filter(col("media_id") >= NewMediaBase)
+    val touched = index
+      .join(broadcast(fresh.select(col("h")).distinct()), Seq("h"),
+        "leftsemi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val okh = touched
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= TextDedup.MaxBucket)
+      .select(col("h"))
+    fresh.as("f")
+      .join(touched.join(okh, Seq("h")).as("ix"), Seq("h"))
+      .groupBy(col("ix.media_id").as("indexed_id"),
+        col("f.media_id").as("new_id"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("ix.n")).as("_na"), first(col("f.n")).as("_nb"))
+      .withColumn("overlap",
+        col("shared") / least(col("_na"), col("_nb")))
+      .filter(col("overlap") >= overlapMin)
+      .select(col("indexed_id"), col("new_id"), col("overlap"))
+      .orderBy("indexed_id", "new_id")
   }
 }

@@ -2293,4 +2293,76 @@ object SqlText {
        |WHERE CAST(s AS DOUBLE) / least(na.n, nb.n) >= $OverlapMin
        |ORDER BY vid_a, vid_b""".stripMargin
   }
+
+  /** Oracle for q_video_dups_incr: today's clip batch (re-ingested
+    * trimmed+brightened excerpts for 3k groups — frame-hash sets equal
+    * to the trimmed variant's, so containment 1.0 against v0/v1/v2 —
+    * plus genuinely new clips for 3k+1 groups) against the STANDING
+    * frame-hash index, decoder-free: every pixel, per-frame bit, set,
+    * index-side cap, and exact BIGINT-division containment is re-derived
+    * from the generator arithmetic ([[graft.ops.VideoDedup.luma]] /
+    * incLuma replicated verbatim). Variant codes 10 (re-ingest) and 11
+    * (new clip) extend the standing corpus's 0..3.
+    */
+  val videoDupsIncr: String = {
+    import graft.ops.VideoDedup._
+    val gw = graft.functions.ImageDHashUtil.GridW
+    val gh = graft.functions.ImageDHashUtil.GridH
+    val base = s"(g*37 + t*61 + x*(73 + 7*((g+3*t)%13))" +
+      s" + y*(151 + 5*((g+2*t)%11)) + x*y*(29 + 3*((g+t)%7))) % $LumaMod"
+    val unrel = s"(g*37 + 11 + t*53 + x*(101 + 9*((g+2*t)%17))" +
+      s" + y*(47 + 5*((g+t)%19)) + x*y*(13 + 3*((g+3*t)%23))) % $LumaMod"
+    val inc = s"(g*41 + 23 + t*59 + x*(89 + 11*((g+2*t)%19))" +
+      s" + y*(59 + 7*((g+t)%17)) + x*y*(17 + 5*((g+3*t)%13))) % $LumaMod"
+    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+       |vids AS (
+       |  SELECT g*4 + v AS media_id, g, v
+       |  FROM gs, (SELECT unnest(range(4)) AS v)
+       |  UNION ALL
+       |  SELECT $NewMediaBase + g, g,
+       |    CASE WHEN g % 3 = 0 THEN 10 ELSE 11 END
+       |  FROM gs WHERE g % 3 != 2),
+       |fr AS (SELECT media_id, g, v, tt,
+       |    CASE WHEN v = 1 THEN tt // 2
+       |         WHEN v = 2 OR v = 10 THEN tt + $TrimStart ELSE tt END AS t,
+       |    CASE WHEN v = 1 THEN $Shift
+       |         WHEN v = 10 THEN $IncShift ELSE 0 END AS sh
+       |  FROM vids, (SELECT unnest(range(${2 * NFrames})) AS tt)
+       |  WHERE tt < CASE WHEN v = 1 THEN ${2 * NFrames}
+       |    WHEN v = 2 OR v = 10 THEN ${NFrames - TrimStart}
+       |    ELSE $NFrames END),
+       |xs AS (SELECT unnest(range($BaseW)) AS x),
+       |ys AS (SELECT unnest(range($BaseH)) AS y),
+       |lum AS (SELECT media_id, tt, x * $gw // $BaseW AS gx,
+       |    y * $gh // $BaseH AS gy,
+       |    (CASE WHEN v = 3 THEN $unrel
+       |          WHEN v = 11 THEN $inc ELSE $base END) + sh AS lum
+       |  FROM fr, xs, ys),
+       |grid AS (SELECT media_id, tt, gx, gy, sum(lum) // count(*) AS m
+       |  FROM lum GROUP BY 1, 2, 3, 4),
+       |sig AS (SELECT a.media_id, a.tt,
+       |    bit_or(CASE WHEN b.m <= a.m THEN 0
+       |      WHEN a.gy*8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+       |      ELSE (1::BIGINT << (a.gy*8 + a.gx)) END) AS h
+       |  FROM grid a JOIN grid b ON a.media_id = b.media_id
+       |    AND a.tt = b.tt AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  GROUP BY 1, 2),
+       |hset AS (SELECT DISTINCT media_id, h FROM sig),
+       |sizes AS (SELECT media_id, count(*) AS n FROM hset GROUP BY 1),
+       |ixb AS (SELECT * FROM hset WHERE media_id < $NewMediaBase),
+       |fb AS (SELECT * FROM hset WHERE media_id >= $NewMediaBase),
+       |okh AS (SELECT h FROM ixb GROUP BY h
+       |  HAVING count(*) <= ${graft.ops.TextDedup.MaxBucket}),
+       |shared AS (SELECT ix.media_id AS indexed_id, f.media_id AS new_id,
+       |    count(*) AS s
+       |  FROM fb f JOIN okh USING (h) JOIN ixb ix ON f.h = ix.h
+       |  GROUP BY 1, 2)
+       |SELECT indexed_id, new_id,
+       |  CAST(s AS DOUBLE) / least(na.n, nb.n) AS overlap
+       |FROM shared
+       |JOIN sizes na ON indexed_id = na.media_id
+       |JOIN sizes nb ON new_id = nb.media_id
+       |WHERE CAST(s AS DOUBLE) / least(na.n, nb.n) >= $OverlapMin
+       |ORDER BY indexed_id, new_id""".stripMargin
+  }
 }

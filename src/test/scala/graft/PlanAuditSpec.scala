@@ -188,16 +188,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // same banded-buckets shape as q_simhash_dups (band repartition +
     // pair distinct + output sort; verify joins broadcast at audit scale)
     "q_image_dups" -> 3,
-    // incremental perceptual: index-side band agg + candidate distinct +
-    // output sort (verify joins broadcast at audit scale)
-    "q_image_dups_incr" -> 4,
+    // incremental perceptual: increment band-key distinct (broadcast
+    // semi side) + index-side cap agg over touched bands + candidate
+    // distinct + output sort (verify joins broadcast at audit scale) —
+    // every exchange increment-bounded, the index itself one scan
+    "q_image_dups_incr" -> 5,
     // identical shape, audio modality (shared Perceptual.bandedDups)
     "q_audio_dups" -> 3,
     // incremental acoustic tier — same shape as q_image_dups_incr
-    "q_audio_dups_incr" -> 4,
+    "q_audio_dups_incr" -> 5,
     // video: inverted-index bucket exchange + pair-count agg + output
     // sort (size joins broadcast at audit scale)
     "q_video_dups" -> 4,
+    // incremental video tier: increment-hash distinct (broadcast semi
+    // side) + index-side cap agg + pair-count agg (set sizes ride it as
+    // first(n)) + output sort — every exchange increment-bounded
+    "q_video_dups_incr" -> 5,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 2,
     "q_token_stats" -> 2,

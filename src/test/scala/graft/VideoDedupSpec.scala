@@ -93,4 +93,50 @@ class VideoDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       ov shouldBe 1.0 // every engineered relation is full containment
     }
   }
+
+  test("incremental tier: re-ingested excerpts pair with exactly their " +
+      "group's near-dup variants at containment 1.0, genuinely new " +
+      "clips with nothing, and no index-vs-index pair leaks") {
+    val n = 12
+    val hashes = VideoDedup.hashRows(VideoDedup.videoTable(spark, n))
+      .unionByName(
+        VideoDedup.hashRows(VideoDedup.incrementTable(spark, n)))
+    val pairs = VideoDedup.videoDupsIncremental(hashes)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0L until n.toLong).foreach { g =>
+      val newId = VideoDedup.NewMediaBase + g
+      val got = pairs.filter(_._2 == newId).map(_._1).sorted
+      if (g % 3 == 0) {
+        // the trimmed+brightened re-encode's frame set equals the
+        // trimmed variant's — contained in v0/v1's set, identical to
+        // v2's — and pairs with NOTHING else
+        got shouldBe Seq(4 * g, 4 * g + 1, 4 * g + 2)
+        pairs.filter(_._2 == newId).foreach(_._3 shouldBe 1.0)
+      } else {
+        got shouldBe empty // new clips (g%3==1) and absent ids (g%3==2)
+      }
+    }
+    pairs.foreach(_._2 should be >= VideoDedup.NewMediaBase)
+  }
+
+  test("incremental result equals the full-rebuild pairing restricted " +
+      "to (index, increment) pairs") {
+    val n = 9
+    val standing = VideoDedup.videoTable(spark, n)
+    val incr = VideoDedup.incrementTable(spark, n)
+    val incremental = VideoDedup.videoDupsIncremental(
+        VideoDedup.hashRows(standing)
+          .unionByName(VideoDedup.hashRows(incr)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full rebuild: run the batch operator over standing ∪ increment,
+    // then keep only pairs crossing the id boundary (vid_a < base <=
+    // vid_b under the operator's a<b ordering)
+    val rebuilt = VideoDedup.videoDups(standing.unionByName(incr))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        a < VideoDedup.NewMediaBase && b >= VideoDedup.NewMediaBase
+      }.toSet
+    incremental shouldBe rebuilt
+  }
 }
