@@ -563,6 +563,20 @@ object Queries {
       EmbedSim.embedDupsOf(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
       })),
+    // the embedding leg of the standing-index contract: today's vector
+    // batch assigned to the FROZEN standing centroids (never retrained
+    // by an increment), near-dup pairs increment-vs-index only — both
+    // the trained centroids and the standing inverted-list assignment
+    // are durable IndexStore state, so day N+1 re-scores nothing
+    "q_embed_dups_incr" -> ((s: SparkSession, d: String) => {
+      val cent = durableIndex(s, d, "ivf_centroids", "embeddings", ivfParams) {
+        EmbedSim.ivfCentroids(s, d)
+      }
+      EmbedSim.embedDupsIncremental(s, d, Some(cent),
+        Some(durableIndex(s, d, "ivf_assign", "embeddings", ivfParams) {
+          EmbedSim.standingAssigned(s, d, cent)
+        }))
+    }),
     // embedding-space decontamination: nearest-benchmark cosine per
     // training vector (broadcast benchmark, one corpus scan + skinny
     // argmax) — catches the paraphrased leakage n-gram matching misses
@@ -753,6 +767,7 @@ object Queries {
     "q_kmeans" -> SqlText.kmeansAssign,
     "q_cluster_sample" -> SqlText.clusterSample,
     "q_embed_dups" -> SqlText.embedDups,
+    "q_embed_dups_incr" -> SqlText.embedDupsIncr,
     "q_decontaminate_sem" -> SqlText.decontaminateSem,
     "q_semdedup" -> SqlText.semDedup,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,

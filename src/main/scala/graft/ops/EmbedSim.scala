@@ -333,6 +333,87 @@ object EmbedSim {
         col("w.bench_cos").as("bench_cos"),
         (col("w.bench_cos") >= SemThreshold).as("contaminated"))
 
+  /** Increment ids start here (the perturbed-copy convention every
+    * incremental tier shares: ids >= the base are "today's batch").
+    */
+  val NewVecBase = 100000L
+
+  /** Today's embedding batch for the incremental tier: the perturbed
+    * near-copies of every (vec_id % [[DupMod]] == 0) base vector under
+    * vec_id + [[NewVecBase]] — "an eval item paraphrased into today's
+    * crawl", the same planted increment [[dupCorpus]] injects, exposed
+    * as its own frame so the incremental path never touches the
+    * standing corpus rows. Columns: vec_id, emb, norm.
+    */
+  def embedIncrement(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .filter(col("vec_id") % DupMod === 0)
+      .select((col("vec_id") + NewVecBase).as("vec_id"),
+        transform(col("emb"), x => x + lit(0.05)).as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** The standing IVF inverted-list state: every BASE vector's nearest
+    * trained-centroid assignment (vec_id, emb, norm, centroid_id) —
+    * what a production ANN service persists alongside its centroids.
+    * Exposed so Queries can make it durable via [[graft.IndexStore]]:
+    * built once, every daily increment consults it without re-scoring
+    * a single standing vector.
+    */
+  def standingAssigned(spark: SparkSession, dir: String,
+      centroids: DataFrame): DataFrame =
+    nearestCentroid(
+      embeddings(spark, dir).select(col("vec_id"), col("emb"), col("norm")),
+      centroids)
+
+  /** Public assignment entry: a (vec_id, emb, norm) frame assigned to a
+    * given trained centroid set — the building block the incremental
+    * tier and its rebuild-equivalence spec share.
+    */
+  def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCentroid(corpus, centroids)
+
+  /** Incremental embedding near-dup: (indexed_id, new_id, cos_sim) of
+    * today's vector batch against the STANDING IVF index — the daily
+    * path a production semantic-dedup service runs, completing the
+    * embedding family's standing-index contract (the analog of
+    * [[TextDedup.incrementalDups]] over inverted lists instead of
+    * MinHash bands).
+    *
+    * The standing state is never re-scored: centroids come from the
+    * durable trained index ([[ivfCentroids]], built on the BASE corpus
+    * — a daily increment must not silently retrain the coarse
+    * quantizer), and the standing assignments come from the durable
+    * [[standingAssigned]] table. Only the INCREMENT is assigned here
+    * (|increment| × C dot products, map-side-combined argmax), and
+    * candidate pairs form exclusively increment-vs-index within shared
+    * inverted lists — never index-vs-index, never all-pairs.
+    *
+    * Scale shape: the increment assignment is one broadcast-centroid
+    * scan over today's batch; the pair join broadcasts the assigned
+    * increment against the standing list table, so the 100 TB index is
+    * consulted by ONE scan with no index shuffle (an increment too big
+    * to broadcast key-partitions on centroid_id against the standing
+    * bucketed lists instead — the [[knnIvf]] salted-join path).
+    * Verification is the exact 6dp cosine on candidates only.
+    */
+  def embedDupsIncremental(spark: SparkSession, dir: String,
+      index: Option[DataFrame] = None,
+      standing: Option[DataFrame] = None): DataFrame = {
+    val centroids = index.getOrElse(ivfCentroids(spark, dir))
+    val standingAsg = standing.getOrElse(standingAssigned(spark, dir, centroids))
+    val incr = nearestCentroid(embedIncrement(spark, dir), centroids)
+    standingAsg.as("a")
+      .join(broadcast(incr.as("b")),
+        col("a.centroid_id") === col("b.centroid_id"))
+      .select(col("a.vec_id").as("indexed_id"),
+        col("b.vec_id").as("new_id"),
+        cosByNorm(dot(col("a.emb"), col("b.emb")), col("a.norm"),
+          col("b.norm")).as("cos_sim"))
+      .filter(col("cos_sim") >= DupThreshold)
+      .orderBy("indexed_id", "new_id")
+  }
+
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&

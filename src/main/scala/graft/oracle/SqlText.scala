@@ -1230,6 +1230,41 @@ object SqlText {
        |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Oracle for q_embed_dups_incr: today's perturbed batch against the
+    * STANDING IVF index — centroids trained on the BASE corpus only
+    * (same Lloyd's chain as q_knn_ivf/q_kmeans), base vectors assigned
+    * once (the standing inverted lists), the increment assigned to the
+    * same frozen centroids, pairs increment-vs-index within shared
+    * lists. Mirrors EmbedSim.embedDupsIncremental.
+    */
+  val embedDupsIncr: String =
+    s"""WITH $embCtes,
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |  FROM emb WHERE vec_id % (SELECT m FROM cmod) = 0),
+       |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
+       |sasg AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM emb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
+       |pemb AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+       |  FROM (SELECT vec_id + ${EmbedSim.NewVecBase} AS vec_id,
+       |    list_transform(emb, x -> x + ${d(0.05)}) AS emb
+       |    FROM emb0 WHERE vec_id % ${EmbedSim.DupMod} = 0)),
+       |pasg AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM pemb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS indexed_id, b.vec_id AS new_id,
+       |    CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) AS cos_sim
+       |  FROM sasg a JOIN pasg b ON a.centroid_id = b.centroid_id)
+       |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
+       |ORDER BY indexed_id, new_id""".stripMargin
+
   /** Oracle for q_semdedup: SemDeDup-style keep/drop verdicts — a vector
     * is dropped iff a same-cluster vector with a smaller vec_id clears the
     * near-dup cosine threshold (min-id-wins greedy; mirrors

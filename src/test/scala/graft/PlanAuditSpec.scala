@@ -204,6 +204,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // side) + index-side cap agg + pair-count agg (set sizes ride it as
     // first(n)) + output sort — every exchange increment-bounded
     "q_video_dups_incr" -> 5,
+    // incremental embedding tier: increment argmax assignment + output
+    // sort; the standing index (durable parquet) broadcast-joins with
+    // zero index shuffle
+    "q_embed_dups_incr" -> 2,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 2,
     "q_token_stats" -> 2,
@@ -219,6 +223,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // loop exactly like q_knn_brute's
     "q_knn_pq",
     "q_embed_dups",
+    // increment-vs-frozen-centroid assignment is the same bounded
+    // |batch| x C product as q_kmeans
+    "q_embed_dups_incr",
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
