@@ -162,6 +162,25 @@ object Bench {
       total * (RefCpu + RefScan) / (probeCpuSec + probeScanSec)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"passes":$nPasses,"warmup_sec":$warmupSec,"warm_pass_sec":$warmPassSec,"probe_cpu_sec":${r2(probeCpuSec)},"probe_scan_sec":${r2(probeScanSec)},"normalized_total":${r2(normalizedTotal)},"errors":$errJson,"n_failed":$nFailed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line)
+    // pin the FULL per-query map per run: BENCH_r0N.json keeps only a
+    // truncated tail, so round-over-round per-query regressions were
+    // tail-parsed instead of diffed. Every run (driver's included)
+    // appends its complete line here, stamped with wall time + commit,
+    // making history mechanically diffable (jq '.queries.q_x').
+    try {
+      val sha =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes()).trim
+          if (p.waitFor() == 0) out else "unknown"
+        } catch { case _: Exception => "unknown" }
+      val stamped = line.dropRight(1) +
+        s""","ts":"${java.time.Instant.now()}","commit":"$sha"}"""
+      Files.writeString(Paths.get("bench_history.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () } // history is best-effort
     println(line)
     Queries.clear()
     spark.stop()

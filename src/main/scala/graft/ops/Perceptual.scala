@@ -87,6 +87,26 @@ object Perceptual {
       if (hashes.storageLevel == StorageLevel.NONE)
         hashes.persist(StorageLevel.MEMORY_AND_DISK)
       else hashes
+    bandedDupsAgainst(cached.filter(col(idCol) < newIdBase),
+      cached.filter(col(idCol) >= newIdBase), idCol, bands, bandBits,
+      maxHamming, outIdx, outNew)
+  }
+
+  /** The two-frame form of [[bandedDupsIncremental]]: an explicit
+    * standing `index` (id, h) frame vs an explicit `fresh` batch frame —
+    * what the STREAMING media ingest calls per micro-batch, where the
+    * arriving batch is its own frame rather than an id range of a merged
+    * one. Ids must be disjoint across the two frames (the caller's
+    * contract). Both inputs should be cheap to rescan (persisted or a
+    * columnar store read): the index is scanned once, `fresh` feeds its
+    * band explode plus the verify side. Same scale shape as the
+    * single-frame form — one semi-join-restricted index scan,
+    * index-side cap, candidates only.
+    */
+  private[graft] def bandedDupsAgainst(index: DataFrame, fresh: DataFrame,
+      idCol: String, bands: Int, bandBits: Int, maxHamming: Int,
+      outIdx: String, outNew: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val mask = (1L << bandBits) - 1L
     def bandsOf(df: DataFrame) = df
       .select(col(idCol),
@@ -95,8 +115,6 @@ object Perceptual {
         call_function("shiftright", col("h"), col("i") * lit(bandBits))
           .bitwiseAND(lit(mask)))
       .select(col(idCol), col("i"), col("bv"))
-    val index = cached.filter(col(idCol) < newIdBase)
-    val fresh = cached.filter(col(idCol) >= newIdBase)
     val freshBands = bandsOf(fresh)
     val touched = bandsOf(index)
       .join(broadcast(freshBands.select(col("i"), col("bv")).distinct()),
@@ -112,10 +130,11 @@ object Perceptual {
         Seq("i", "bv"))
       .select(col(s"ix.$idCol").as(outIdx), col(s"f.$idCol").as(outNew))
       .distinct()
-    val hOf = cached.select(col(idCol), col("h"))
     cand
-      .join(hOf.as("ha"), col(outIdx) === col(s"ha.$idCol"))
-      .join(hOf.as("hb"), col(outNew) === col(s"hb.$idCol"))
+      .join(index.select(col(idCol), col("h")).as("ha"),
+        col(outIdx) === col(s"ha.$idCol"))
+      .join(fresh.select(col(idCol), col("h")).as("hb"),
+        col(outNew) === col(s"hb.$idCol"))
       .withColumn("hamming",
         bit_count(col("ha.h").bitwiseXOR(col("hb.h"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.ImageDedup
+import graft.streaming.{StreamMediaDedup, UpsertSink}
+
+/** Streaming image-dedup leg (the firehose form of q_image_dups_incr):
+  * verdict parity with the batch incremental operator over the same
+  * standing index + arriving batch, index folding across micro-batches
+  * (batch N+1 sees batch N's canonical assets), the undecodable
+  * contract, and dup fingerprints staying out of the index.
+  */
+class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
+
+  private val n = 12
+
+  private def standingHashes = ImageDedup.hashRows(
+    ImageDedup.imageTable(spark, n))
+
+  test("streaming verdicts equal the batch incremental operator's best " +
+      "matches over the same standing index and arriving batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch truth over the SAME merged frame the batch query uses
+    val merged = standingHashes.unionByName(
+      ImageDedup.hashRows(ImageDedup.incrementTable(spark, n)))
+    val batchBest = ImageDedup.imageDupsIncremental(merged)
+      .collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(0)))) // new -> (ham, idx)
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).min }
+
+    val sink = new UpsertSink("media_key")
+    val leg = new StreamMediaDedup(sink, standingHashes)
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
+      java.nio.file.Files.createTempDirectory("smd-ck").toString)
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      in.addData(ImageDedup.incrementTable(spark, n).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), t0)).toSeq)
+      q.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      val verdicts = sink.store.values().asScala.map { r =>
+        r.getLong(r.fieldIndex("media_id")) ->
+          (r.getBoolean(r.fieldIndex("is_dup")),
+            if (r.isNullAt(r.fieldIndex("matched_id"))) -1L
+            else r.getLong(r.fieldIndex("matched_id")),
+            if (r.isNullAt(r.fieldIndex("hamming"))) -1L
+            else r.getLong(r.fieldIndex("hamming")))
+      }.toMap
+
+      // every arriving asset got exactly one verdict
+      verdicts.keySet shouldBe
+        (0L until n.toLong).filter(_ % 3 != 2)
+          .map(ImageDedup.NewMediaBase + _).toSet
+      // dup set and best matches equal the batch operator's
+      verdicts.foreach { case (id, (isDup, matched, ham)) =>
+        batchBest.get(id) match {
+          case Some((bHam, bIdx)) =>
+            isDup shouldBe true
+            matched shouldBe bIdx
+            ham shouldBe bHam
+          case None =>
+            isDup shouldBe false
+            matched shouldBe -1L
+        }
+      }
+    } finally { q.stop(); leg.close() }
+  }
+
+  test("the index folds across batches: a later re-upload of a batch-1 " +
+      "asset is flagged against it; dups and undecodables never enter " +
+      "the index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val sink = new UpsertSink("media_key")
+    val leg = new StreamMediaDedup(sink, standingHashes)
+    val size0 = leg.indexSize
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
+      java.nio.file.Files.createTempDirectory("smd-ck2").toString)
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      // batch 1: one genuinely new image (g=1 is a 3k+1 group) + one
+      // re-ingest dup (g=0) + one undecodable payload
+      val newId = ImageDedup.NewMediaBase + 1
+      in.addData(Seq(
+        (newId, ImageDedup.encodeIncrement(1), t0),
+        (ImageDedup.NewMediaBase + 0, ImageDedup.encodeIncrement(0), t0),
+        (ImageDedup.NewMediaBase + 500, Array[Byte](1, 2, 3), t0)))
+      q.processAllAvailable()
+      // only the genuinely new asset's fingerprint folded in
+      leg.indexSize shouldBe size0 + 1
+
+      // batch 2: the SAME new image re-uploaded under a fresh id must
+      // match the batch-1 asset (the fold made it standing)
+      val reId = ImageDedup.NewMediaBase + 1001
+      in.addData(Seq((reId, ImageDedup.encodeIncrement(1), t0)))
+      q.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      val byId = sink.store.values().asScala
+        .map(r => r.getLong(r.fieldIndex("media_id")) -> r).toMap
+      byId(reId).getBoolean(byId(reId).fieldIndex("is_dup")) shouldBe true
+      byId(reId).getLong(byId(reId).fieldIndex("matched_id")) shouldBe newId
+      val und = byId(ImageDedup.NewMediaBase + 500)
+      und.getBoolean(und.fieldIndex("decoded")) shouldBe false
+      und.getBoolean(und.fieldIndex("is_dup")) shouldBe false
+      // the re-upload (a dup) did not fold in
+      leg.indexSize shouldBe size0 + 1
+    } finally { q.stop(); leg.close() }
+  }
+}
