@@ -210,13 +210,4 @@ object ImageDedup {
       maxHamming: Int = ImgHamMax): DataFrame =
     Perceptual.bandedDupsIncremental(hashes, "media_id", ImgBands,
       ImgBandBits, maxHamming, NewMediaBase, "indexed_id", "new_id")
-
-  /** The two-frame incremental form (explicit standing index vs an
-    * arriving batch, disjoint ids) — the per-micro-batch call of the
-    * streaming media ingest ([[graft.streaming.StreamMediaDedup]]).
-    */
-  def imageDupsAgainst(index: DataFrame, fresh: DataFrame,
-      maxHamming: Int = ImgHamMax): DataFrame =
-    Perceptual.bandedDupsAgainst(index, fresh, "media_id", ImgBands,
-      ImgBandBits, maxHamming, "indexed_id", "new_id")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ops.ImageDedup
+import graft.ops.{ImageDedup, Perceptual}
 
 /** The cross-modal (image) leg of the streaming curation firehose — the
   * streaming form of the batch q_image_dups_incr contract: every
@@ -47,9 +47,19 @@ import graft.ops.ImageDedup
   * ids are stable — the caller's id contract, as everywhere in the
   * media tier.
   */
+/** @param hashRows the modality's scan-side fingerprint projection
+  *   ((media_id, payload) → (media_id, h)) — [[graft.ops.ImageDedup.hashRows]]
+  *   by default, [[graft.ops.AudioDedup.hashRows]] for the acoustic leg;
+  *   band geometry follows the modality. The leg is modality-generic
+  *   because the pairing IS: every fingerprint family shares
+  *   [[graft.ops.Perceptual.bandedDupsAgainst]].
+  */
 final class StreamMediaDedup(
     verdictSink: BatchSink,
     standingIndex: DataFrame,
+    hashRows: DataFrame => DataFrame = ImageDedup.hashRows,
+    bands: Int = ImageDedup.ImgBands,
+    bandBits: Int = ImageDedup.ImgBandBits,
     maxHamming: Int = ImageDedup.ImgHamMax) {
 
   // per-batch fingerprint leaves; head = the initial standing index.
@@ -83,11 +93,12 @@ final class StreamMediaDedup(
     val batch = b.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (batch.count() > 0) {
-        val hashes = ImageDedup.hashRows(
+        val hashes = hashRows(
             batch.select(col("media_id"), col("payload")))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val index = currentIndex
-        val pairs = ImageDedup.imageDupsAgainst(index, hashes, maxHamming)
+        val pairs = Perceptual.bandedDupsAgainst(index, hashes,
+          "media_id", bands, bandBits, maxHamming, "indexed_id", "new_id")
         // best standing match per arriving asset: min (hamming,
         // indexed_id) — a skinny increment-sized argmin
         // persisted: best feeds both the verdict join and the index-fold

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.ops.ImageDedup
+import graft.ops.{AudioDedup, ImageDedup}
 import graft.streaming.{StreamMediaDedup, UpsertSink}
 
 /** Streaming image-dedup leg (the firehose form of q_image_dups_incr):
@@ -118,6 +118,38 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       und.getBoolean(und.fieldIndex("is_dup")) shouldBe false
       // the re-upload (a dup) did not fold in
       leg.indexSize shouldBe size0 + 1
+    } finally { q.stop(); leg.close() }
+  }
+
+  test("the leg is modality-generic: the audio fingerprint family runs " +
+      "through the same pipeline with batch-parity verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val standing = AudioDedup.hashRows(AudioDedup.audioTable(spark, n))
+    val merged = standing.unionByName(
+      AudioDedup.hashRows(AudioDedup.incrementTable(spark, n)))
+    val batchDups = AudioDedup.audioDupsIncremental(merged)
+      .collect().map(_.getLong(1)).toSet
+
+    val sink = new UpsertSink("media_key")
+    val leg = new StreamMediaDedup(sink, standing,
+      hashRows = AudioDedup.hashRows, bands = AudioDedup.AudBands,
+      bandBits = AudioDedup.AudBandBits, maxHamming = AudioDedup.AudHamMax)
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
+      java.nio.file.Files.createTempDirectory("smd-ck3").toString)
+    try {
+      in.addData(AudioDedup.incrementTable(spark, n).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+          new Timestamp(1700000000000L))).toSeq)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val dupIds = sink.store.values().asScala
+        .filter(r => r.getBoolean(r.fieldIndex("is_dup")))
+        .map(r => r.getLong(r.fieldIndex("media_id"))).toSet
+      dupIds shouldBe batchDups
     } finally { q.stop(); leg.close() }
   }
 }
