@@ -122,8 +122,8 @@ object MediaIngestBench {
     val standing = ImageDedup.hashRows(
       ImageDedup.imageTable(spark, StandingGroups))
     val verdictDir = base.resolve("verdicts").toString
-    val leg = new StreamMediaDedup(new ParquetSink(verdictDir, maxFiles = 8),
-      standing)
+    val leg = StreamMediaDedup.image(
+      new ParquetSink(verdictDir, maxFiles = 8), standing)
     val indexSize0 = leg.indexSize // also forces the standing persist
     val q = leg.start(
       spark.readStream.schema("media_id LONG, payload BINARY, ts TIMESTAMP")

@@ -243,8 +243,20 @@ object VideoDedup {
       if (hashes.storageLevel == StorageLevel.NONE)
         hashes.persist(StorageLevel.MEMORY_AND_DISK)
       else hashes
-    val index = cached.filter(col("media_id") < NewMediaBase)
-    val fresh = cached.filter(col("media_id") >= NewMediaBase)
+    videoDupsAgainst(cached.filter(col("media_id") < NewMediaBase),
+      cached.filter(col("media_id") >= NewMediaBase), overlapMin)
+  }
+
+  /** The two-frame form of [[videoDupsIncremental]]: an explicit
+    * standing (media_id, h, n) index vs an explicit fresh batch frame
+    * with disjoint ids — the per-micro-batch call of the streaming
+    * media ingest, mirroring [[Perceptual.bandedDupsAgainst]]. Both
+    * inputs should be cheap to rescan (persisted or columnar-store
+    * reads); the `touched` restriction persists internally.
+    */
+  private[graft] def videoDupsAgainst(index: DataFrame, fresh: DataFrame,
+      overlapMin: Double = OverlapMin): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val touched = index
       .join(broadcast(fresh.select(col("h")).distinct()), Seq("h"),
         "leftsemi")

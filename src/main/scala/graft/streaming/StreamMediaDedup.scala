@@ -5,25 +5,33 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ops.{ImageDedup, Perceptual}
+import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
 
-/** The cross-modal (image) leg of the streaming curation firehose — the
-  * streaming form of the batch q_image_dups_incr contract: every
-  * arriving media payload is fingerprinted scan-side (native
-  * [[graft.functions.ImageDHash]], one codegen'd call — the payload
-  * never leaves the scan), checked against the STANDING perceptual
-  * index via the shared incremental banded join
-  * ([[graft.ops.Perceptual.bandedDupsAgainst]], the same code the batch
-  * tier runs — so streaming and batch verdicts cannot drift), and
-  * routed with a verdict column; each micro-batch's NON-duplicate
-  * fingerprints then fold into the standing index, so batch N+1 sees
-  * batch N's canonical assets — exactly how a production media ingest
-  * maintains its perceptual index.
+/** The cross-modal leg of the streaming curation firehose — the
+  * streaming form of the batch incremental contract (q_image_dups_incr /
+  * q_audio_dups_incr / q_video_dups_incr): every arriving media payload
+  * is fingerprinted scan-side (one codegen'd native call — the payload
+  * never leaves the scan), matched against the STANDING perceptual
+  * index by the SAME two-frame operator the batch tier runs
+  * ([[graft.ops.Perceptual.bandedDupsAgainst]] for the 64-bit
+  * image/audio fingerprints, [[graft.ops.VideoDedup.videoDupsAgainst]]
+  * frame-set containment for clips — so streaming and batch verdicts
+  * cannot drift), and routed with a verdict; each micro-batch's
+  * NON-duplicate fingerprints then fold into the standing index, so
+  * batch N+1 sees batch N's canonical assets — exactly how a
+  * production media ingest maintains its perceptual index.
+  *
+  * Construct via the companion: [[StreamMediaDedup.image]] /
+  * [[StreamMediaDedup.audio]] (banded hamming; verdict `score` = the
+  * best match's hamming distance) / [[StreamMediaDedup.video]]
+  * (frame-set containment; `score` = the best match's overlap
+  * fraction). The class itself is modality-agnostic over two
+  * functions: the fingerprint projection and the best-match pairing.
   *
   * Verdict semantics per arriving asset:
-  *  - `is_dup` — some indexed fingerprint is within the hamming
-  *    threshold; `matched_id`/`hamming` identify the BEST standing
-  *    match (min hamming, then min indexed id — deterministic);
+  *  - `is_dup` — some indexed asset cleared the modality's threshold;
+  *    `matched_id`/`score` identify the BEST standing match
+  *    (deterministic tiebreak on lowest indexed id);
   *  - undecodable payloads surface with `decoded = false` (the
   *    declared-fallback contract made visible in the stream) and are
   *    never admitted to the index;
@@ -31,9 +39,9 @@ import graft.ops.{ImageDedup, Perceptual}
   *    retro-removal is the standing batch dedup's job, the same
   *    detect-don't-drop stance as [[StreamNearDup]].
   *
-  * State shape: the index lives as a chain of PERSISTED per-batch
-  * fingerprint frames (16 bytes/row) unioned lazily — each batch
-  * appends one materialized leaf, so lineage stays one level deep and
+  * State shape: the index lives as a chain of materialized per-batch
+  * fingerprint frames unioned lazily — each batch appends one
+  * eagerly-checkpointed leaf, so lineage stays one level deep and
   * per-batch work is one index scan + increment-sized joins (the scan
   * is the batch contract too; a 100 TB deployment reads the index from
   * its columnar store instead of executor memory, same plan). Folding
@@ -46,21 +54,19 @@ import graft.ops.{ImageDedup, Perceptual}
   * folding is idempotent under replay for the same reason only when
   * ids are stable — the caller's id contract, as everywhere in the
   * media tier.
-  */
-/** @param hashRows the modality's scan-side fingerprint projection
-  *   ((media_id, payload) → (media_id, h)) — [[graft.ops.ImageDedup.hashRows]]
-  *   by default, [[graft.ops.AudioDedup.hashRows]] for the acoustic leg;
-  *   band geometry follows the modality. The leg is modality-generic
-  *   because the pairing IS: every fingerprint family shares
-  *   [[graft.ops.Perceptual.bandedDupsAgainst]].
+  *
+  * @param hashRows  the modality's scan-side fingerprint projection
+  *                  ((media_id, payload) → index-row shape)
+  * @param bestMatch (standing index, batch fingerprints) →
+  *                  (media_id, matched_id, score) — the modality's
+  *                  two-frame incremental operator reduced to the best
+  *                  standing match per arriving asset
   */
 final class StreamMediaDedup(
     verdictSink: BatchSink,
     standingIndex: DataFrame,
-    hashRows: DataFrame => DataFrame = ImageDedup.hashRows,
-    bands: Int = ImageDedup.ImgBands,
-    bandBits: Int = ImageDedup.ImgBandBits,
-    maxHamming: Int = ImageDedup.ImgHamMax) {
+    hashRows: DataFrame => DataFrame,
+    bestMatch: (DataFrame, DataFrame) => DataFrame) {
 
   // per-batch fingerprint leaves; head = the initial standing index.
   // foreachBatch invocations are serialized per query, so plain state
@@ -68,7 +74,7 @@ final class StreamMediaDedup(
   @volatile private var indexParts: Vector[DataFrame] =
     Vector(standingIndex.persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Total fingerprints currently in the standing index (diagnostic). */
+  /** Total index rows currently standing (diagnostic). */
   def indexSize: Long = indexParts.map(_.count()).sum
 
   private def currentIndex: DataFrame = indexParts.reduce(_ unionByName _)
@@ -96,29 +102,24 @@ final class StreamMediaDedup(
         val hashes = hashRows(
             batch.select(col("media_id"), col("payload")))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val index = currentIndex
-        val pairs = Perceptual.bandedDupsAgainst(index, hashes,
-          "media_id", bands, bandBits, maxHamming, "indexed_id", "new_id")
-        // best standing match per arriving asset: min (hamming,
-        // indexed_id) — a skinny increment-sized argmin
         // persisted: best feeds both the verdict join and the index-fold
-        // anti-join — without it each consumer would re-run the banded
-        // join and scan the standing index a second time
-        val best = pairs
-          .groupBy(col("new_id").as("media_id"))
-          .agg(min(struct(col("hamming"), col("indexed_id"))).as("m"))
-          .select(col("media_id"), col("m.indexed_id").as("matched_id"),
-            col("m.hamming").as("hamming"))
+        // anti-join — without it each consumer would re-run the pairing
+        // and scan the standing index a second time
+        val best = bestMatch(currentIndex, hashes)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // decoded = the projection produced at least one index row for
+        // the asset (a distinct, NOT a join on the row-per-fingerprint
+        // frame — a clip's many frame rows must not explode verdicts)
+        val present = hashes.select(col("media_id")).distinct()
+          .withColumn("_dec", lit(true))
         val verdicts = batch.select(col("media_id"), col("ts"))
-          .join(hashes.select(col("media_id"), col("h")), Seq("media_id"),
-            "left")
+          .join(present, Seq("media_id"), "left")
           .join(best, Seq("media_id"), "left")
           .select(col("media_id").cast("string").as("media_key"),
-            col("media_id"), col("ts"), col("h"),
-            col("h").isNotNull.as("decoded"),
+            col("media_id"), col("ts"),
+            coalesce(col("_dec"), lit(false)).as("decoded"),
             col("matched_id").isNotNull.as("is_dup"),
-            col("matched_id"), col("hamming"))
+            col("matched_id"), col("score"))
         verdictSink.write(verdicts, id)
         // fold the batch's canonical (non-dup, decodable) fingerprints
         // into the standing index as ONE materialized leaf. Eager
@@ -146,4 +147,43 @@ final class StreamMediaDedup(
     })
     indexParts = Vector.empty
   }
+}
+
+object StreamMediaDedup {
+
+  /** Best banded-hamming match per arriving asset: min (hamming, id). */
+  private def bandedBest(bands: Int, bandBits: Int, maxHamming: Int)(
+      index: DataFrame, fresh: DataFrame): DataFrame =
+    Perceptual.bandedDupsAgainst(index, fresh, "media_id", bands,
+        bandBits, maxHamming, "indexed_id", "new_id")
+      .groupBy(col("new_id").as("media_id"))
+      .agg(min(struct(col("hamming"), col("indexed_id"))).as("m"))
+      .select(col("media_id"), col("m.indexed_id").as("matched_id"),
+        col("m.hamming").cast("double").as("score"))
+
+  /** Image leg: dHash fingerprints, banded hamming. */
+  def image(verdictSink: BatchSink, standingIndex: DataFrame,
+      maxHamming: Int = ImageDedup.ImgHamMax): StreamMediaDedup =
+    new StreamMediaDedup(verdictSink, standingIndex, ImageDedup.hashRows,
+      bandedBest(ImageDedup.ImgBands, ImageDedup.ImgBandBits, maxHamming))
+
+  /** Audio leg: energy-delta fingerprints, banded hamming. */
+  def audio(verdictSink: BatchSink, standingIndex: DataFrame,
+      maxHamming: Int = AudioDedup.AudHamMax): StreamMediaDedup =
+    new StreamMediaDedup(verdictSink, standingIndex, AudioDedup.hashRows,
+      bandedBest(AudioDedup.AudBands, AudioDedup.AudBandBits, maxHamming))
+
+  /** Video leg: per-frame hash sets, containment pairing — best match =
+    * max overlap, then lowest indexed id.
+    */
+  def video(verdictSink: BatchSink, standingIndex: DataFrame,
+      overlapMin: Double = VideoDedup.OverlapMin): StreamMediaDedup =
+    new StreamMediaDedup(verdictSink, standingIndex, VideoDedup.hashRows,
+      (index, fresh) =>
+        VideoDedup.videoDupsAgainst(index, fresh, overlapMin)
+          .groupBy(col("new_id").as("media_id"))
+          .agg(min(struct((-col("overlap")).as("_neg"),
+            col("indexed_id"))).as("m"))
+          .select(col("media_id"), col("m.indexed_id").as("matched_id"),
+            (-col("m._neg")).as("score")))
 }

@@ -5,14 +5,16 @@ import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.ops.{AudioDedup, ImageDedup}
+import graft.ops.{AudioDedup, ImageDedup, VideoDedup}
 import graft.streaming.{StreamMediaDedup, UpsertSink}
 
-/** Streaming image-dedup leg (the firehose form of q_image_dups_incr):
-  * verdict parity with the batch incremental operator over the same
-  * standing index + arriving batch, index folding across micro-batches
-  * (batch N+1 sees batch N's canonical assets), the undecodable
-  * contract, and dup fingerprints staying out of the index.
+/** Streaming media-dedup leg (the firehose form of the incremental
+  * batch contracts): verdict parity with the batch incremental operator
+  * over the same standing index + arriving batch for ALL THREE
+  * modalities (image/audio banded hamming, video frame-set
+  * containment), index folding across micro-batches (batch N+1 sees
+  * batch N's canonical assets), the undecodable contract, and dup
+  * fingerprints staying out of the index.
   */
 class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
 
@@ -20,6 +22,18 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
 
   private def standingHashes = ImageDedup.hashRows(
     ImageDedup.imageTable(spark, n))
+
+  private def collectVerdicts(sink: UpsertSink) = {
+    import scala.jdk.CollectionConverters._
+    sink.store.values().asScala.map { r =>
+      r.getLong(r.fieldIndex("media_id")) ->
+        (r.getBoolean(r.fieldIndex("is_dup")),
+          if (r.isNullAt(r.fieldIndex("matched_id"))) -1L
+          else r.getLong(r.fieldIndex("matched_id")),
+          if (r.isNullAt(r.fieldIndex("score"))) Double.NaN
+          else r.getDouble(r.fieldIndex("score")))
+    }.toMap
+  }
 
   test("streaming verdicts equal the batch incremental operator's best " +
       "matches over the same standing index and arriving batch") {
@@ -37,7 +51,7 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       .map { case (k, v) => k -> v.map(_._2).min }
 
     val sink = new UpsertSink("media_key")
-    val leg = new StreamMediaDedup(sink, standingHashes)
+    val leg = StreamMediaDedup.image(sink, standingHashes)
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
       java.nio.file.Files.createTempDirectory("smd-ck").toString)
@@ -47,27 +61,18 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
         .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), t0)).toSeq)
       q.processAllAvailable()
 
-      import scala.jdk.CollectionConverters._
-      val verdicts = sink.store.values().asScala.map { r =>
-        r.getLong(r.fieldIndex("media_id")) ->
-          (r.getBoolean(r.fieldIndex("is_dup")),
-            if (r.isNullAt(r.fieldIndex("matched_id"))) -1L
-            else r.getLong(r.fieldIndex("matched_id")),
-            if (r.isNullAt(r.fieldIndex("hamming"))) -1L
-            else r.getLong(r.fieldIndex("hamming")))
-      }.toMap
-
+      val verdicts = collectVerdicts(sink)
       // every arriving asset got exactly one verdict
       verdicts.keySet shouldBe
         (0L until n.toLong).filter(_ % 3 != 2)
           .map(ImageDedup.NewMediaBase + _).toSet
       // dup set and best matches equal the batch operator's
-      verdicts.foreach { case (id, (isDup, matched, ham)) =>
+      verdicts.foreach { case (id, (isDup, matched, score)) =>
         batchBest.get(id) match {
           case Some((bHam, bIdx)) =>
             isDup shouldBe true
             matched shouldBe bIdx
-            ham shouldBe bHam
+            score shouldBe bHam.toDouble
           case None =>
             isDup shouldBe false
             matched shouldBe -1L
@@ -84,7 +89,7 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
     implicit val sqlCtx = spark.sqlContext
 
     val sink = new UpsertSink("media_key")
-    val leg = new StreamMediaDedup(sink, standingHashes)
+    val leg = StreamMediaDedup.image(sink, standingHashes)
     val size0 = leg.indexSize
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
@@ -108,14 +113,16 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       in.addData(Seq((reId, ImageDedup.encodeIncrement(1), t0)))
       q.processAllAvailable()
 
-      import scala.jdk.CollectionConverters._
-      val byId = sink.store.values().asScala
-        .map(r => r.getLong(r.fieldIndex("media_id")) -> r).toMap
-      byId(reId).getBoolean(byId(reId).fieldIndex("is_dup")) shouldBe true
-      byId(reId).getLong(byId(reId).fieldIndex("matched_id")) shouldBe newId
+      val byId = collectVerdicts(sink)
+      byId(reId)._1 shouldBe true
+      byId(reId)._2 shouldBe newId
       val und = byId(ImageDedup.NewMediaBase + 500)
-      und.getBoolean(und.fieldIndex("decoded")) shouldBe false
-      und.getBoolean(und.fieldIndex("is_dup")) shouldBe false
+      und._1 shouldBe false
+      import scala.jdk.CollectionConverters._
+      val undRow = sink.store.values().asScala
+        .find(r => r.getLong(r.fieldIndex("media_id")) ==
+          ImageDedup.NewMediaBase + 500).get
+      undRow.getBoolean(undRow.fieldIndex("decoded")) shouldBe false
       // the re-upload (a dup) did not fold in
       leg.indexSize shouldBe size0 + 1
     } finally { q.stop(); leg.close() }
@@ -134,9 +141,7 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       .collect().map(_.getLong(1)).toSet
 
     val sink = new UpsertSink("media_key")
-    val leg = new StreamMediaDedup(sink, standing,
-      hashRows = AudioDedup.hashRows, bands = AudioDedup.AudBands,
-      bandBits = AudioDedup.AudBandBits, maxHamming = AudioDedup.AudHamMax)
+    val leg = StreamMediaDedup.audio(sink, standing)
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
       java.nio.file.Files.createTempDirectory("smd-ck3").toString)
@@ -145,11 +150,52 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
         .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
           new Timestamp(1700000000000L))).toSeq)
       q.processAllAvailable()
-      import scala.jdk.CollectionConverters._
-      val dupIds = sink.store.values().asScala
-        .filter(r => r.getBoolean(r.fieldIndex("is_dup")))
-        .map(r => r.getLong(r.fieldIndex("media_id"))).toSet
+      val dupIds = collectVerdicts(sink).filter(_._2._1).keySet
       dupIds shouldBe batchDups
+    } finally { q.stop(); leg.close() }
+  }
+
+  test("the video modality streams through the containment pairing: " +
+      "verdicts equal the batch incremental operator's best overlaps, " +
+      "and per-clip multi-row fingerprints do not explode verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val standing = VideoDedup.hashRows(VideoDedup.videoTable(spark, n))
+    val merged = standing.unionByName(
+      VideoDedup.hashRows(VideoDedup.incrementTable(spark, n)))
+    val batchBest = VideoDedup.videoDupsIncremental(merged)
+      .collect()
+      .map(r => (r.getLong(1), (-r.getDouble(2), r.getLong(0))))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).min } // max overlap, min id
+
+    val sink = new UpsertSink("media_key")
+    val leg = StreamMediaDedup.video(sink, standing)
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
+      java.nio.file.Files.createTempDirectory("smd-ck4").toString)
+    try {
+      in.addData(VideoDedup.incrementTable(spark, n).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+          new Timestamp(1700000000000L))).toSeq)
+      q.processAllAvailable()
+      val verdicts = collectVerdicts(sink)
+      // one verdict per arriving clip, never one per frame hash
+      verdicts.keySet shouldBe
+        (0L until n.toLong).filter(_ % 3 != 2)
+          .map(VideoDedup.NewMediaBase + _).toSet
+      verdicts.foreach { case (id, (isDup, matched, score)) =>
+        batchBest.get(id) match {
+          case Some((negOv, bIdx)) =>
+            isDup shouldBe true
+            matched shouldBe bIdx
+            score shouldBe -negOv
+          case None =>
+            isDup shouldBe false
+        }
+      }
     } finally { q.stop(); leg.close() }
   }
 }
