@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.ImageDedup
+import graft.ops.{ImageDedup, VideoDedup}
 import graft.streaming.{ParquetSink, StreamMediaDedup}
 
 /** Streaming media-ingest benchmark: drives the cross-modal image leg
@@ -23,8 +23,11 @@ import graft.streaming.{ParquetSink, StreamMediaDedup}
   * case), the rest genuinely new patterned rasters (every one distinct);
   * the standing index starts from [[ImageDedup.imageTable]]'s corpus.
   *
-  * Usage: runMain graft.MediaIngestBench [nImages] [nBatches]. Emits one
-  * JSON line (plus media_bench_out.json).
+  * Usage: runMain graft.MediaIngestBench [nAssets] [nBatches]
+  * [mode=image|video]. Video mode streams raw-DIB AVI clips through the
+  * frame-set containment pairing (re-ingests are trimmed+brightened
+  * excerpts of standing clips — the q_video_dups_incr relation at
+  * firehose volume). Emits one JSON line (plus media_bench_out.json).
   */
 object MediaIngestBench {
 
@@ -74,9 +77,41 @@ object MediaIngestBench {
     bos.toByteArray
   }
 
+  /** Video-mode payload for arriving clip i: every 10th a re-ingest of
+    * standing group (i/10) % StandingGroups as a trimmed+brightened
+    * raw-DIB excerpt (frame-hash set equal to the trimmed variant's →
+    * containment 1.0 against v0/v1/v2), the rest genuinely new 10-frame
+    * clips whose per-frame structure comes from a splitmix of (i, t) —
+    * same entropy rationale as the image generator.
+    */
+  private[graft] def encodeVideoFor(i: Long): Array[Byte] = {
+    val reIngest = i % 10 == 0
+    val frames: Array[(Int, Int) => Int] =
+      if (reIngest) {
+        val g = (i / 10) % StandingGroups
+        Array.tabulate(VideoDedup.NFrames - VideoDedup.TrimStart)(t =>
+          (x, y) => VideoDedup.luma(g, 0, t + VideoDedup.TrimStart, x, y) +
+            VideoDedup.IncShift)
+      } else
+        Array.tabulate(VideoDedup.NFrames) { t =>
+          var z = (i * 31 + t) * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = z ^ (z >>> 27)
+          val m1 = 73 + (z & 63); val m2 = 151 + ((z >> 6) & 63)
+          val m3 = 29 + ((z >> 12) & 63); val m4 = 13 + ((z >> 18) & 31)
+          val off = (z >> 23) & 0xff
+          (x, y) =>
+            ((off + x * m1 + y * m2 + x.toLong * y * m3 +
+              ((x + y) % 7) * m4) % VideoDedup.LumaMod).toInt
+        }
+    graft.ops.Media.encodeAviLuma(VideoDedup.BaseW, VideoDedup.BaseH,
+      frames)
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val mode = args.drop(2).headOption.getOrElse("image")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,10 +128,12 @@ object MediaIngestBench {
     // payload, ts) — payload encode runs distributed, once, pre-timer
     val batchSize = n / nBatches
     val newBase = ImageDedup.NewMediaBase
+    val enc: Long => Array[Byte] =
+      if (mode == "video") encodeVideoFor else encodeFor
     def writeBatch(b: Int, lo: Long, hi: Long): Path = {
       val dir = stage.resolve(f"batch$b%05d")
       spark.range(lo, hi, 1, 8)
-        .map { i => (newBase + i, encodeFor(i),
+        .map { i => (newBase + i, enc(i),
           new java.sql.Timestamp(1704100000000L + i * 100L)) }
         .toDF("media_id", "payload", "ts")
         .write.parquet(dir.toString)
@@ -119,11 +156,15 @@ object MediaIngestBench {
             StandardCopyOption.ATOMIC_MOVE)
       }
 
-    val standing = ImageDedup.hashRows(
-      ImageDedup.imageTable(spark, StandingGroups))
     val verdictDir = base.resolve("verdicts").toString
-    val leg = StreamMediaDedup.image(
-      new ParquetSink(verdictDir, maxFiles = 8), standing)
+    val sink = new ParquetSink(verdictDir, maxFiles = 8)
+    val leg =
+      if (mode == "video")
+        StreamMediaDedup.video(sink, VideoDedup.hashRows(
+          VideoDedup.videoTable(spark, StandingGroups)))
+      else
+        StreamMediaDedup.image(sink, ImageDedup.hashRows(
+          ImageDedup.imageTable(spark, StandingGroups)))
     val indexSize0 = leg.indexSize // also forces the standing persist
     val q = leg.start(
       spark.readStream.schema("media_id LONG, payload BINARY, ts TIMESTAMP")
@@ -160,7 +201,8 @@ object MediaIngestBench {
     val sorted = batchSec.sorted
     val medianBatch = sorted(sorted.size / 2)
     val line = s"""{"metric":"media_ingest_throughput","value":$ips,""" +
-      s""""unit":"images/sec","images":$n,"batches":$nBatches,""" +
+      s""""unit":"images/sec","mode":"$mode","images":$n,""" +
+      s""""batches":$nBatches,""" +
       s""""seconds":$sec,"median_batch_sec":$medianBatch,""" +
       s""""verdicts":$nV,"dups":$nDup,"undecodable":$nUndec,""" +
       s""""planted":$nPlanted,"planted_found":$nPlantedFound,""" +
