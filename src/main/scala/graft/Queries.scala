@@ -588,6 +588,19 @@ object Queries {
       EmbedSim.semDedup(s, d, Some(memoize(s, d, "emb_assigned") {
         EmbedSim.dupAssigned(s, d)
       }))),
+    // the decision form of q_embed_dups_incr: keep/drop verdicts for
+    // today's batch (min-id-wins over standing ∪ earlier-in-batch
+    // near-dups), standing verdicts never re-opened — the full daily
+    // loop of a semantic-dedup service over the same durable indexes
+    "q_semdedup_incr" -> ((s: SparkSession, d: String) => {
+      val cent = durableIndex(s, d, "ivf_centroids", "embeddings", ivfParams) {
+        EmbedSim.ivfCentroids(s, d)
+      }
+      EmbedSim.semDedupIncremental(s, d, Some(cent),
+        Some(durableIndex(s, d, "ivf_assign", "embeddings", ivfParams) {
+          EmbedSim.standingAssigned(s, d, cent)
+        }))
+    }),
     // the LSH-bucketed near-dup scale path (random hyperplanes; same
     // corpus + threshold as q_embed_dups, different candidate generation)
     "q_embed_dups_lsh" -> (EmbedLsh.embedDupsLsh _),
@@ -768,6 +781,7 @@ object Queries {
     "q_cluster_sample" -> SqlText.clusterSample,
     "q_embed_dups" -> SqlText.embedDups,
     "q_embed_dups_incr" -> SqlText.embedDupsIncr,
+    "q_semdedup_incr" -> SqlText.semDedupIncr,
     "q_decontaminate_sem" -> SqlText.decontaminateSem,
     "q_semdedup" -> SqlText.semDedup,
     "q_embed_dups_lsh" -> SqlText.embedDupsLsh,

@@ -414,6 +414,55 @@ object EmbedSim {
       .orderBy("indexed_id", "new_id")
   }
 
+  /** Incremental SemDeDup verdicts: keep/drop for TODAY'S batch against
+    * the standing corpus — the decision form of [[embedDupsIncremental]]
+    * (pairs tell you what matched; a curation service acts on keep
+    * bits). Semantics are exactly [[semDedup]]'s min-id-wins greedy
+    * restricted to the increment: an arriving vector is DROPPED iff
+    * some same-cluster vector with a smaller vec_id clears
+    * [[DupThreshold]] — and since every standing id sits below
+    * [[NewVecBase]], that means "any standing near-dup, or an earlier
+    * arrival in today's batch". Standing verdicts never re-open (the
+    * curated corpus is immutable history — the same standing-wins rule
+    * as the substring tier).
+    *
+    * Scale shape: increment assigned to the FROZEN centroids (one
+    * broadcast-argmax scan of the batch), standing near-dups from the
+    * broadcast increment-vs-index list join (one index scan, as
+    * [[embedDupsIncremental]]), plus one increment-sized within-batch
+    * self-join — no standing-vs-standing work anywhere.
+    */
+  def semDedupIncremental(spark: SparkSession, dir: String,
+      index: Option[DataFrame] = None,
+      standing: Option[DataFrame] = None): DataFrame = {
+    val centroids = index.getOrElse(ivfCentroids(spark, dir))
+    val standingAsg = standing.getOrElse(standingAssigned(spark, dir, centroids))
+    // persisted: the assigned batch feeds four subtrees (both pair
+    // sides of the self-join, the index join, the verdict spine) — an
+    // unpersisted frame would re-run the broadcast-argmax assignment
+    // per consumer
+    val incr = nearestCentroid(embedIncrement(spark, dir), centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsIndex = standingAsg.as("a")
+      .join(broadcast(incr.as("b")),
+        col("a.centroid_id") === col("b.centroid_id"))
+      .filter(cosByNorm(dot(col("a.emb"), col("b.emb")), col("a.norm"),
+        col("b.norm")) >= DupThreshold)
+      .select(col("b.vec_id").as("vec_id"))
+    val vsBatch = incr.as("a")
+      .join(incr.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosByNorm(dot(col("a.emb"), col("b.emb")), col("a.norm"),
+        col("b.norm")) >= DupThreshold)
+      .select(col("b.vec_id").as("vec_id"))
+    val dropped = vsIndex.unionAll(vsBatch).distinct()
+      .withColumn("_dropped", lit(true))
+    incr.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(!col("_dropped"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&

@@ -1265,6 +1265,46 @@ object SqlText {
        |WHERE cos_sim >= ${d(EmbedSim.DupThreshold)}
        |ORDER BY indexed_id, new_id""".stripMargin
 
+  /** Oracle for q_semdedup_incr: keep/drop verdicts for the increment
+    * against the standing corpus — min-id-wins over (standing ∪
+    * earlier-in-batch) same-cluster near-dups, standing verdicts never
+    * re-opened. Mirrors EmbedSim.semDedupIncremental (same standing
+    * Lloyd's chain as q_embed_dups_incr).
+    */
+  val semDedupIncr: String =
+    s"""WITH $embCtes,
+       |cmod AS (SELECT greatest(${EmbedSim.CentroidMod},
+       |  CAST(floor(sqrt(count(*)) / 2) AS BIGINT)) AS m FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cemb, nrm AS cnrm
+       |  FROM emb WHERE vec_id % (SELECT m FROM cmod) = 0),
+       |${lloydCtes("emb", "cent0", EmbedSim.LloydIters)},
+       |sasg AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM emb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
+       |pemb AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm
+       |  FROM (SELECT vec_id + ${EmbedSim.NewVecBase} AS vec_id,
+       |    list_transform(emb, x -> x + ${d(0.05)}) AS emb
+       |    FROM emb0 WHERE vec_id % ${EmbedSim.DupMod} = 0)),
+       |pasg AS (SELECT vec_id, emb, nrm, centroid_id FROM (
+       |  SELECT e.vec_id, e.emb, e.nrm, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY CAST(round(CAST(${dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) DESC, c.centroid_id) AS rn
+       |  FROM pemb e CROSS JOIN lcent${EmbedSim.LloydIters} c) WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sasg a JOIN pasg b ON a.centroid_id = b.centroid_id
+       |  WHERE CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) >= ${d(EmbedSim.DupThreshold)}
+       |  UNION
+       |  SELECT DISTINCT b.vec_id
+       |  FROM pasg a JOIN pasg b ON a.centroid_id = b.centroid_id
+       |    AND a.vec_id < b.vec_id
+       |  WHERE CAST(round(CAST(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS DECIMAL(38, 12)), 6) AS DOUBLE) >= ${d(EmbedSim.DupThreshold)})
+       |SELECT p.vec_id, p.centroid_id, d.vec_id IS NULL AS keep
+       |FROM pasg p LEFT JOIN dropped d ON p.vec_id = d.vec_id
+       |ORDER BY p.vec_id""".stripMargin
+
   /** Oracle for q_semdedup: SemDeDup-style keep/drop verdicts — a vector
     * is dropped iff a same-cluster vector with a smaller vec_id clears the
     * near-dup cosine threshold (min-id-wins greedy; mirrors

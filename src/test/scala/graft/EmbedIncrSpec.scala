@@ -57,4 +57,29 @@ class EmbedIncrSpec extends AnyFunSuite with Matchers with TestSpark {
       byNew(nw).map(_._1) should contain(nw - EmbedSim.NewVecBase)
     }
   }
+
+  test("incremental SemDeDup verdicts: one per arriving vector, drops " +
+      "are exactly the standing-pair losers plus earlier-in-batch " +
+      "losers, standing verdicts never re-open") {
+    val verdicts = EmbedSim.semDedupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val incrIds = EmbedSim.embedIncrement(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // coverage: exactly the increment, once each — no standing verdicts
+    verdicts.map(_._1).toSet shouldBe incrIds
+    verdicts.length shouldBe incrIds.size
+    verdicts.foreach(_._1 should be >= EmbedSim.NewVecBase)
+    // every vector with a standing near-dup pair is dropped; kept
+    // vectors appear in no pair
+    val pairedNew = EmbedSim.embedDupsIncremental(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    val dropped = verdicts.filter(!_._2).map(_._1).toSet
+    pairedNew.subsetOf(dropped) shouldBe true
+    // drops beyond the standing pairs can only be in-batch min-id
+    // losers — and there is at least one planted drop overall
+    dropped should not be empty
+    (dropped -- pairedNew).foreach { id =>
+      id should be >= EmbedSim.NewVecBase
+    }
+  }
 }

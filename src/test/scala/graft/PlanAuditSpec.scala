@@ -208,6 +208,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // sort; the standing index (durable parquet) broadcast-joins with
     // zero index shuffle
     "q_embed_dups_incr" -> 2,
+    // verdict form: the PERSISTED increment assignment feeds four
+    // subtrees and the plan string re-prints its cached child per
+    // consumer (computed once at runtime) — the budget counts the
+    // textual occurrences, like q_semdedup's
+    "q_semdedup_incr" -> 9,
     // per-row winnowing projection: output sort only
     "q_winnow" -> 2,
     "q_token_stats" -> 2,
@@ -225,7 +230,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_embed_dups",
     // increment-vs-frozen-centroid assignment is the same bounded
     // |batch| x C product as q_kmeans
-    "q_embed_dups_incr",
+    "q_embed_dups_incr", "q_semdedup_incr",
     "q_kmeans", "q_semdedup", "q_cluster_sample",
     // single-row broadcast cross join (n_sources / n_docs onto a tiny
     // aggregate frame) — bounded by construction
