@@ -50,10 +50,14 @@ import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
   *
   * Delivery: the verdict sink sees every batch at-least-once; verdicts
   * are a pure function of (standing index, batch), so a replayed batch
-  * re-emits identical rows and a keyed sink dedups them (T1). Index
-  * folding is idempotent under replay for the same reason only when
-  * ids are stable — the caller's id contract, as everywhere in the
-  * media tier.
+  * re-emits identical rows and a keyed sink dedups them (T1). The
+  * index FOLD is guarded by batch id (a replayed id folds nothing):
+  * without the guard a replay would append the same fingerprints
+  * twice, which the banded tiers absorb (candidates are distinct-ed)
+  * but the containment tier does NOT — duplicated index rows double
+  * the per-pair shared counts and can push overlap past 1. On restart
+  * the in-memory chain rebuilds from the durable standing index, so
+  * the guard only needs within-process monotonicity.
   *
   * @param hashRows  the modality's scan-side fingerprint projection
   *                  ((media_id, payload) → index-row shape)
@@ -73,6 +77,7 @@ final class StreamMediaDedup(
   // with a volatile publish is enough.
   @volatile private var indexParts: Vector[DataFrame] =
     Vector(standingIndex.persist(StorageLevel.MEMORY_AND_DISK))
+  @volatile private var lastFoldedId: Long = Long.MinValue
 
   /** Total index rows currently standing (diagnostic). */
   def indexSize: Long = indexParts.map(_.count()).sum
@@ -95,7 +100,7 @@ final class StreamMediaDedup(
     * index, emit verdicts, fold the batch's canonical fingerprints in.
     * Exposed for the parity spec (same body the streaming query runs).
     */
-  private[streaming] def processBatch(b: DataFrame, id: Long): Unit = {
+  private[graft] def processBatch(b: DataFrame, id: Long): Unit = {
     val batch = b.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (batch.count() > 0) {
@@ -130,10 +135,13 @@ final class StreamMediaDedup(
         // checkpoint truncates the leaf to its materialized blocks
         // (increment-sized, the per-batch fold cost the contract
         // promises)
-        val keep = hashes
-          .join(best.select(col("media_id")), Seq("media_id"), "left_anti")
-          .localCheckpoint(true)
-        indexParts = indexParts :+ keep
+        if (id > lastFoldedId) {
+          val keep = hashes
+            .join(best.select(col("media_id")), Seq("media_id"), "left_anti")
+            .localCheckpoint(true)
+          indexParts = indexParts :+ keep
+          lastFoldedId = id
+        }
         best.unpersist()
         hashes.unpersist()
       }

@@ -128,6 +128,26 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
     } finally { q.stop(); leg.close() }
   }
 
+  test("a replayed micro-batch re-emits verdicts but folds nothing: the " +
+      "index stays single-copy so containment counts cannot inflate") {
+    import spark.implicits._
+    val sink = new UpsertSink("media_key")
+    val leg = StreamMediaDedup.image(sink, standingHashes)
+    val size0 = leg.indexSize
+    val batch = Seq(
+        (ImageDedup.NewMediaBase + 1, ImageDedup.encodeIncrement(1),
+          new Timestamp(1700000000000L)))
+      .toDF("media_id", "payload", "ts")
+    try {
+      leg.processBatch(batch, 7L)
+      leg.indexSize shouldBe size0 + 1
+      // at-least-once re-delivery of the SAME batch id
+      leg.processBatch(batch, 7L)
+      leg.indexSize shouldBe size0 + 1
+      sink.size shouldBe 1 // keyed sink absorbed the re-emit
+    } finally leg.close()
+  }
+
   test("the leg is modality-generic: the audio fingerprint family runs " +
       "through the same pipeline with batch-parity verdicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
