@@ -148,24 +148,26 @@ object MediaIngestBench {
     // move each part file in (every part is a complete parquet; the
     // file source needs no batch atomicity — a split batch is just two
     // micro-batches)
-    def release(dir: Path): Unit =
-      Files.list(dir).iterator().forEachRemaining { p =>
+    def release(dir: Path): Unit = {
+      val s = Files.list(dir)
+      try s.iterator().forEachRemaining { p =>
         if (p.getFileName.toString.endsWith(".parquet"))
           Files.move(p, watch.resolve(
             dir.getFileName.toString + "-" + p.getFileName),
             StandardCopyOption.ATOMIC_MOVE)
-      }
+      } finally s.close()
+    }
 
     val verdictDir = base.resolve("verdicts").toString
     val sink = new ParquetSink(verdictDir, maxFiles = 8)
+    val indexDir = base.resolve("index").toString
     val leg =
       if (mode == "video")
         StreamMediaDedup.video(sink, VideoDedup.hashRows(
-          VideoDedup.videoTable(spark, StandingGroups)))
+          VideoDedup.videoTable(spark, StandingGroups)), indexDir)
       else
         StreamMediaDedup.image(sink, ImageDedup.hashRows(
-          ImageDedup.imageTable(spark, StandingGroups)))
-    val indexSize0 = leg.indexSize // also forces the standing persist
+          ImageDedup.imageTable(spark, StandingGroups)), indexDir)
     val q = leg.start(
       spark.readStream.schema("media_id LONG, payload BINARY, ts TIMESTAMP")
         .parquet(watch.toString),
@@ -173,6 +175,9 @@ object MediaIngestBench {
 
     release(warmup)
     q.processAllAvailable()
+    // sampled AFTER the warmup batch folds, so index_end - index_start
+    // covers exactly the timed stream's growth
+    val indexSize0 = leg.indexSize
     val t0 = System.nanoTime()
     val batchSec = staged.map { p =>
       val b0 = System.nanoTime()
@@ -200,10 +205,20 @@ object MediaIngestBench {
     val ips = n / sec
     val sorted = batchSec.sorted
     val medianBatch = sorted(sorted.size / 2)
+    // the flatness line of the standing-index contract: per-batch cost
+    // must not grow with the index, so compare the first half's median
+    // batch time against the second half's
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    val firstHalf = median(batchSec.take(batchSec.size / 2))
+    val secondHalf = median(batchSec.drop(batchSec.size / 2))
     val line = s"""{"metric":"media_ingest_throughput","value":$ips,""" +
       s""""unit":"images/sec","mode":"$mode","images":$n,""" +
       s""""batches":$nBatches,""" +
       s""""seconds":$sec,"median_batch_sec":$medianBatch,""" +
+      f""""median_batch_first_half":$firstHalf%.2f,""" +
+      f""""median_batch_second_half":$secondHalf%.2f,""" +
       s""""verdicts":$nV,"dups":$nDup,"undecodable":$nUndec,""" +
       s""""planted":$nPlanted,"planted_found":$nPlantedFound,""" +
       s""""index_start":$indexSize0,"index_end":${leg.indexSize},""" +

@@ -61,13 +61,14 @@ object Perceptual {
     * (typically an [[graft.IndexStore]] merge of the standing index
     * plus today's batch); rows with id >= newIdBase are the increment.
     *
-    * Scale shape: the standing index is consulted by ONE scan behind a
-    * broadcast semi-join against the increment's distinct band keys
+    * Scale shape: the standing index is consulted behind a broadcast
+    * semi-join against the increment's distinct band keys
     * (the [[TextDedup.substringDedupIncremental]] contract) — the
-    * surviving `touched` rows are increment-band-bounded and persist
-    * once for their two consumers (the hot-band cap count and the
-    * candidate join), so the 100 TB index never shuffles and is never
-    * read twice. The cap itself is still decided on the INDEX side
+    * surviving `touched` rows are increment-band-bounded, so the
+    * 100 TB index never shuffles; its two consumers (the hot-band cap
+    * count and the candidate join) each rescan the persisted input
+    * below rather than an operator-owned cache (see
+    * [[bandedDupsFromBands]]). The cap itself is still decided on the INDEX side
     * alone — restricting by band KEY keeps every touched band's full
     * index population, so a pathological increment cannot re-admit a
     * bucket the standing index already knows is degenerate (black
@@ -92,51 +93,81 @@ object Perceptual {
       maxHamming, outIdx, outNew)
   }
 
-  /** The two-frame form of [[bandedDupsIncremental]]: an explicit
-    * standing `index` (id, h) frame vs an explicit `fresh` batch frame —
-    * what the STREAMING media ingest calls per micro-batch, where the
-    * arriving batch is its own frame rather than an id range of a merged
-    * one. Ids must be disjoint across the two frames (the caller's
-    * contract). Both inputs should be cheap to rescan (persisted or a
-    * columnar store read): the index is scanned once, `fresh` feeds its
-    * band explode plus the verify side. Same scale shape as the
-    * single-frame form — one semi-join-restricted index scan,
-    * index-side cap, candidates only.
+  /** The band-exploded projection of a (id, h) fingerprint frame:
+    * (id, i, bv, h), one row per (fingerprint, band) — the LSH inverted
+    * index itself, and the STORED shape of the streaming legs' durable
+    * standing index ([[graft.streaming.FoldStore]] partitions it by a
+    * hash prefix of (i, bv), so a micro-batch's consult prunes to the
+    * band buckets it touches at file granularity).
     */
-  private[graft] def bandedDupsAgainst(index: DataFrame, fresh: DataFrame,
-      idCol: String, bands: Int, bandBits: Int, maxHamming: Int,
-      outIdx: String, outNew: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+  private[graft] def bandRows(hashes: DataFrame, idCol: String,
+      bands: Int, bandBits: Int): DataFrame = {
     val mask = (1L << bandBits) - 1L
-    def bandsOf(df: DataFrame) = df
+    hashes
       .select(col(idCol),
         explode(sequence(lit(0), lit(bands - 1))).as("i"), col("h"))
       .withColumn("bv",
         call_function("shiftright", col("h"), col("i") * lit(bandBits))
           .bitwiseAND(lit(mask)))
-      .select(col(idCol), col("i"), col("bv"))
-    val freshBands = bandsOf(fresh)
-    val touched = bandsOf(index)
+      .select(col(idCol), col("i"), col("bv"), col("h"))
+  }
+
+  /** The two-frame form of [[bandedDupsIncremental]]: an explicit
+    * standing `index` (id, h) frame vs an explicit `fresh` batch frame —
+    * the batch incremental queries' shape, where the merged frame is
+    * split by an id range. Ids must be disjoint across the two frames
+    * (the caller's contract). Both inputs must be cheap to rescan
+    * (persisted or a columnar-store read): the index band explode feeds
+    * two consumers (the hot-band cap count and the candidate join) and
+    * is deliberately NOT persisted here — the pre-r11 internal persist
+    * leaked cached blocks per call (never unpersisted, fatal for a
+    * per-micro-batch caller), and recomputing a codegen'd explode over
+    * an already-cached (or file-pruned) input is cheaper than owning
+    * distributed cache lifecycle inside an operator that returns a lazy
+    * frame.
+    */
+  private[graft] def bandedDupsAgainst(index: DataFrame, fresh: DataFrame,
+      idCol: String, bands: Int, bandBits: Int, maxHamming: Int,
+      outIdx: String, outNew: String): DataFrame =
+    bandedDupsFromBands(bandRows(index, idCol, bands, bandBits),
+      bandRows(fresh, idCol, bands, bandBits), idCol, maxHamming,
+      outIdx, outNew)
+
+  /** Core of the incremental/streaming perceptual consult, over ALREADY
+    * band-exploded frames (id, i, bv, h) — what the streaming media leg
+    * calls with the durable store's file-pruned read as `indexBands`.
+    *
+    * Scale shape: the index side is restricted by ONE broadcast
+    * semi-join against the increment's distinct band keys (and, for a
+    * [[graft.streaming.FoldStore]]-backed caller, by partition pruning
+    * BEFORE that — the store's pk is a function of (i, bv), so every
+    * touched band's full index population survives pruning and the
+    * hot-band cap still sees true standing bucket sizes). Fingerprints
+    * ride the band rows, so candidate verification needs NO join back
+    * to the fingerprint frames: the exact bit_count(xor) runs on the
+    * candidate rows themselves (the distinct collapses multi-band
+    * agreements first — h is functionally dependent on id, so the pair
+    * cardinality is unchanged). Index-vs-index pairs never form.
+    */
+  private[graft] def bandedDupsFromBands(indexBands: DataFrame,
+      freshBands: DataFrame, idCol: String, maxHamming: Int,
+      outIdx: String, outNew: String): DataFrame = {
+    val touched = indexBands
       .join(broadcast(freshBands.select(col("i"), col("bv")).distinct()),
         Seq("i", "bv"), "leftsemi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val okBands = touched
       .groupBy(col("i"), col("bv"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= TextDedup.MaxBucket)
       .select(col("i"), col("bv"))
-    val cand = freshBands.as("f")
+    freshBands.as("f")
       .join(touched.join(okBands, Seq("i", "bv")).as("ix"),
         Seq("i", "bv"))
-      .select(col(s"ix.$idCol").as(outIdx), col(s"f.$idCol").as(outNew))
+      .select(col(s"ix.$idCol").as(outIdx), col(s"f.$idCol").as(outNew),
+        col("ix.h").as("_ha"), col("f.h").as("_hb"))
       .distinct()
-    cand
-      .join(index.select(col(idCol), col("h")).as("ha"),
-        col(outIdx) === col(s"ha.$idCol"))
-      .join(fresh.select(col(idCol), col("h")).as("hb"),
-        col(outNew) === col(s"hb.$idCol"))
       .withColumn("hamming",
-        bit_count(col("ha.h").bitwiseXOR(col("hb.h"))).cast("long"))
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col(outIdx), col(outNew), col("hamming"))
       .orderBy(outIdx, outNew)

@@ -37,8 +37,29 @@ import graft.functions.VideoFrameHashes
   */
 object VideoDedup {
 
-  /** Synthetic corpus shape: [[Groups]] groups x 4 variants. */
+  /** Synthetic corpus shape: [[Groups]] groups x 4 variants (the
+    * sf0.01 correctness-gate size; sized dirs derive via [[groupsFor]]).
+    */
   val Groups = 40
+
+  /** Clip-count-per-sf scale rule: the synthetic video corpus tracks
+    * the SF directory through the `events` row count (the testdata's
+    * linear scale driver) — ceil(|events| / [[ClipScaleDiv]]) groups,
+    * floored at 4 so the tiniest smoke dirs still exercise every
+    * variant. sf0.01 (the correctness gate) derives exactly the
+    * historical [[Groups]] = 40, so oracle values are unchanged there;
+    * sf0.1 → 400, sf1 → 4k, sf10 → 40k groups — the measured size
+    * slope the fixed fixture lacked (SCALING r10 noted the flat
+    * 0.61 s q_video_dups_incr line was vacuous because the corpus
+    * never grew with sf). The DuckDB oracle derives the same integer
+    * from the same table ([[graft.oracle.SqlText.videoDups]]).
+    */
+  val ClipScaleDiv = 250L
+
+  def groupsFor(spark: SparkSession, dir: String): Int =
+    math.max(4L,
+      (graft.Tables.load(spark, dir, "events").count() + ClipScaleDiv - 1)
+        / ClipScaleDiv).toInt
   val BaseW = 36 // divisible by the 9-wide grid (see ImageDedup)
   val BaseH = 32 // divisible by the 8-tall grid
   val LumaMod = 200
@@ -217,11 +238,12 @@ object VideoDedup {
     * batch); rows with media_id >= [[NewMediaBase]] are the increment.
     *
     * Scale shape (the daily path of a 100 TB video catalog):
-    *  - the standing index is consulted by ONE scan behind a broadcast
-    *    semi-join against the increment's distinct frame hashes — the
-    *    surviving `touched` rows are increment-hash-bounded and persist
-    *    once for their three consumers (hot-hash cap, pair count, index
-    *    sizes); the catalog-sized index never shuffles;
+    *  - the standing index is consulted behind a broadcast semi-join
+    *    against the increment's distinct frame hashes — the surviving
+    *    `touched` rows are increment-hash-bounded and the catalog-sized
+    *    index never shuffles (its consumers rescan the persisted merged
+    *    frame below, or the file-pruned store read in the streaming
+    *    caller — see [[videoDupsAgainst]]);
     *  - the hot-hash cap (test cards, black frames shared by thousands
     *    of clips) is decided on the INDEX side: restricting by hash KEY
     *    keeps each touched hash's full index population, so counts
@@ -251,16 +273,20 @@ object VideoDedup {
     * standing (media_id, h, n) index vs an explicit fresh batch frame
     * with disjoint ids — the per-micro-batch call of the streaming
     * media ingest, mirroring [[Perceptual.bandedDupsAgainst]]. Both
-    * inputs should be cheap to rescan (persisted or columnar-store
-    * reads); the `touched` restriction persists internally.
+    * inputs must be cheap to rescan (persisted or columnar-store
+    * reads): the `touched` restriction feeds two consumers (the
+    * hot-hash cap and the candidate join) and is deliberately NOT
+    * persisted here — the pre-r11 internal persist leaked cached
+    * blocks per call (never unpersisted, an unbounded accumulation for
+    * a per-micro-batch caller), and recomputing a broadcast semi-join
+    * over a cached or file-pruned input is cheaper than owning cache
+    * lifecycle inside an operator returning a lazy frame.
     */
   private[graft] def videoDupsAgainst(index: DataFrame, fresh: DataFrame,
       overlapMin: Double = OverlapMin): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val touched = index
       .join(broadcast(fresh.select(col("h")).distinct()), Seq("h"),
         "leftsemi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val okh = touched
       .groupBy(col("h"))
       .agg(count(lit(1)).as("_n"))

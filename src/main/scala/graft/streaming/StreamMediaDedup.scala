@@ -12,8 +12,8 @@ import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
   * q_audio_dups_incr / q_video_dups_incr): every arriving media payload
   * is fingerprinted scan-side (one codegen'd native call — the payload
   * never leaves the scan), matched against the STANDING perceptual
-  * index by the SAME two-frame operator the batch tier runs
-  * ([[graft.ops.Perceptual.bandedDupsAgainst]] for the 64-bit
+  * index by the SAME pairing core the batch tier runs
+  * ([[graft.ops.Perceptual.bandedDupsFromBands]] for the 64-bit
   * image/audio fingerprints, [[graft.ops.VideoDedup.videoDupsAgainst]]
   * frame-set containment for clips — so streaming and batch verdicts
   * cannot drift), and routed with a verdict; each micro-batch's
@@ -25,8 +25,9 @@ import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
   * [[StreamMediaDedup.audio]] (banded hamming; verdict `score` = the
   * best match's hamming distance) / [[StreamMediaDedup.video]]
   * (frame-set containment; `score` = the best match's overlap
-  * fraction). The class itself is modality-agnostic over two
-  * functions: the fingerprint projection and the best-match pairing.
+  * fraction). The class itself is modality-agnostic over three
+  * functions: the fingerprint projection, the stored-index-row
+  * projection, and the best-match pairing.
   *
   * Verdict semantics per arriving asset:
   *  - `is_dup` — some indexed asset cleared the modality's threshold;
@@ -39,50 +40,59 @@ import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
   *    retro-removal is the standing batch dedup's job, the same
   *    detect-don't-drop stance as [[StreamNearDup]].
   *
-  * State shape: the index lives as a chain of materialized per-batch
-  * fingerprint frames unioned lazily — each batch appends one
-  * eagerly-checkpointed leaf, so lineage stays one level deep and
-  * per-batch work is one index scan + increment-sized joins (the scan
-  * is the batch contract too; a 100 TB deployment reads the index from
-  * its columnar store instead of executor memory, same plan). Folding
-  * only NON-dup fingerprints keeps the index the canonical-asset set:
-  * re-uploads point at their match instead of piling into the bank.
+  * State shape (r11, the durable [[FoldStore]]): the standing index
+  * lives as hash-prefix-partitioned parquet segments under the leg's
+  * `indexDir` — seeded from the constructor's standing index the first
+  * time, appended one increment-sized segment per micro-batch,
+  * compacted when the segment count passes the store's bound. Three
+  * properties the pre-r11 in-memory leaf chain lacked:
+  *
+  *  - '''restart recovery''': on a driver restart the constructor
+  *    adopts the store's manifest (segments + lastFoldedId), so every
+  *    committed batch's canonical fingerprints survive a crash and a
+  *    re-upload of a pre-crash asset is still flagged;
+  *  - '''bounded per-batch plan cost''': the index is read as ONE
+  *    multi-path parquet datasource (constant plan width; small files
+  *    pack into few tasks), instead of one cached leaf + 32 task
+  *    launches per elapsed batch — the measured cause of the r10 video
+  *    ledger's 3.5 → 7.1 s batch-time growth;
+  *  - '''file-granularity pruning''': the store partitions index rows
+  *    by a hash prefix of the CONSULT key (band key for image/audio —
+  *    the rows are stored band-exploded, i.e. as the LSH inverted index
+  *    itself; frame hash for video), and each batch's consult reads
+  *    only the prefix buckets its keys touch ([[FoldStore.readFor]]) —
+  *    the per-batch cost is bounded by the batch's key spread, not by
+  *    standing-index history.
   *
   * Delivery: the verdict sink sees every batch at-least-once; verdicts
   * are a pure function of (standing index, batch), so a replayed batch
   * re-emits identical rows and a keyed sink dedups them (T1). The
-  * index FOLD is guarded by batch id (a replayed id folds nothing):
-  * without the guard a replay would append the same fingerprints
+  * index FOLD is guarded by the store's durable `lastFoldedId` (a
+  * replayed id folds nothing — and the guard itself now survives
+  * restart): without it a replay would append the same fingerprints
   * twice, which the banded tiers absorb (candidates are distinct-ed)
   * but the containment tier does NOT — duplicated index rows double
-  * the per-pair shared counts and can push overlap past 1. On restart
-  * the in-memory chain rebuilds from the durable standing index, so
-  * the guard only needs within-process monotonicity.
+  * the per-pair shared counts and can push overlap past 1.
   *
   * @param hashRows  the modality's scan-side fingerprint projection
-  *                  ((media_id, payload) → index-row shape)
-  * @param bestMatch (standing index, batch fingerprints) →
+  *                  ((media_id, payload) → fingerprint-row shape)
+  * @param toStored  fingerprint rows → the store's index-row shape
+  *                  (band-exploded for image/audio) incl. the int `pk`
+  *                  hash-prefix partition column
+  * @param bestMatch (pruned stored index, batch fingerprints) →
   *                  (media_id, matched_id, score) — the modality's
   *                  two-frame incremental operator reduced to the best
   *                  standing match per arriving asset
   */
-final class StreamMediaDedup(
+final class StreamMediaDedup private (
     verdictSink: BatchSink,
-    standingIndex: DataFrame,
+    private[graft] val store: FoldStore,
     hashRows: DataFrame => DataFrame,
+    toStored: DataFrame => DataFrame,
     bestMatch: (DataFrame, DataFrame) => DataFrame) {
 
-  // per-batch fingerprint leaves; head = the initial standing index.
-  // foreachBatch invocations are serialized per query, so plain state
-  // with a volatile publish is enough.
-  @volatile private var indexParts: Vector[DataFrame] =
-    Vector(standingIndex.persist(StorageLevel.MEMORY_AND_DISK))
-  @volatile private var lastFoldedId: Long = Long.MinValue
-
-  /** Total index rows currently standing (diagnostic). */
-  def indexSize: Long = indexParts.map(_.count()).sum
-
-  private def currentIndex: DataFrame = indexParts.reduce(_ unionByName _)
+  /** Distinct assets currently standing in the index (diagnostic). */
+  def indexSize: Long = store.assets("media_id")
 
   /** Start the leg over a streaming (media_id, payload, ts) frame.
     * Arriving ids must be disjoint from the standing index's and from
@@ -96,9 +106,10 @@ final class StreamMediaDedup(
       }
       .start()
 
-  /** One micro-batch: decode+hash once, pair against the standing
-    * index, emit verdicts, fold the batch's canonical fingerprints in.
-    * Exposed for the parity spec (same body the streaming query runs).
+  /** One micro-batch: decode+hash once, pair against the pruned
+    * standing index, emit verdicts, fold the batch's canonical
+    * fingerprints in. Exposed for the parity spec (same body the
+    * streaming query runs).
     */
   private[graft] def processBatch(b: DataFrame, id: Long): Unit = {
     val batch = b.persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,14 +118,21 @@ final class StreamMediaDedup(
         val hashes = hashRows(
             batch.select(col("media_id"), col("payload")))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // the batch's touched hash-prefix buckets — a bounded (<=
+        // prefixParts) driver-side set, the partition-prune decision
+        // exactly like a DPP subquery's; every index row that can share
+        // a consult key with the batch lives in one of these buckets
+        val pks = toStored(hashes).select(col("pk")).distinct()
+          .collect().map(_.getInt(0)).toSeq
         // persisted: best feeds both the verdict join and the index-fold
         // anti-join — without it each consumer would re-run the pairing
-        // and scan the standing index a second time
-        val best = bestMatch(currentIndex, hashes)
+        // and read the pruned index a second time
+        val best = bestMatch(store.readFor(pks), hashes)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // decoded = the projection produced at least one index row for
-        // the asset (a distinct, NOT a join on the row-per-fingerprint
-        // frame — a clip's many frame rows must not explode verdicts)
+        // decoded = the projection produced at least one fingerprint row
+        // for the asset (a distinct, NOT a join on the row-per-
+        // fingerprint frame — a clip's many frame rows must not explode
+        // verdicts)
         val present = hashes.select(col("media_id")).distinct()
           .withColumn("_dec", lit(true))
         val verdicts = batch.select(col("media_id"), col("ts"))
@@ -127,20 +145,11 @@ final class StreamMediaDedup(
             col("matched_id"), col("score"))
         verdictSink.write(verdicts, id)
         // fold the batch's canonical (non-dup, decodable) fingerprints
-        // into the standing index as ONE materialized leaf. Eager
-        // localCheckpoint, not persist: each keep's logical plan embeds
-        // the CURRENT index (it anti-joins the batch's matches), so a
-        // mere persist leaves a plan tree that doubles per batch —
-        // measured as 2 GB plan strings within five micro-batches; the
-        // checkpoint truncates the leaf to its materialized blocks
-        // (increment-sized, the per-batch fold cost the contract
-        // promises)
-        if (id > lastFoldedId) {
+        // into the standing index as ONE durable increment-sized segment
+        if (id > store.lastFoldedId) {
           val keep = hashes
             .join(best.select(col("media_id")), Seq("media_id"), "left_anti")
-            .localCheckpoint(true)
-          indexParts = indexParts :+ keep
-          lastFoldedId = id
+          store.append(toStored(keep), id)
         }
         best.unpersist()
         hashes.unpersist()
@@ -148,50 +157,87 @@ final class StreamMediaDedup(
     } finally { batch.unpersist(); () }
   }
 
-  /** Release every index leaf (end-of-stream cleanup). */
-  def close(): Unit = {
-    indexParts.foreach(df => try df.unpersist(false) catch {
-      case _: Throwable => ()
-    })
-    indexParts = Vector.empty
-  }
+  /** End-of-stream cleanup (the index itself is durable on disk; kept
+    * for call-site symmetry with the other legs).
+    */
+  def close(): Unit = ()
 }
 
 object StreamMediaDedup {
 
+  /** Hash-prefix bucket count of the durable index layout (the shard
+    * count of the object-store prefix at deployment scale).
+    */
+  val PrefixParts = 64
+
+  /** Stored index-row shape for the banded modalities: the band-exploded
+    * LSH inverted index (media_id, i, bv, h) + the (i, bv) hash-prefix
+    * partition key — a consult on band keys prunes to its buckets' files.
+    */
+  private def bandedStored(bands: Int, bandBits: Int)(
+      hashes: DataFrame): DataFrame =
+    Perceptual.bandRows(hashes, "media_id", bands, bandBits)
+      .withColumn("pk", FoldStore.pk(PrefixParts, col("i"), col("bv")))
+
   /** Best banded-hamming match per arriving asset: min (hamming, id). */
   private def bandedBest(bands: Int, bandBits: Int, maxHamming: Int)(
       index: DataFrame, fresh: DataFrame): DataFrame =
-    Perceptual.bandedDupsAgainst(index, fresh, "media_id", bands,
-        bandBits, maxHamming, "indexed_id", "new_id")
+    Perceptual.bandedDupsFromBands(
+        index.select(col("media_id"), col("i"), col("bv"), col("h")),
+        Perceptual.bandRows(fresh, "media_id", bands, bandBits),
+        "media_id", maxHamming, "indexed_id", "new_id")
       .groupBy(col("new_id").as("media_id"))
       .agg(min(struct(col("hamming"), col("indexed_id"))).as("m"))
       .select(col("media_id"), col("m.indexed_id").as("matched_id"),
         col("m.hamming").cast("double").as("score"))
 
-  /** Image leg: dHash fingerprints, banded hamming. */
+  private def banded(verdictSink: BatchSink, standingIndex: DataFrame,
+      indexDir: String, hashRows: DataFrame => DataFrame,
+      bands: Int, bandBits: Int, maxHamming: Int): StreamMediaDedup = {
+    val toStored = bandedStored(bands, bandBits) _
+    val store = FoldStore.open(standingIndex.sparkSession, indexDir,
+      toStored(standingIndex), PrefixParts)
+    new StreamMediaDedup(verdictSink, store, hashRows, toStored,
+      bandedBest(bands, bandBits, maxHamming))
+  }
+
+  /** Image leg: dHash fingerprints, banded hamming. `indexDir` is the
+    * leg's durable index root — pass the same directory on restart to
+    * recover the standing index and fold guard.
+    */
   def image(verdictSink: BatchSink, standingIndex: DataFrame,
+      indexDir: String,
       maxHamming: Int = ImageDedup.ImgHamMax): StreamMediaDedup =
-    new StreamMediaDedup(verdictSink, standingIndex, ImageDedup.hashRows,
-      bandedBest(ImageDedup.ImgBands, ImageDedup.ImgBandBits, maxHamming))
+    banded(verdictSink, standingIndex, indexDir, ImageDedup.hashRows,
+      ImageDedup.ImgBands, ImageDedup.ImgBandBits, maxHamming)
 
   /** Audio leg: energy-delta fingerprints, banded hamming. */
   def audio(verdictSink: BatchSink, standingIndex: DataFrame,
+      indexDir: String,
       maxHamming: Int = AudioDedup.AudHamMax): StreamMediaDedup =
-    new StreamMediaDedup(verdictSink, standingIndex, AudioDedup.hashRows,
-      bandedBest(AudioDedup.AudBands, AudioDedup.AudBandBits, maxHamming))
+    banded(verdictSink, standingIndex, indexDir, AudioDedup.hashRows,
+      AudioDedup.AudBands, AudioDedup.AudBandBits, maxHamming)
 
   /** Video leg: per-frame hash sets, containment pairing — best match =
-    * max overlap, then lowest indexed id.
+    * max overlap, then lowest indexed id. Stored rows are the frame-hash
+    * inverted index (media_id, h, n) partitioned by hash prefix.
     */
   def video(verdictSink: BatchSink, standingIndex: DataFrame,
-      overlapMin: Double = VideoDedup.OverlapMin): StreamMediaDedup =
-    new StreamMediaDedup(verdictSink, standingIndex, VideoDedup.hashRows,
+      indexDir: String,
+      overlapMin: Double = VideoDedup.OverlapMin): StreamMediaDedup = {
+    val toStored = (hashes: DataFrame) =>
+      hashes.withColumn("pk", FoldStore.pk(PrefixParts, col("h")))
+    val store = FoldStore.open(standingIndex.sparkSession, indexDir,
+      toStored(standingIndex), PrefixParts)
+    new StreamMediaDedup(verdictSink, store, VideoDedup.hashRows, toStored,
       (index, fresh) =>
-        VideoDedup.videoDupsAgainst(index, fresh, overlapMin)
+        VideoDedup.videoDupsAgainst(
+            index.select(col("media_id"), col("h"), col("n")), fresh,
+            overlapMin)
           .groupBy(col("new_id").as("media_id"))
           .agg(min(struct((-col("overlap")).as("_neg"),
             col("indexed_id"))).as("m"))
           .select(col("media_id"), col("m.indexed_id").as("matched_id"),
             (-col("m._neg")).as("score")))
+  }
 }

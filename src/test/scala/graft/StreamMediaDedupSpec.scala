@@ -51,7 +51,8 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       .map { case (k, v) => k -> v.map(_._2).min }
 
     val sink = new UpsertSink("media_key")
-    val leg = StreamMediaDedup.image(sink, standingHashes)
+    val leg = StreamMediaDedup.image(sink, standingHashes,
+      java.nio.file.Files.createTempDirectory("smd-ix").toString)
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
       java.nio.file.Files.createTempDirectory("smd-ck").toString)
@@ -89,7 +90,8 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
     implicit val sqlCtx = spark.sqlContext
 
     val sink = new UpsertSink("media_key")
-    val leg = StreamMediaDedup.image(sink, standingHashes)
+    val leg = StreamMediaDedup.image(sink, standingHashes,
+      java.nio.file.Files.createTempDirectory("smd-ix2").toString)
     val size0 = leg.indexSize
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
@@ -132,7 +134,8 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       "index stays single-copy so containment counts cannot inflate") {
     import spark.implicits._
     val sink = new UpsertSink("media_key")
-    val leg = StreamMediaDedup.image(sink, standingHashes)
+    val leg = StreamMediaDedup.image(sink, standingHashes,
+      java.nio.file.Files.createTempDirectory("smd-ix3").toString)
     val size0 = leg.indexSize
     val batch = Seq(
         (ImageDedup.NewMediaBase + 1, ImageDedup.encodeIncrement(1),
@@ -161,7 +164,8 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       .collect().map(_.getLong(1)).toSet
 
     val sink = new UpsertSink("media_key")
-    val leg = StreamMediaDedup.audio(sink, standing)
+    val leg = StreamMediaDedup.audio(sink, standing,
+      java.nio.file.Files.createTempDirectory("smd-ix4").toString)
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
       java.nio.file.Files.createTempDirectory("smd-ck3").toString)
@@ -173,6 +177,46 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       val dupIds = collectVerdicts(sink).filter(_._2._1).keySet
       dupIds shouldBe batchDups
     } finally { q.stop(); leg.close() }
+  }
+
+  test("the standing index survives a restart: a NEW leg over the same " +
+      "index dir recovers the folds and the replay guard, so pre-crash " +
+      "assets stay flagged and committed batches never refold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("smd-restart").toString
+    val t0 = new Timestamp(1700000000000L)
+    val newId = ImageDedup.NewMediaBase + 1
+    val batch = Seq((newId, ImageDedup.encodeIncrement(1), t0))
+      .toDF("media_id", "payload", "ts")
+
+    val sink1 = new UpsertSink("media_key")
+    val leg1 = StreamMediaDedup.image(sink1, standingHashes, dir)
+    val size0 = leg1.indexSize
+    leg1.processBatch(batch, 3L)
+    leg1.indexSize shouldBe size0 + 1
+    leg1.close()
+
+    // "restart": a fresh leg instance over the same directory — the
+    // standing-index argument must NOT be re-seeded over the folds
+    val sink2 = new UpsertSink("media_key")
+    val leg2 = StreamMediaDedup.image(sink2, standingHashes, dir)
+    leg2.indexSize shouldBe size0 + 1
+    leg2.store.lastFoldedId shouldBe 3L
+
+    // a replayed pre-crash batch folds nothing (durable guard)
+    leg2.processBatch(batch, 3L)
+    leg2.indexSize shouldBe size0 + 1
+
+    // a re-upload of the pre-crash asset is flagged against it — the
+    // exact data loss the in-memory leaf chain had on restart
+    val reId = ImageDedup.NewMediaBase + 1001
+    leg2.processBatch(
+      Seq((reId, ImageDedup.encodeIncrement(1), t0))
+        .toDF("media_id", "payload", "ts"), 4L)
+    val byId = collectVerdicts(sink2)
+    byId(reId)._1 shouldBe true
+    byId(reId)._2 shouldBe newId
+    leg2.close()
   }
 
   test("the video modality streams through the containment pairing: " +
@@ -192,7 +236,8 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       .map { case (k, v) => k -> v.map(_._2).min } // max overlap, min id
 
     val sink = new UpsertSink("media_key")
-    val leg = StreamMediaDedup.video(sink, standing)
+    val leg = StreamMediaDedup.video(sink, standing,
+      java.nio.file.Files.createTempDirectory("smd-ix5").toString)
     val in = MemoryStream[(Long, Array[Byte], Timestamp)]
     val q = leg.start(in.toDF().toDF("media_id", "payload", "ts"),
       java.nio.file.Files.createTempDirectory("smd-ck4").toString)
