@@ -463,6 +463,56 @@ object EmbedSim {
       .orderBy("vec_id")
   }
 
+  /** The two-frame form of [[semDedupIncremental]]: per-vector SemDeDup
+    * verdicts for an explicit assigned `fresh` batch against an explicit
+    * assigned standing `index` frame — the per-micro-batch call of the
+    * streaming embedding ingest ([[graft.streaming.StreamEmbedDedup]]),
+    * mirroring [[Perceptual.bandedDupsFromBands]] so batch and streaming
+    * verdicts share one cosine/threshold implementation and cannot
+    * drift. Both frames carry (vec_id, emb, norm, centroid_id); ids
+    * must be disjoint (the caller's contract); `fresh` must be cheap to
+    * rescan (it feeds both self-join sides, the index join, and the
+    * verdict spine — the streaming caller persists it).
+    *
+    * Semantics: an arriving vector is DROPPED iff some same-cluster
+    * vector clears `threshold` among (a) ANY standing/index vector —
+    * standing wins regardless of id, the curated corpus is immutable
+    * history — or (b) an earlier (smaller-id) vector of the SAME batch
+    * (the min-id-wins greedy of [[semDedup]]); a batch vector dropped
+    * by (a) still participates in (b), exactly as the batch operator's
+    * unconditioned self-join does. `matched_id`/`score` report the
+    * BEST clearing match (max cosine, then lowest id) for lineage.
+    *
+    * Scale shape: the batch is broadcast against the standing frame
+    * (one scan of the index side — file-pruned to the touched
+    * centroids' buckets when the caller reads it from a
+    * [[graft.streaming.FoldStore]]), plus one increment-sized
+    * within-batch self-join; no standing-vs-standing work anywhere.
+    */
+  def semVerdictsAgainst(index: DataFrame, fresh: DataFrame,
+      threshold: Double = DupThreshold): DataFrame = {
+    def pairs(a: DataFrame, b: DataFrame, cond: Column) =
+      a.as("a").join(b.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") && cond)
+        .select(col("b.vec_id").as("vec_id"),
+          col("a.vec_id").as("matched_id"),
+          cosByNorm(dot(col("a.emb"), col("b.emb")), col("a.norm"),
+            col("b.norm")).as("cos"))
+        .filter(col("cos") >= threshold)
+    val vsIndex = pairs(index, broadcast(fresh), lit(true))
+    val vsBatch = pairs(fresh, fresh, col("a.vec_id") < col("b.vec_id"))
+    val best = vsIndex.unionByName(vsBatch)
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("_nc"), col("matched_id"))).as("m"))
+      .select(col("vec_id"), col("m.matched_id").as("matched_id"),
+        (-col("m._nc")).as("score"))
+    fresh.select(col("vec_id"), col("centroid_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("matched_id").isNull.as("keep"), col("matched_id"),
+        col("score"))
+  }
+
   def embedDupsOf(assigned: DataFrame): DataFrame =
     assigned.as("a")
       .join(assigned.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
