@@ -657,21 +657,23 @@ object Queries {
     // grid fold bit-for-bit) -> frame-set containment over a capped
     // inverted index; the oracle re-derives every pixel/frame/bit/set
     // by arithmetic, decoder-free
-    "q_video_dups" -> ((s: SparkSession, _: String) =>
-      VideoDedup.videoDups(VideoDedup.videoTable(s))),
+    "q_video_dups" -> ((s: SparkSession, d: String) =>
+      VideoDedup.videoDups(
+        VideoDedup.videoTable(s, VideoDedup.groupsFor(s, d)))),
     // the video leg of the standing-index contract (completing the
     // incremental symmetry across MinHash bands, substring grams, and
     // image/audio fingerprints): today's clip batch containment-joined
     // against the standing frame-hash inverted index, IndexStore-merged
     // in O(increment), hot-hash cap decided index-side
     "q_video_dups_incr" -> ((s: SparkSession, d: String) => {
+      val g = VideoDedup.groupsFor(s, d)
       val hashes = memoize(s, d, "vidhash") {
         IndexStore.mergeOrBuild(s, "vidhash",
-          VideoDedup.videoTable(s), VideoDedup.incrementTable(s),
+          VideoDedup.videoTable(s, g), VideoDedup.incrementTable(s, g),
           vidHashParams) {
-          VideoDedup.hashRows(VideoDedup.videoTable(s))
+          VideoDedup.hashRows(VideoDedup.videoTable(s, g))
         } {
-          VideoDedup.hashRows(VideoDedup.incrementTable(s))
+          VideoDedup.hashRows(VideoDedup.incrementTable(s, g))
         }
       }
       VideoDedup.videoDupsIncremental(hashes)

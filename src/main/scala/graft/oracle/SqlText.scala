@@ -2326,7 +2326,9 @@ object SqlText {
       s" + y*(151 + 5*((g+2*t)%11)) + x*y*(29 + 3*((g+t)%7))) % $LumaMod"
     val unrel = s"(g*37 + 11 + t*53 + x*(101 + 9*((g+2*t)%17))" +
       s" + y*(47 + 5*((g+t)%19)) + x*y*(13 + 3*((g+3*t)%23))) % $LumaMod"
-    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+    s"""WITH gs AS (SELECT (row_number() OVER () - 1) // $ClipScaleDiv AS g
+       |    FROM events
+       |  UNION SELECT unnest(range(4)) AS g),
        |vids AS (SELECT g*4 + v AS media_id, g, v
        |  FROM gs, (SELECT unnest(range(4)) AS v)),
        |fr AS (SELECT media_id, g, v, tt,
@@ -2389,7 +2391,9 @@ object SqlText {
       s" + y*(47 + 5*((g+t)%19)) + x*y*(13 + 3*((g+3*t)%23))) % $LumaMod"
     val inc = s"(g*41 + 23 + t*59 + x*(89 + 11*((g+2*t)%19))" +
       s" + y*(59 + 7*((g+t)%17)) + x*y*(17 + 5*((g+3*t)%13))) % $LumaMod"
-    s"""WITH gs AS (SELECT unnest(range($Groups)) AS g),
+    s"""WITH gs AS (SELECT (row_number() OVER () - 1) // $ClipScaleDiv AS g
+       |    FROM events
+       |  UNION SELECT unnest(range(4)) AS g),
        |vids AS (
        |  SELECT g*4 + v AS media_id, g, v
        |  FROM gs, (SELECT unnest(range(4)) AS v)
