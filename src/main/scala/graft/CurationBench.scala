@@ -41,7 +41,7 @@ import graft.streaming.{CurationPipeline, ParquetSink, StreamGate,
   */
 object CurationBench {
 
-  private val JdbcDdl =
+  private[graft] val JdbcDdl =
     """CREATE TABLE curated_docs (
       |  doc_key VARCHAR(32) PRIMARY KEY,
       |  doc_id BIGINT,
@@ -52,7 +52,7 @@ object CurationBench {
       |  alpha_frac DOUBLE,
       |  bench_cos DOUBLE)""".stripMargin
 
-  private val BenchGram = "zyx benchmark holdout sentinel"
+  private[graft] val BenchGram = "zyx benchmark holdout sentinel"
 
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -66,7 +66,7 @@ object CurationBench {
     * classic boilerplate clique, which benchmarks the bucket cap instead
     * of the pipeline).
     */
-  private def mkText(i: Long): String = {
+  private[graft] def mkText(i: Long): String = {
     if (i % 11 == 3) return "far too short to pass the gopher gate"
     val near = i % 20 == 19 // near-copy of doc i-1, one word changed
     val base = if (near) i - 1 else i
@@ -94,17 +94,17 @@ object CurationBench {
     sb.toString
   }
 
-  private def mkEmb(i: Long): String =
+  private[graft] def mkEmb(i: Long): String =
     if (i % 97 == 13) "[3.0,0.0,0.0,0.0]" // parallel to the bench vector
     else s"[0.1,${1.0 + (i % 7) * 0.1},${(i % 5) * 0.3},${(i % 3) * 0.5}]"
 
-  private def mkLine(i: Long): String = {
+  private[graft] def mkLine(i: Long): String = {
     val ts = tsFmt.format(
       java.time.Instant.ofEpochMilli(1704100000000L + i * 100L))
     s"""{"doc_id":$i,"text":"${mkText(i)}","ts":"$ts","emb":${mkEmb(i)}}"""
   }
 
-  private def writeBatchFile(dir: Path, name: String,
+  private[graft] def writeBatchFile(dir: Path, name: String,
       range: Range.Inclusive): Path = {
     val p = dir.resolve(name)
     val w = Files.newBufferedWriter(p)
