@@ -99,11 +99,15 @@ final class StreamEmbedDedup private (
         // file-prune decision, bounded by the store's prefixParts
         val pks = incr.select(StreamEmbedDedup.pkOf).distinct()
           .collect().map(_.getInt(0)).toSeq
-        val verdicts = EmbedSim.semVerdictsAgainst(
-            store.readFor(pks)
-              .select(col("vec_id"), col("emb"), col("norm"),
-                col("centroid_id")),
-            incr, threshold)
+        // batch-lifetime cache of the pruned list read (unpersisted
+        // below): folds append one small file per touched bucket, so an
+        // uncached consult would re-open every pruned segment file per
+        // consumer as the segment count grows
+        val index = store.readFor(pks)
+          .select(col("vec_id"), col("emb"), col("norm"),
+            col("centroid_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val verdicts = EmbedSim.semVerdictsAgainst(index, incr, threshold)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val out = batch.select(col("vec_id"), col("ts"))
           .join(verdicts, Seq("vec_id"))
@@ -120,6 +124,7 @@ final class StreamEmbedDedup private (
           store.append(keep.withColumn("pk", StreamEmbedDedup.pkOf), id)
         }
         verdicts.unpersist()
+        index.unpersist()
         incr.unpersist()
       }
     } finally { batch.unpersist(); () }
@@ -153,7 +158,8 @@ object StreamEmbedDedup {
       standingAssigned: => DataFrame, indexDir: String,
       threshold: Double = EmbedSim.DupThreshold): StreamEmbedDedup = {
     val store = FoldStore.open(centroids.sparkSession, indexDir,
-      standingAssigned.withColumn("pk", pkOf), PrefixParts)
+      standingAssigned.withColumn("pk", pkOf), PrefixParts,
+      compactAfter = StreamMediaDedup.CompactAfter)
     new StreamEmbedDedup(verdictSink, store, centroids, threshold)
   }
 }

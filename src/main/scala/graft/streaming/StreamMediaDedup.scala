@@ -124,10 +124,16 @@ final class StreamMediaDedup private (
         // a consult key with the batch lives in one of these buckets
         val pks = toStored(hashes).select(col("pk")).distinct()
           .collect().map(_.getInt(0)).toSeq
+        // the pruned index read is persisted for THIS batch only (and
+        // unpersisted below): the pairing core consumes the index side
+        // twice (hot-bucket cap + candidate join), and without the cache
+        // each consumer would re-open every pruned segment file — the
+        // growth term a 20-batch image run measured before this cache
+        // (batch seconds 4.1 -> 7.8 as the file count grew)
+        val index = store.readFor(pks).persist(StorageLevel.MEMORY_AND_DISK)
         // persisted: best feeds both the verdict join and the index-fold
         // anti-join — without it each consumer would re-run the pairing
-        // and read the pruned index a second time
-        val best = bestMatch(store.readFor(pks), hashes)
+        val best = bestMatch(index, hashes)
           .persist(StorageLevel.MEMORY_AND_DISK)
         // decoded = the projection produced at least one fingerprint row
         // for the asset (a distinct, NOT a join on the row-per-
@@ -152,6 +158,7 @@ final class StreamMediaDedup private (
           store.append(toStored(keep), id)
         }
         best.unpersist()
+        index.unpersist()
         hashes.unpersist()
       }
     } finally { batch.unpersist(); () }
@@ -169,6 +176,15 @@ object StreamMediaDedup {
     * count of the object-store prefix at deployment scale).
     */
   val PrefixParts = 64
+
+  /** Segment-count compaction bound: each fold appends up to
+    * [[PrefixParts]] small files (one per touched bucket), so the
+    * per-batch consult's footer-open cost grows with the live segment
+    * count — compacting every [[CompactAfter]] folds keeps the file
+    * count bounded at ~(CompactAfter+1)·PrefixParts while the rewrite
+    * stays rare (a production deployment tiers the merges instead).
+    */
+  val CompactAfter = 8
 
   /** Stored index-row shape for the banded modalities: the band-exploded
     * LSH inverted index (media_id, i, bv, h) + the (i, bv) hash-prefix
@@ -196,7 +212,7 @@ object StreamMediaDedup {
       bands: Int, bandBits: Int, maxHamming: Int): StreamMediaDedup = {
     val toStored = bandedStored(bands, bandBits) _
     val store = FoldStore.open(standingIndex.sparkSession, indexDir,
-      toStored(standingIndex), PrefixParts)
+      toStored(standingIndex), PrefixParts, compactAfter = CompactAfter)
     new StreamMediaDedup(verdictSink, store, hashRows, toStored,
       bandedBest(bands, bandBits, maxHamming))
   }
@@ -228,7 +244,7 @@ object StreamMediaDedup {
     val toStored = (hashes: DataFrame) =>
       hashes.withColumn("pk", FoldStore.pk(PrefixParts, col("h")))
     val store = FoldStore.open(standingIndex.sparkSession, indexDir,
-      toStored(standingIndex), PrefixParts)
+      toStored(standingIndex), PrefixParts, compactAfter = CompactAfter)
     new StreamMediaDedup(verdictSink, store, VideoDedup.hashRows, toStored,
       (index, fresh) =>
         VideoDedup.videoDupsAgainst(
