@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ImageDedup, VideoDedup}
+import graft.ops.{AudioDedup, ImageDedup, VideoDedup}
 import graft.streaming.{ParquetSink, StreamMediaDedup}
 
 /** Streaming media-ingest benchmark: drives the cross-modal image leg
@@ -24,10 +24,13 @@ import graft.streaming.{ParquetSink, StreamMediaDedup}
   * the standing index starts from [[ImageDedup.imageTable]]'s corpus.
   *
   * Usage: runMain graft.MediaIngestBench [nAssets] [nBatches]
-  * [mode=image|video]. Video mode streams raw-DIB AVI clips through the
-  * frame-set containment pairing (re-ingests are trimmed+brightened
-  * excerpts of standing clips — the q_video_dups_incr relation at
-  * firehose volume). Emits one JSON line (plus media_bench_out.json).
+  * [mode=image|audio|video]. Video mode streams raw-DIB AVI clips
+  * through the frame-set containment pairing (re-ingests are
+  * trimmed+brightened excerpts of standing clips — the
+  * q_video_dups_incr relation at firehose volume); audio mode streams
+  * real WAV clips through the banded acoustic-fingerprint pairing
+  * (re-ingests are gain-scaled copies — fingerprint-identical). Emits
+  * one JSON line (plus media_bench_out.json).
   */
 object MediaIngestBench {
 
@@ -108,6 +111,45 @@ object MediaIngestBench {
       frames)
   }
 
+  /** Audio-mode payload for arriving clip i: every 10th a re-ingest of
+    * standing group (i/10) % StandingGroups at [[AudioDedup.IncGain]]x
+    * gain (fingerprint-identical — "the same recording re-uploaded
+    * louder"), the rest genuinely new clips whose per-frame amplitude
+    * structure comes from a splitmix of (i, frame) — same entropy
+    * rationale as the image generator.
+    */
+  private[graft] def encodeAudioFor(i: Long): Array[Byte] = {
+    val reIngest = i % 10 == 0
+    val nf = graft.functions.AudioFingerprintUtil.Frames
+    val n = nf * AudioDedup.FrameK
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val f = k / AudioDedup.FrameK
+      val a =
+        if (reIngest)
+          AudioDedup.amp((i / 10) % StandingGroups, 0, f) *
+            AudioDedup.IncGain
+        else {
+          var z = (i * 131 + f) * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = z ^ (z >>> 27)
+          ((z >>> 33) % AudioDedup.AmpMod).toInt
+        }
+      val sgn = if (k % 2 == 0) a else -a
+      data(2 * k) = (sgn & 0xff).toByte
+      data(2 * k + 1) = ((sgn >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -128,8 +170,11 @@ object MediaIngestBench {
     // payload, ts) — payload encode runs distributed, once, pre-timer
     val batchSize = n / nBatches
     val newBase = ImageDedup.NewMediaBase
-    val enc: Long => Array[Byte] =
-      if (mode == "video") encodeVideoFor else encodeFor
+    val enc: Long => Array[Byte] = mode match {
+      case "video" => encodeVideoFor
+      case "audio" => encodeAudioFor
+      case _ => encodeFor
+    }
     def writeBatch(b: Int, lo: Long, hi: Long): Path = {
       val dir = stage.resolve(f"batch$b%05d")
       spark.range(lo, hi, 1, 8)
@@ -161,13 +206,17 @@ object MediaIngestBench {
     val verdictDir = base.resolve("verdicts").toString
     val sink = new ParquetSink(verdictDir, maxFiles = 8)
     val indexDir = base.resolve("index").toString
-    val leg =
-      if (mode == "video")
+    val leg = mode match {
+      case "video" =>
         StreamMediaDedup.video(sink, VideoDedup.hashRows(
           VideoDedup.videoTable(spark, StandingGroups)), indexDir)
-      else
+      case "audio" =>
+        StreamMediaDedup.audio(sink, AudioDedup.hashRows(
+          AudioDedup.audioTable(spark, StandingGroups)), indexDir)
+      case _ =>
         StreamMediaDedup.image(sink, ImageDedup.hashRows(
           ImageDedup.imageTable(spark, StandingGroups)), indexDir)
+    }
     val q = leg.start(
       spark.readStream.schema("media_id LONG, payload BINARY, ts TIMESTAMP")
         .parquet(watch.toString),
