@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 import graft.ops.{AudioDedup, ImageDedup, VideoDedup}
-import graft.streaming.{StreamMediaDedup, UpsertSink}
+import graft.streaming.{FoldStore, StreamMediaDedup, UpsertSink}
 
 /** Streaming media-dedup leg (the firehose form of the incremental
   * batch contracts): verdict parity with the batch incremental operator
@@ -217,6 +217,69 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
     byId(reId)._1 shouldBe true
     byId(reId)._2 shouldBe newId
     leg2.close()
+  }
+
+  test("end-to-end checkpoint restart: a NEW leg and a NEW streaming " +
+      "query over the same checkpoint + index dirs resume from the " +
+      "recorded offset, see pre-restart folds, and refold nothing") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, StandardCopyOption}
+    val watch = JF.createTempDirectory("smd-e2e-in")
+    val ck = JF.createTempDirectory("smd-e2e-ck").toString
+    val ixDir = JF.createTempDirectory("smd-e2e-ix").toString
+    val t0 = new Timestamp(1700000000000L)
+    def deliver(name: String, rows: Seq[(Long, Array[Byte], Timestamp)]):
+        Unit = {
+      val stage = JF.createTempDirectory("smd-e2e-stage")
+      rows.toDF("media_id", "payload", "ts")
+        .coalesce(1).write.parquet(stage.resolve("b").toString)
+      val s = JF.list(stage.resolve("b"))
+      try s.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          JF.move(p, watch.resolve(name + ".parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+          ()
+        }
+      } finally s.close()
+    }
+    def source = spark.readStream
+      .schema("media_id LONG, payload BINARY, ts TIMESTAMP")
+      .parquet(watch.toString)
+
+    val newId = ImageDedup.NewMediaBase + 1
+    val sink1 = new UpsertSink("media_key")
+    val leg1 = StreamMediaDedup.image(sink1, standingHashes, ixDir)
+    val size0 = leg1.indexSize
+    val q1 = leg1.start(source, ck)
+    try {
+      deliver("b1", Seq((newId, ImageDedup.encodeIncrement(1), t0)))
+      q1.processAllAvailable()
+    } finally { q1.stop(); leg1.close() }
+    // the fold committed durably before the "crash"
+    FoldStore.open(spark, ixDir, fail("seed must not re-evaluate"))
+      .lastFoldedId should be >= 0L
+
+    // restart: fresh leg instance + fresh query, same ck + index dirs
+    val sink2 = new UpsertSink("media_key")
+    val leg2 = StreamMediaDedup.image(sink2, standingHashes, ixDir)
+    leg2.indexSize shouldBe size0 + 1
+    val q2 = leg2.start(source, ck)
+    try {
+      val reId = ImageDedup.NewMediaBase + 1001
+      val otherId = ImageDedup.NewMediaBase + 4 // 3k+1 group: genuinely new
+      deliver("b2", Seq(
+        (reId, ImageDedup.encodeIncrement(1), t0),
+        (otherId, ImageDedup.encodeIncrement(4), t0)))
+      q2.processAllAvailable()
+      // only the post-restart file was processed (offsets recovered,
+      // b1 not re-delivered), and the pre-restart fold is visible
+      val v = collectVerdicts(sink2)
+      v.keySet shouldBe Set(reId, otherId)
+      v(reId)._1 shouldBe true
+      v(reId)._2 shouldBe newId
+      v(otherId)._1 shouldBe false
+      leg2.indexSize shouldBe size0 + 2 // b1's asset + otherId, no refold
+    } finally { q2.stop(); leg2.close() }
   }
 
   test("the video modality streams through the containment pairing: " +
