@@ -255,6 +255,54 @@ object TextDedup {
     */
   val NewIdBase = 100000L
 
+  /** The two-frame form of [[incrementalDups]], over ALREADY
+    * band-exploded rows that CARRY their shingle sets ((doc_id, band,
+    * shingles) — the stored shape of the streaming text leg's durable
+    * standing index, [[graft.streaming.StreamTextDedup]]): candidates
+    * from shared band keys with the hot-band cap decided on the index
+    * side, verification by the SAME exact shingle-set jaccard the batch
+    * operator runs, so streaming and batch verdicts cannot drift.
+    * Doc ids must be disjoint across the two frames.
+    *
+    * Scale shape: mirrors [[Perceptual.bandedDupsFromBands]] — the
+    * index side is restricted by one broadcast semi-join against the
+    * increment's distinct band keys (file-pruned BEFORE that when read
+    * from a FoldStore, whose pk is a function of the band key, so every
+    * touched band's full population survives and the cap sees true
+    * standing bucket sizes); shingle sets ride the band rows, so the
+    * verify needs no join back to a signature frame — the candidate
+    * pairs reduce by (indexed_id, new_id) with first(shingles) (the
+    * sets are functionally dependent on the ids) and the exact jaccard
+    * runs on candidates only. Index-vs-index pairs never form. The
+    * ~bands-fold duplication of each shingle set across its band rows
+    * is the classic LSH-index storage trade (8-byte h56 hashes, not
+    * gram text); a deployment that cannot afford it stores sets once in
+    * a doc-keyed side table and pays a second pruned lookup.
+    */
+  private[graft] def incrementalDupsFromBands(indexBands: DataFrame,
+      freshBands: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val touched = indexBands
+      .join(broadcast(freshBands.select(col("band")).distinct()),
+        Seq("band"), "leftsemi")
+    val okBands = touched
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= MaxBucket)
+      .select(col("band"))
+    freshBands.as("f")
+      .join(touched.join(okBands, "band").as("ix"), "band")
+      .groupBy(col("ix.doc_id").as("indexed_id"),
+        col("f.doc_id").as("new_id"))
+      .agg(first(col("ix.shingles")).as("_sa"),
+        first(col("f.shingles")).as("_sb"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_sa"), col("_sb"))) /
+          size(array_union(col("_sa"), col("_sb"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("indexed_id"), col("new_id"), col("jaccard"))
+      .orderBy("indexed_id", "new_id")
+  }
+
   /** Incremental near-dup detection: a NEW batch against the STANDING
     * signature index, without touching corpus-vs-corpus pairs — the daily
     * crawl-increment path of a production dedup service (index once,

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TextDedup
+
+/** The standing-index TEXT leg of the streaming curation firehose —
+  * the streaming form of the batch incremental contract
+  * (q_dedup_incremental), completing the streaming standing-index
+  * symmetry across every family: [[StreamNearDup]] catches duplicate
+  * pairs WITHIN the watermark window (bounded fmgws state, both
+  * members in-stream); this leg catches arriving documents that
+  * near-duplicate the CURATED HISTORY — the standing corpus the batch
+  * tier indexed — which no windowed operator can see.
+  *
+  * Topology per micro-batch: MinHash signatures + shingle hashes
+  * computed scan-side (the same native [[graft.functions.MinHashSig]] /
+  * [[graft.functions.ShingleHashes]] the batch path uses, so
+  * signatures are value-identical by construction) → band keys consult
+  * the durable standing band index by the SAME pairing core the batch
+  * tier runs ([[graft.ops.TextDedup.incrementalDupsFromBands]]: shared
+  * bands → index-side hot-band cap → exact shingle-set jaccard on
+  * candidates only — verdicts cannot drift from q_dedup_incremental) →
+  * best standing match per arriving doc → verdict sink; each batch's
+  * NON-duplicate signatures then fold into the standing index, so
+  * batch N+1 sees batch N's canonical documents.
+  *
+  * Verdict semantics per arriving document:
+  *  - `is_dup` — some standing document's shingle set cleared
+  *    `minJaccard`; `matched_id`/`jaccard` identify the BEST standing
+  *    match (max jaccard, then lowest indexed id);
+  *  - documents too short to signature (< ShingleK words) surface with
+  *    `has_sig = false` — the batch tier's drop contract made visible
+  *    in the stream — and are never admitted to the index;
+  *  - duplicates are detected and reported, NOT silently dropped —
+  *    the same detect-don't-drop stance as the other legs.
+  *
+  * State shape: the standing index lives in a durable [[FoldStore]] —
+  * band-exploded signature rows (doc_id, band, shingles),
+  * hash-prefix-partitioned by band key, so each micro-batch's consult
+  * prunes to the band buckets it touches at file granularity; restart
+  * recovery, the durable replay-guarded fold, and segment compaction
+  * are the store's (shared with [[StreamMediaDedup]] /
+  * [[StreamEmbedDedup]]). Within-batch pairs are NOT this leg's job
+  * ([[StreamNearDup]] owns in-window pairing); folding only non-dup
+  * signatures keeps the index the canonical-document set.
+  */
+final class StreamTextDedup private (
+    verdictSink: BatchSink,
+    private[graft] val store: FoldStore,
+    minJaccard: Double) {
+
+  /** Distinct documents currently standing in the index (diagnostic). */
+  def indexSize: Long = store.assets("doc_id")
+
+  /** Start the leg over a streaming (doc_id, text, ts) frame. Arriving
+    * ids must be disjoint from the standing index's and from earlier
+    * batches' (any real ingest keys documents uniquely).
+    */
+  def start(docs: DataFrame, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        processBatch(batch.toDF(), id)
+      }
+      .start()
+
+  /** One micro-batch: signature once, pair against the pruned standing
+    * band index, emit verdicts, fold the batch's canonical signatures
+    * in. Exposed for the parity spec (same body the streaming query
+    * runs).
+    */
+  private[graft] def processBatch(b: DataFrame, id: Long): Unit = {
+    val batch = b.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (batch.count() > 0) {
+        val fresh = StreamTextDedup.sigRows(
+            batch.select(col("doc_id"), col("text")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val pks = fresh.select(StreamTextDedup.pkOf).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // batch-lifetime cache of the pruned band-index read (the
+        // pairing core consumes the index side twice — cap + candidate
+        // join; see StreamMediaDedup for the measured rationale)
+        val index = store.readFor(pks)
+          .select(col("doc_id"), col("band"), col("shingles"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val best = TextDedup.incrementalDupsFromBands(index, fresh,
+            minJaccard)
+          .groupBy(col("new_id").as("doc_id"))
+          .agg(min(struct((-col("jaccard")).as("_nj"),
+            col("indexed_id"))).as("m"))
+          .select(col("doc_id"), col("m.indexed_id").as("matched_id"),
+            (-col("m._nj")).as("jaccard"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val present = fresh.select(col("doc_id")).distinct()
+          .withColumn("_sig", lit(true))
+        val verdicts = batch.select(col("doc_id"), col("ts"))
+          .join(present, Seq("doc_id"), "left")
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id").cast("string").as("doc_key"),
+            col("doc_id"), col("ts"),
+            coalesce(col("_sig"), lit(false)).as("has_sig"),
+            col("matched_id").isNotNull.as("is_dup"),
+            col("matched_id"), col("jaccard"))
+        verdictSink.write(verdicts, id)
+        // fold the batch's canonical (non-dup, signatured) band rows
+        // into the standing index as ONE durable increment-sized segment
+        if (id > store.lastFoldedId) {
+          val keep = fresh
+            .join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          store.append(keep.withColumn("pk", StreamTextDedup.pkOf), id)
+        }
+        best.unpersist()
+        index.unpersist()
+        fresh.unpersist()
+      }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** End-of-stream cleanup (the index itself is durable on disk). */
+  def close(): Unit = ()
+}
+
+object StreamTextDedup {
+
+  /** Hash-prefix bucket count of the durable band-index layout. */
+  val PrefixParts = 64
+
+  private[streaming] def pkOf = FoldStore.pk(PrefixParts, col("band"))
+
+  /** Band-exploded signature rows (doc_id, band, shingles) — the stored
+    * index-row shape, computed by the batch tier's own signature
+    * pipeline so the two paths are value-identical by construction.
+    * Documents with < ShingleK words yield no rows.
+    */
+  private[graft] def sigRows(docs: DataFrame): DataFrame =
+    TextDedup.signatures(docs)
+      .select(col("doc_id"), explode(col("bands")).as("band"),
+        col("shingles"))
+
+  /** Open the leg over a durable band index at `indexDir`, seeding it
+    * from `standingDocs` ((doc_id, text) — the curated standing corpus)
+    * only when the directory holds no index yet — a restart adopts the
+    * durable state.
+    */
+  def apply(verdictSink: BatchSink, standingDocs: => DataFrame,
+      indexDir: String, spark: org.apache.spark.sql.SparkSession,
+      minJaccard: Double = 0.5): StreamTextDedup = {
+    val store = FoldStore.open(spark, indexDir,
+      sigRows(standingDocs).withColumn("pk", pkOf), PrefixParts,
+      compactAfter = StreamMediaDedup.CompactAfter)
+    new StreamTextDedup(verdictSink, store, minJaccard)
+  }
+}
