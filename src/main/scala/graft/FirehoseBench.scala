@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.ops.{EmbedSim, ImageDedup}
 import graft.streaming.{CurationPipeline, JdbcUpsertSink, ParquetSink,
-  StreamEmbedDedup, StreamGate, StreamMediaDedup, StreamSemGate}
+  StreamEmbedDedup, StreamGate, StreamMediaDedup, StreamSemGate,
+  StreamTextDedup}
 
 /** The COMPOSED multimodal firehose: every streaming curation tier live
   * in ONE topology against one checkpoint root and one warehouse —
@@ -15,7 +16,9 @@ import graft.streaming.{CurationPipeline, JdbcUpsertSink, ParquetSink,
   * ([[graft.streaming.CurationPipeline]]), PLUS the cross-modal media
   * dedup leg ([[graft.streaming.StreamMediaDedup]], image modality) and
   * the embedding/semantic dedup leg
-  * ([[graft.streaming.StreamEmbedDedup]]) — where the r10 benches drove
+  * ([[graft.streaming.StreamEmbedDedup]]) and the standing-index text
+  * leg ([[graft.streaming.StreamTextDedup]], consuming the same doc
+  * firehose as the curation pipeline) — where the r10 benches drove
   * each tier separately ([[CurationBench]], [[MediaIngestBench]]), this
   * is the production shape: one Spark session, all legs contending for
   * the same cores, all verdict/warehouse writes keyed-idempotent into
@@ -46,6 +49,16 @@ object FirehoseBench {
       |  is_dup BOOLEAN,
       |  matched_id BIGINT,
       |  score DOUBLE)""".stripMargin
+
+  private val TextDdl =
+    """CREATE TABLE curated_text (
+      |  doc_key VARCHAR(32) PRIMARY KEY,
+      |  doc_id BIGINT,
+      |  ts TIMESTAMP,
+      |  has_sig BOOLEAN,
+      |  is_dup BOOLEAN,
+      |  matched_id BIGINT,
+      |  jaccard DOUBLE)""".stripMargin
 
   private val VectorDdl =
     """CREATE TABLE curated_vectors (
@@ -141,6 +154,7 @@ object FirehoseBench {
       st.execute(CurationBench.JdbcDdl)
       st.execute(MediaDdl)
       st.execute(VectorDdl)
+      st.execute(TextDdl)
     } finally c.close()
     def countOf(table: String): Long = {
       val cc = java.sql.DriverManager.getConnection(jdbcUrl)
@@ -157,6 +171,8 @@ object FirehoseBench {
       "media_key", Seq("decoded", "is_dup", "score"), batchSize = 500)
     val vecSink = new JdbcUpsertSink(jdbcUrl, "curated_vectors",
       "vec_key", Seq("keep", "score"), batchSize = 500)
+    val textSink = new JdbcUpsertSink(jdbcUrl, "curated_text",
+      "doc_key", Seq("is_dup", "jaccard"), batchSize = 500)
 
     // ---- the three legs, one checkpoint root --------------------------
     val ck = base.resolve("ck")
@@ -180,6 +196,23 @@ object FirehoseBench {
         spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1)
           .json(watchDocs.toString),
         gate, sem, s"$ck/curation")
+
+    // the standing-index TEXT leg consumes the SAME doc firehose the
+    // curation pipeline does (its own checkpoint offsets): the standing
+    // corpus is the first 20k generator docs, and since arriving doc ids
+    // overlap that range with identical texts, the leg sees a heavy
+    // "re-crawl of curated history" workload — those docs are flagged
+    // against their standing selves and never fold (the generator's
+    // boilerplate clique stays absorbed by the hot-band cap)
+    val standingText = spark.range(0, 20000L, 1, 8)
+      .map(i => (i, CurationBench.mkText(i)))
+      .toDF("doc_id", "text")
+    val textLeg = StreamTextDedup(textSink, standingText,
+      ck.resolve("text-index").toString, spark)
+    val qt = textLeg.start(
+      spark.readStream.schema(docSchema).option("maxFilesPerTrigger", 1)
+        .json(watchDocs.toString),
+      s"$ck/textdedup")
 
     val mediaLeg = StreamMediaDedup.image(mediaSink,
       ImageDedup.hashRows(
@@ -211,7 +244,7 @@ object FirehoseBench {
         .parquet(watchVec.toString),
       s"$ck/embed")
 
-    val all = Seq(qa, qd, qm, qe)
+    val all = Seq(qa, qd, qt, qm, qe)
     def drainAll(): Unit = all.foreach(_.processAllAvailable())
 
     // ---- timed composed run -------------------------------------------
@@ -233,7 +266,7 @@ object FirehoseBench {
     // ---- end-to-end replay idempotence across every tier --------------
     val before =
       (countOf("curated_docs"), countOf("curated_media"),
-        countOf("curated_vectors"))
+        countOf("curated_vectors"), countOf("curated_text"))
     CurationBench.writeBatchFile(stage, "docs-replay.json",
       1000 + (nBatches - 1) * docBatch to 999 + nBatches * docBatch)
     release(stage.resolve("docs-replay.json"), watchDocs)
@@ -246,7 +279,7 @@ object FirehoseBench {
     drainAll()
     val after =
       (countOf("curated_docs"), countOf("curated_media"),
-        countOf("curated_vectors"))
+        countOf("curated_vectors"), countOf("curated_text"))
     all.foreach(_.stop())
 
     val totalItems = nBatches.toLong * (docBatch + mediaBatch + vecBatch)
@@ -261,16 +294,18 @@ object FirehoseBench {
       f""""median_batch_first_half":${median(batchSec.take(batchSec.size / 2))}%.2f,""" +
       f""""median_batch_second_half":${median(batchSec.drop(batchSec.size / 2))}%.2f,""" +
       s""""admitted_docs":${before._1},"media_rows":${before._2},""" +
-      s""""vector_rows":${before._3},""" +
+      s""""vector_rows":${before._3},"text_rows":${before._4},""" +
       s""""media_index_assets":${mediaLeg.indexSize},""" +
       s""""vector_index_rows":${embedLeg.indexSize},""" +
+      s""""text_index_docs":${textLeg.indexSize},""" +
       s""""replay_idempotent":${before == after},""" +
-      s""""replay_after":[${after._1},${after._2},${after._3}],""" +
+      s""""replay_after":[${after._1},${after._2},${after._3},${after._4}],""" +
       s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("firehose_bench_out.json"), line)
     println(line)
     embedLeg.close()
     mediaLeg.close()
+    textLeg.close()
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
