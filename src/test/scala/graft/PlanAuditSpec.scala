@@ -273,4 +273,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // every registry query is budgeted — a new query must add its row
     audits.map(_._1).toSet shouldBe (shuffleBudget.keySet ++ iterativeExempt)
   }
+
+  test("streaming standing-index consult plan: the pruned store read " +
+      "carries a pk partition filter, the index side is restricted by a " +
+      "broadcast left-semi on the batch's band keys, and no nested-loop " +
+      "or cartesian join appears") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{ImageDedup, Perceptual}
+    import graft.streaming.{FoldStore, StreamMediaDedup}
+    val hashes = ImageDedup.hashRows(ImageDedup.imageTable(spark, 12))
+    val stored = Perceptual.bandRows(hashes, "media_id",
+        ImageDedup.ImgBands, ImageDedup.ImgBandBits)
+      .withColumn("pk", FoldStore.pk(StreamMediaDedup.PrefixParts,
+        col("i"), col("bv")))
+    val store = FoldStore.open(spark,
+      java.nio.file.Files.createTempDirectory("audit-ix").toString, stored)
+    val freshBands = Perceptual.bandRows(
+      ImageDedup.hashRows(ImageDedup.incrementTable(spark, 12)),
+      "media_id", ImageDedup.ImgBands, ImageDedup.ImgBandBits)
+    val pks = stored.select("pk").distinct().collect()
+      .map(_.getInt(0)).take(7).toSeq // a strict subset: pruning visible
+    val consult = Perceptual.bandedDupsFromBands(
+      store.readFor(pks).select(col("media_id"), col("i"), col("bv"),
+        col("h")),
+      freshBands, "media_id", ImageDedup.ImgHamMax, "indexed_id", "new_id")
+    consult.collect()
+    val plan = consult.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan.split("PartitionFilters")(1).take(200) should include("pk")
+    (plan should include).regex("BroadcastHashJoin.*LeftSemi")
+    plan.contains("CartesianProduct") shouldBe false
+    plan.contains("BroadcastNestedLoopJoin") shouldBe false
+  }
 }
