@@ -182,7 +182,11 @@ object StreamMediaDedup {
     * per-batch consult's footer-open cost grows with the live segment
     * count — compacting every [[CompactAfter]] folds keeps the file
     * count bounded at ~(CompactAfter+1)·PrefixParts while the rewrite
-    * stays rare (a production deployment tiers the merges instead).
+    * stays rare. Rare-full-merge beat fanout-2 generational tiering in
+    * a measured r11 A/B at these increment-heavy shapes (SCALING r11
+    * addendum 2); the refinement for regimes where one merge would
+    * stall a batch is per-pk-bucket incremental compaction, not
+    * finer-grained whole-segment tiering.
     */
   val CompactAfter = 8
 
