@@ -164,6 +164,18 @@ object FirehoseBench {
         rs.next(); rs.getLong(1)
       } finally cc.close()
     }
+    // content signature, not just a count: the replay-idempotence claim
+    // is that every VERDICT BIT holds still under re-delivery (a
+    // self-match flip would keep counts identical while overwriting
+    // is_dup/keep/score — the exact failure the r12 replay shield
+    // closes), so the assertion hashes every column of every row
+    def sigOf(table: String): (Long, Long) = {
+      val df = spark.read.format("jdbc").option("url", jdbcUrl)
+        .option("dbtable", table).load()
+      val cols = df.columns.sorted.map(c => col(c).cast("string"))
+      val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val docSink = new JdbcUpsertSink(jdbcUrl, "curated_docs", "doc_key",
       Seq("word_count", "mean_word_len", "alpha_frac", "bench_cos"),
       batchSize = 500)
@@ -264,6 +276,9 @@ object FirehoseBench {
     val sec = (System.nanoTime() - t0) / 1e9
 
     // ---- end-to-end replay idempotence across every tier --------------
+    val tables = Seq("curated_docs", "curated_media", "curated_vectors",
+      "curated_text")
+    val beforeSig = tables.map(sigOf)
     val before =
       (countOf("curated_docs"), countOf("curated_media"),
         countOf("curated_vectors"), countOf("curated_text"))
@@ -277,6 +292,7 @@ object FirehoseBench {
       (nBatches - 1).toLong * vecBatch, nBatches.toLong * vecBatch),
       watchVec)
     drainAll()
+    val afterSig = tables.map(sigOf)
     val after =
       (countOf("curated_docs"), countOf("curated_media"),
         countOf("curated_vectors"), countOf("curated_text"))
@@ -298,7 +314,8 @@ object FirehoseBench {
       s""""media_index_assets":${mediaLeg.indexSize},""" +
       s""""vector_index_rows":${embedLeg.indexSize},""" +
       s""""text_index_docs":${textLeg.indexSize},""" +
-      s""""replay_idempotent":${before == after},""" +
+      s""""replay_idempotent":${beforeSig == afterSig},""" +
+      s""""replay_rows_held":${before == after},""" +
       s""""replay_after":[${after._1},${after._2},${after._3},${after._4}],""" +
       s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("firehose_bench_out.json"), line)

@@ -1,16 +1,19 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.ByteBuffer
+import java.nio.channels.{FileChannel, OverlappingFileLockException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** The durable standing-index store behind the streaming dedup legs
-  * ([[StreamMediaDedup]], [[StreamEmbedDedup]]): a log of immutable
-  * parquet SEGMENTS governed by a single atomic MANIFEST, hash-prefix
-  * partitioned so each micro-batch's index consult prunes to the files
-  * that can possibly match.
+  * ([[StreamMediaDedup]], [[StreamEmbedDedup]], [[StreamTextDedup]]): a
+  * log of immutable parquet SEGMENTS governed by a single atomic
+  * MANIFEST, hash-prefix partitioned so each micro-batch's index consult
+  * prunes to the files that can possibly match.
   *
   * Why this exists (the three failure modes it closes):
   *
@@ -29,7 +32,7 @@ import org.apache.spark.sql.types.StructType
   *    growth of the r10 video ledger). Here the index is read as ONE
   *    partitioned parquet datasource regardless of fold count — the file
   *    source packs small files into few tasks by `maxPartitionBytes` —
-  *    and segments past [[compactAfter]] are merged into one.
+  *    and segment count is bounded by the incremental compactor.
   *  - '''Per-batch index scan cost.''' The consult key's hash prefix
   *    (`pk = hash(key) mod prefixParts`) is a PARTITION column, so
   *    [[readFor]] turns the arriving batch's touched-key set into a
@@ -39,35 +42,76 @@ import org.apache.spark.sql.types.StructType
   *    the whole index. On an object store this is the inverted-list
   *    layout an IVF/LSH service keeps: one prefix = one list shard.
   *
+  * '''Compaction (r12: per-pk-bucket incremental).''' The r11 store
+  * merged EVERY live segment into one when the count passed
+  * [[FoldStore.open]]'s `compactAfter` — correct, but the whole-index
+  * rewrite landed inside one micro-batch (measured 52-84 s spikes vs
+  * ~24.5 s medians in the four-leg firehose at increment-heavy shapes,
+  * SCALING §r11), and a generational/binomial tiering A/B measured
+  * strictly worse. The refinement that bounds the worst case without
+  * changing the amortized write cost is to spread the SAME rewrite over
+  * the pk buckets: once the live segment count exceeds `compactAfter`,
+  * each fold additionally rewrites the next `compactBuckets` of the
+  * `prefixParts` hash buckets (a round-robin cursor, persisted in the
+  * manifest) — merging those buckets' rows across every live segment
+  * into one new bucket-sliced segment and EXCLUDING the buckets from the
+  * older segments via per-(segment, bucket) manifest granularity. A full
+  * cursor cycle rewrites the index exactly once, i.e. the amortized
+  * bytes equal the old rare full merge, but each batch now pays
+  * ~`compactBuckets / prefixParts` of the index instead of occasionally
+  * paying all of it — worst-case batch time stays near the median. A
+  * segment whose buckets are all excluded is retired; per-bucket live
+  * file count stays bounded at ~(segments alive per cycle), the same
+  * steady state as the full merge gave.
+  *
   * Crash consistency: a segment is published by writing to a `.tmp-`
   * directory and atomically renaming it into place, then the manifest —
-  * a single file, atomically rename-replaced — is updated to reference
+  * a single file, fsynced and atomically rename-replaced, with the
+  * previous manifest kept as `MANIFEST.bak` — is updated to reference
   * it. The manifest is the sole truth: a crash between segment publish
   * and manifest write leaves an orphan directory that the next
   * [[FoldStore.open]] sweeps, and the replayed batch (its id is still
-  * above the manifest's `lastFoldedId`) folds again. Compaction writes
-  * the merged segment first, swaps the manifest, then deletes the
-  * superseded segments — at no point can a reader of the current
-  * manifest see missing or doubled rows (the same
-  * publish-then-swap-then-sweep discipline as [[graft.IndexStore]]).
+  * above the manifest's `lastFoldedId`) folds again. A compaction step
+  * publishes the merged bucket slice first, swaps the manifest, and only
+  * retires superseded segment directories with a one-fold GRACE delay
+  * ([[append]] sweeps the previous fold's retirees, [[close]] and
+  * [[FoldStore.open]] sweep the rest) — so a still-evaluating reader of
+  * a pre-swap frame never hits a deleted file, and at no point can a
+  * reader of the current manifest see missing or doubled rows. Torn
+  * manifest writes (power loss mid-write — the file content, not just
+  * the rename, is forced with `FileChannel.force` and the directory
+  * fsynced after the move) fall back to `MANIFEST.bak`: the previous
+  * committed state, whose folds the replayed batch simply re-folds.
   *
-  * Concurrency contract: ONE writer per store directory (the streaming
-  * leg's `foreachBatch` calls are serialized by Spark; the class
-  * additionally synchronizes its mutations). Readers in the same
-  * process see the volatile segment list.
+  * Concurrency contract: ONE writer per store directory, ENFORCED by an
+  * OS file lock (`LOCK`, acquired for the store's lifetime at open) — a
+  * zombie driver still holding the directory makes the replacement's
+  * open() fail fast instead of racing the manifest swap. In-process
+  * mutations are additionally synchronized; readers in the same process
+  * see the volatile segment list. Release with [[close]].
   *
-  * Scale notes: folds are increment-sized, compaction is rare
-  * (every [[compactAfter]] folds) and rewrites only what a year of
-  * increments accumulated — a production deployment would tier the
-  * merges (Lucene-style) but the write amplification at that cadence is
-  * already bounded; `prefixParts` maps to the shard count of the
-  * object-store prefix at deployment scale (64 here, thousands there).
+  * Scale notes: folds are increment-sized, compaction work is
+  * `compactBuckets / prefixParts` of the index per fold only while the
+  * segment count exceeds the threshold, and `prefixParts` maps to the
+  * shard count of the object-store prefix at deployment scale (64 here,
+  * thousands there — where the per-bucket granularity also means a
+  * compactor could run per-shard, embarrassingly parallel).
   */
 final class FoldStore private (spark: SparkSession, dir: Path,
-    val prefixParts: Int, compactAfter: Int, schemaDdl: String) {
+    val prefixParts: Int, compactAfter: Int, compactBuckets: Int,
+    schemaDdl: String) {
 
-  @volatile private var live: Vector[String] = Vector.empty
+  import FoldStore.Seg
+
+  @volatile private var live: Vector[Seg] = Vector.empty
   @volatile private var folded: Long = -1L
+  private var cursor: Int = 0
+  // retired segment dirs awaiting the grace-delayed sweep (next fold)
+  private var pendingSweep: Vector[String] = Vector.empty
+
+  // the cross-process single-writer guard, held for the store's lifetime
+  private var lockCh: FileChannel = _
+  private var lock: java.nio.channels.FileLock = _
 
   /** Highest micro-batch id whose fold the manifest has committed —
     * the replay guard: a redelivered batch id <= this folds nothing.
@@ -76,25 +120,44 @@ final class FoldStore private (spark: SparkSession, dir: Path,
 
   private[graft] def segmentCount: Int = live.size
 
+  private[graft] def compactCursor: Int = cursor
+
+  private[graft] def liveSegments: Vector[Seg] = live
+
   private def dataDir: Path = dir.resolve("data")
 
   /** The standing index as ONE parquet datasource (constant plan width
     * however many folds are live): segments are a partition level
     * (`data/seg=<nonce>/pk=<p>/`), so the whole store is one scan with
-    * the manifest's live-segment set applied as a partition filter —
-    * which is also what makes a crash-orphaned segment (published but
-    * never committed to the manifest) invisible to readers until the
-    * next open() sweeps it.
+    * the manifest's live (segment, bucket) set applied as a partition
+    * filter — which is also what makes a crash-orphaned segment
+    * (published but never committed to the manifest) invisible to
+    * readers until the next open() sweeps it.
     */
-  def read(): DataFrame =
-    if (live.isEmpty)
+  def read(): DataFrame = {
+    val segs = live
+    if (segs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schemaDdl))
     else
       spark.read.option("basePath", dataDir.toString)
         .parquet(dataDir.toString)
-        .filter(col("seg").isin(live.map(s => s: Any): _*))
+        .filter(segs.map(segPredicate).reduce(_ || _))
         .drop("seg")
+  }
+
+  /** The partition predicate serving exactly a segment's live buckets —
+    * both `seg` and `pk` are partition columns, so the whole disjunction
+    * prunes at file granularity. The bucket term uses whichever literal
+    * list is shorter (served buckets vs excluded buckets).
+    */
+  private def segPredicate(s: Seg): Column = {
+    val base = col("seg") === s.nonce
+    if (s.excl.isEmpty) base
+    else if (s.liveBuckets.size <= s.excl.size)
+      base && col("pk").isin(s.liveBuckets.toSeq.map(Int.box): _*)
+    else base && !col("pk").isin(s.excl.toSeq.map(Int.box): _*)
+  }
 
   /** The standing index restricted to the given hash-prefix buckets —
     * `pk` is a partition column, so this prunes segment FILES before
@@ -108,31 +171,52 @@ final class FoldStore private (spark: SparkSession, dir: Path,
   /** Fold one micro-batch's rows in (no-op rows-wise when `stored` is
     * empty, but `foldId` still commits so the replay guard advances).
     * `stored` must carry the store's schema including the int `pk`
-    * prefix column.
+    * prefix column. Also runs the grace-delayed sweep of segments a
+    * PREVIOUS fold's compaction retired (by now no reader of the
+    * pre-swap manifest can still be evaluating — foreachBatch serializes
+    * batches and the legs' per-batch caches are unpersisted), and one
+    * bucket-slice compaction step when the segment count is past the
+    * threshold.
     */
   def append(stored: DataFrame, foldId: Long): Unit = synchronized {
-    val seg = publishSegment(stored)
-    live = live ++ seg
+    sweepPending()
+    publishSegment(stored).foreach { case (nonce, buckets) =>
+      live = live :+ Seg(nonce, buckets, Set.empty)
+    }
     folded = foldId
     writeManifest()
-    if (live.size > compactAfter) compact()
+    if (live.size > compactAfter) compactStep()
   }
 
-  /** Merge every live segment into one (bounded plan/file count for
-    * long-running ingests), swap the manifest, sweep the superseded
-    * segment directories.
+  /** One incremental compaction step: merge the cursor's next
+    * `compactBuckets` pk buckets across every live segment into one new
+    * bucket-sliced segment, exclude those buckets from the older
+    * segments (per-(segment, bucket) manifest granularity), retire
+    * segments left with no live buckets into the grace-delayed sweep
+    * queue, and advance the persisted cursor. Value identity with a
+    * full merge is pinned by FoldStoreSpec; the rewrite touches
+    * `compactBuckets / prefixParts` of the index, never all of it.
     */
-  private[streaming] def compact(): Unit = synchronized {
-    val merged = read()
-    val old = live
-    publishSegment(merged) match {
-      case Some(seg) =>
-        live = Vector(seg)
-        writeManifest()
-        old.foreach(s => FoldStore.deleteRecursively(
-          dataDir.resolve(s"seg=$s")))
-      case None => // nothing stored anywhere; keep the (empty) manifest
-    }
+  private[graft] def compactStep(): Unit = synchronized {
+    val window = (0 until compactBuckets)
+      .map(i => (cursor + i) % prefixParts).toSet
+    val winRows = read()
+      .filter(col("pk").isin(window.toSeq.map(Int.box): _*))
+    val rewritten = publishSegment(winRows)
+    val (retired, kept) = live
+      .map(s => s.copy(excl = s.excl ++ (s.buckets & window)))
+      .partition(_.liveBuckets.isEmpty)
+    live = kept ++ rewritten.map { case (n, b) => Seg(n, b, Set.empty) }
+    cursor = (cursor + compactBuckets) % prefixParts
+    writeManifest()
+    pendingSweep ++= retired.map(_.nonce)
+  }
+
+  /** Delete segment directories retired at least one fold ago. */
+  private def sweepPending(): Unit = {
+    pendingSweep.foreach(n =>
+      FoldStore.deleteRecursively(dataDir.resolve(s"seg=$n")))
+    pendingSweep = Vector.empty
   }
 
   /** Distinct values of `idCol` standing in the index (diagnostic —
@@ -141,48 +225,103 @@ final class FoldStore private (spark: SparkSession, dir: Path,
   def assets(idCol: String): Long =
     read().select(idCol).distinct().count()
 
+  /** Release the writer lock and sweep any grace-delayed retirees. A
+    * closed store must not be used again — reopen with
+    * [[FoldStore.open]].
+    */
+  def close(): Unit = synchronized {
+    sweepPending()
+    if (lock != null) { lock.release(); lock = null }
+    if (lockCh != null) { lockCh.close(); lockCh = null }
+  }
+
+  /** Test hook: abandon the store as a crash would — the lock drops
+    * (the OS releases a dead process's locks) but nothing is swept and
+    * no manifest is written.
+    */
+  private[graft] def simulateCrash(): Unit = synchronized {
+    if (lock != null) { lock.release(); lock = null }
+    if (lockCh != null) { lockCh.close(); lockCh = null }
+    pendingSweep = Vector.empty
+  }
+
+  private def acquireLock(): Unit = {
+    lockCh = FileChannel.open(dir.resolve(FoldStore.LockName),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    lock =
+      try lockCh.tryLock()
+      catch { case _: OverlappingFileLockException => null }
+    if (lock == null) {
+      lockCh.close()
+      throw new IllegalStateException(
+        s"FoldStore at $dir is held by another writer (LOCK file is " +
+          "locked); one writer per store directory")
+    }
+  }
+
   /** Write `stored` as an immutable segment and atomically publish it
     * under `data/seg=<nonce>`; None when the frame produced no rows
     * (parquet writes no pk dirs). One file per touched pk bucket: the
-    * repartition puts each bucket in exactly one task.
+    * repartition puts each bucket in exactly one task. Returns the
+    * nonce and the set of pk buckets the segment holds files for.
     */
-  private def publishSegment(stored: DataFrame): Option[String] = {
+  private def publishSegment(stored: DataFrame): Option[(String, Set[Int])] = {
     val nonce = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
     val tmp = dir.resolve(s".tmp-$nonce")
     stored
       .repartition(math.min(8, prefixParts), col("pk"))
       .write.mode("overwrite").partitionBy("pk").parquet(tmp.toString)
-    val hasData = FoldStore.listDir(tmp)
-      .exists(_.getFileName.toString.startsWith("pk="))
-    if (hasData) {
+    val buckets = FoldStore.listDir(tmp)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("pk="))
+      .map(_.stripPrefix("pk=").toInt).toSet
+    if (buckets.nonEmpty) {
       Files.createDirectories(dataDir)
       Files.move(tmp, dataDir.resolve(s"seg=$nonce"),
         StandardCopyOption.ATOMIC_MOVE)
-      Some(nonce)
+      FoldStore.fsyncDir(dataDir)
+      Some((nonce, buckets))
     } else {
       FoldStore.deleteRecursively(tmp)
       None
     }
   }
 
+  /** Publish the manifest: previous manifest preserved as `.bak`
+    * (the torn-write fallback), new content written + fsynced to a tmp
+    * file, atomically renamed into place, parent directory fsynced —
+    * the full power-loss discipline, not just process-crash atomicity.
+    */
   private def writeManifest(): Unit = {
+    val body = (Seq(FoldStore.FormatMarker, folded.toString, schemaDdl,
+      cursor.toString) ++ live.map(FoldStore.segLine)).mkString("\n")
     val tmp = dir.resolve(s".tmp-man-${System.nanoTime()}")
-    Files.writeString(tmp,
-      (Seq(folded.toString, schemaDdl) ++ live).mkString("\n"))
-    Files.move(tmp, dir.resolve(FoldStore.ManifestName),
+    val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try { ch.write(ByteBuffer.wrap(body.getBytes(UTF_8))); ch.force(true) }
+    finally ch.close()
+    val man = dir.resolve(FoldStore.ManifestName)
+    if (Files.exists(man)) {
+      val bak = dir.resolve(FoldStore.BackupName)
+      Files.copy(man, bak, StandardCopyOption.REPLACE_EXISTING)
+      val bch = FileChannel.open(bak, StandardOpenOption.WRITE)
+      try bch.force(true) finally bch.close()
+    }
+    Files.move(tmp, man,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    FoldStore.fsyncDir(dir)
   }
 
-  /** Recovery: adopt the manifest's segment list + fold id, sweep
-    * orphan segment/tmp directories a crash left behind.
+  /** Recovery: adopt a parsed manifest's state, sweep orphan segment
+    * and tmp directories a crash left behind (published-but-uncommitted
+    * segments, torn manifest tmps, retirees whose grace sweep never
+    * ran).
     */
-  private def recover(): Unit = {
-    val lines = Files.readString(dir.resolve(FoldStore.ManifestName))
-      .split("\n", -1).toVector
-    folded = lines.head.toLong
-    live = lines.drop(2).filter(_.nonEmpty)
-    val referenced = live.map(s => s"seg=$s").toSet
+  private def recover(m: FoldStore.Manifest): Unit = {
+    folded = m.folded
+    cursor = m.cursor
+    live = m.segs
+    val referenced = live.map(s => s"seg=${s.nonce}").toSet
     FoldStore.listDir(dir)
       .filter(_.getFileName.toString.startsWith(".tmp-"))
       .foreach(FoldStore.deleteRecursively)
@@ -193,8 +332,8 @@ final class FoldStore private (spark: SparkSession, dir: Path,
   }
 
   private def seed(df: DataFrame): Unit = {
-    Files.createDirectories(dir)
-    live = publishSegment(df).toVector
+    live = publishSegment(df)
+      .map { case (n, b) => Seg(n, b, Set.empty) }.toVector
     folded = -1L
     writeManifest()
   }
@@ -203,27 +342,118 @@ final class FoldStore private (spark: SparkSession, dir: Path,
 object FoldStore {
 
   private val ManifestName = "MANIFEST"
+  private val BackupName = "MANIFEST.bak"
+  private val LockName = "LOCK"
+  private val FormatMarker = "v2"
+
+  /** One live segment: its nonce (= directory name suffix), the pk
+    * buckets it was published with, and the buckets since excluded by
+    * bucket-slice compaction (a reader serves `buckets -- excl`).
+    */
+  private[graft] final case class Seg(nonce: String, buckets: Set[Int],
+      excl: Set[Int]) {
+    def liveBuckets: Set[Int] = buckets -- excl
+  }
+
+  private[graft] final case class Manifest(folded: Long, schema: String,
+      cursor: Int, segs: Vector[Seg])
 
   /** Open the store at `dir`, seeding it from `seed` (the initial
     * standing index, stored shape incl. the int `pk` column) only when
-    * no manifest exists — a restart adopts the durable state and never
-    * re-evaluates the seed frame.
+    * no committed manifest exists — a restart adopts the durable state
+    * and never re-evaluates the seed frame. Acquires the directory's
+    * writer lock; fails fast if another live process holds it.
+    *
+    * @param compactAfter   live-segment threshold past which each fold
+    *                       also runs one bucket-slice compaction step
+    * @param compactBuckets pk buckets rewritten per compaction step —
+    *                       the worst-case per-fold rewrite is
+    *                       `compactBuckets / prefixParts` of the index
     */
   def open(spark: SparkSession, dir: String, seed: => DataFrame,
-      prefixParts: Int = 64, compactAfter: Int = 64): FoldStore = {
+      prefixParts: Int = 64, compactAfter: Int = 64,
+      compactBuckets: Int = 0): FoldStore = {
     val d = Paths.get(dir)
-    if (Files.exists(d.resolve(ManifestName))) {
-      val lines = Files.readString(d.resolve(ManifestName)).split("\n", -1)
-      val store = new FoldStore(spark, d, prefixParts, compactAfter, lines(1))
-      store.recover()
-      store
-    } else {
-      val s = seed
-      val store = new FoldStore(spark, d, prefixParts, compactAfter,
-        s.schema.toDDL)
-      store.seed(s)
-      store
+    Files.createDirectories(d)
+    val k = if (compactBuckets > 0) compactBuckets
+      else math.max(1, prefixParts / 8)
+    readManifest(d) match {
+      case Some(m) =>
+        val store = new FoldStore(spark, d, prefixParts, compactAfter, k,
+          m.schema)
+        store.acquireLock()
+        store.recover(m)
+        store
+      case None =>
+        val s = seed
+        val store = new FoldStore(spark, d, prefixParts, compactAfter, k,
+          s.schema.toDDL)
+        store.acquireLock()
+        // debris from a crash before the first commit (torn first
+        // manifest, tmp dirs) must not shadow the fresh seed
+        listDir(d)
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(".tmp-") || n == "data" || n == ManifestName ||
+              n == BackupName
+          }
+          .foreach(deleteRecursively)
+        store.seed(s)
+        store
     }
+  }
+
+  /** Parse MANIFEST, falling back to MANIFEST.bak when it is missing or
+    * torn (empty/truncated/unparseable — the power-loss case the bak
+    * exists for). None ⇒ no committed state: the caller seeds fresh.
+    */
+  private def readManifest(d: Path): Option[Manifest] =
+    parseManifest(d.resolve(ManifestName))
+      .orElse(parseManifest(d.resolve(BackupName)))
+
+  private def parseManifest(p: Path): Option[Manifest] = {
+    if (!Files.isRegularFile(p)) None
+    else
+      try {
+        val lines = Files.readString(p).split("\n", -1).toVector
+        if (lines.headOption.contains(FormatMarker)) {
+          // v2: marker, foldId, schema, cursor, seg lines
+          val folded = lines(1).toLong
+          val schema = lines(2)
+          val cursor = lines(3).toInt
+          require(schema.nonEmpty)
+          val segs = lines.drop(4).filter(_.nonEmpty).map(parseSegLine)
+          Some(Manifest(folded, schema, cursor, segs))
+        } else {
+          // v1 (pre-r12): foldId, schema, seg nonces; bucket sets are
+          // recovered from the segment directories on disk
+          val folded = lines.head.toLong
+          val schema = lines(1)
+          require(schema.nonEmpty)
+          val segs = lines.drop(2).filter(_.nonEmpty).map { nonce =>
+            val segDir = p.getParent.resolve("data").resolve(s"seg=$nonce")
+            val buckets =
+              if (Files.isDirectory(segDir))
+                listDir(segDir).map(_.getFileName.toString)
+                  .filter(_.startsWith("pk="))
+                  .map(_.stripPrefix("pk=").toInt).toSet
+              else Set.empty[Int]
+            Seg(nonce, buckets, Set.empty)
+          }
+          Some(Manifest(folded, schema, 0, segs))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def segLine(s: Seg): String =
+    s"${s.nonce}|${s.buckets.toSeq.sorted.mkString(",")}|" +
+      s.excl.toSeq.sorted.mkString(",")
+
+  private def parseSegLine(line: String): Seg = {
+    val parts = line.split("\\|", -1)
+    def ints(x: String): Set[Int] =
+      if (x.isEmpty) Set.empty else x.split(",").map(_.toInt).toSet
+    Seg(parts(0), ints(parts(1)), ints(parts(2)))
   }
 
   /** The hash-prefix partition key for a consult key: stable across
@@ -232,6 +462,17 @@ object FoldStore {
   def pk(parts: Int, keys: org.apache.spark.sql.Column*):
       org.apache.spark.sql.Column =
     pmod(xxhash64(keys: _*), lit(parts.toLong)).cast("int")
+
+  /** fsync a directory so a just-completed rename survives power loss
+    * (POSIX: the rename itself is atomic but only durable once the
+    * parent directory's metadata is flushed). Best-effort on
+    * filesystems that refuse directory channels.
+    */
+  private def fsyncDir(d: Path): Unit =
+    try {
+      val ch = FileChannel.open(d, StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def listDir(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._

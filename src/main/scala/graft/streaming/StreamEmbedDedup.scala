@@ -42,12 +42,19 @@ import graft.ops.EmbedSim
   * replay-guarded fold, and segment compaction all come from the store
   * (shared with [[StreamMediaDedup]]).
   *
-  * Delivery: verdicts are a pure function of (standing index, batch) —
-  * at-least-once re-emission is absorbed by a keyed sink (T1); the
-  * fold is guarded by the store's durable `lastFoldedId`, so a
-  * replayed batch folds nothing (a double-fold would plant same-id
-  * twins in the index — harmless for keep bits, corrupting for any
-  * downstream per-list statistics).
+  * Delivery: verdicts are a pure function of (standing index MINUS the
+  * batch's own ids, batch) — the self-exclusion is the r12 replay
+  * shield: a batch replayed after its fold committed (crash between
+  * `store.append` and the checkpoint commit) would otherwise find its
+  * own kept vectors standing, self-match at cos 1, and flip every kept
+  * vector to keep=false, which a keyed sink would overwrite over the
+  * correct verdict; with the shield the replay sees exactly the
+  * pre-fold lists and re-emits identical rows (T1, spec-pinned on
+  * verdict content). The fold is double-guarded: the durable
+  * `lastFoldedId` stops a same-id replay, and an anti-join against ids
+  * already standing in the touched lists stops a re-delivery under a
+  * NEW batch id from planting same-id twins in the index (harmless for
+  * keep bits, corrupting for any downstream per-list statistics).
   *
   * @param centroids frozen trained centroid frame (centroid_id, cemb,
   *                  cnorm) — small (C ≈ √n), persisted here and
@@ -103,10 +110,16 @@ final class StreamEmbedDedup private (
         // below): folds append one small file per touched bucket, so an
         // uncached consult would re-open every pruned segment file per
         // consumer as the segment count grows
-        val index = store.readFor(pks)
+        val pruned = store.readFor(pks)
           .select(col("vec_id"), col("emb"), col("norm"),
             col("centroid_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        val batchIds = incr.select(col("vec_id")).distinct()
+        // replay shield: a batch replayed after its fold committed must
+        // see the PRE-fold lists — its own ids (present only on such a
+        // replay) are excluded before judging; the id set is batch-sized
+        val index = pruned.join(broadcast(batchIds),
+          Seq("vec_id"), "left_anti")
         val verdicts = EmbedSim.semVerdictsAgainst(index, incr, threshold)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val out = batch.select(col("vec_id"), col("ts"))
@@ -116,26 +129,33 @@ final class StreamEmbedDedup private (
             col("matched_id"), col("score"))
         verdictSink.write(out, id)
         // fold the batch's canonical (kept) vectors into the standing
-        // assignment as ONE durable increment-sized segment
+        // assignment as ONE durable increment-sized segment; the
+        // anti-join stops a re-delivery under a NEW batch id from
+        // planting same-id twins (alreadyStanding is empty in normal
+        // disjoint-id operation)
         if (id > store.lastFoldedId) {
+          val alreadyStanding = pruned.select(col("vec_id"))
+            .join(broadcast(batchIds), Seq("vec_id"), "left_semi")
+            .distinct()
           val keep = incr.join(
-            verdicts.filter(col("keep")).select(col("vec_id")),
-            Seq("vec_id"), "leftsemi")
+              verdicts.filter(col("keep")).select(col("vec_id")),
+              Seq("vec_id"), "leftsemi")
+            .join(broadcast(alreadyStanding), Seq("vec_id"), "left_anti")
           store.append(keep.withColumn("pk", StreamEmbedDedup.pkOf), id)
         }
         verdicts.unpersist()
-        index.unpersist()
+        pruned.unpersist()
         incr.unpersist()
       }
     } finally { batch.unpersist(); () }
   }
 
-  /** Release the persisted centroid frame (the index itself is durable
-    * on disk).
+  /** Release the persisted centroid frame and the durable store's
+    * writer lock (the index itself stays on disk).
     */
   def close(): Unit = {
     try frozen.unpersist(false) catch { case _: Throwable => () }
-    ()
+    store.close()
   }
 }
 

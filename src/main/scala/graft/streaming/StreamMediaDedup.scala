@@ -40,6 +40,15 @@ import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
   *    retro-removal is the standing batch dedup's job, the same
   *    detect-don't-drop stance as [[StreamNearDup]].
   *
+  * Within-batch near-dup pairs (two copies arriving in ONE micro-batch)
+  * are out of this leg's verdict scope and BOTH fold as canonical: the
+  * accretion is bounded by the batch's internal dup rate × batch size,
+  * and the standing batch dedup (q_image_dups / q_audio_dups /
+  * q_video_dups over the index) retro-prunes them — the text leg dedups
+  * its fold instead ([[StreamTextDedup]]) because document firehoses
+  * carry far higher within-batch dup rates than keyed media ingests,
+  * where an asset id arrives once by contract.
+  *
   * State shape (r11, the durable [[FoldStore]]): the standing index
   * lives as hash-prefix-partitioned parquet segments under the leg's
   * `indexDir` — seeded from the constructor's standing index the first
@@ -65,14 +74,25 @@ import graft.ops.{AudioDedup, ImageDedup, Perceptual, VideoDedup}
   *    standing-index history.
   *
   * Delivery: the verdict sink sees every batch at-least-once; verdicts
-  * are a pure function of (standing index, batch), so a replayed batch
-  * re-emits identical rows and a keyed sink dedups them (T1). The
-  * index FOLD is guarded by the store's durable `lastFoldedId` (a
-  * replayed id folds nothing — and the guard itself now survives
-  * restart): without it a replay would append the same fingerprints
-  * twice, which the banded tiers absorb (candidates are distinct-ed)
-  * but the containment tier does NOT — duplicated index rows double
-  * the per-pair shared counts and can push overlap past 1.
+  * are a pure function of (standing index MINUS the batch's own ids,
+  * batch) — the self-exclusion is the r12 replay shield: a batch
+  * replayed AFTER its fold committed (crash in the window between
+  * `store.append` and the checkpoint commit — exactly the window the
+  * durable guard exists for) would otherwise be judged against an index
+  * containing its own kept fingerprints, self-match at distance 0, and
+  * flip every kept asset to dup-of-itself, which a keyed sink would
+  * overwrite over the correct verdict. With the shield the replayed
+  * batch sees precisely the pre-fold index (nothing else can have
+  * folded in between — foreachBatch serializes batches) and re-emits
+  * byte-identical rows (T1; pinned by the replay spec on verdict
+  * CONTENT, not counts). The index FOLD is double-guarded: the store's
+  * durable `lastFoldedId` stops a same-id replay, and an anti-join
+  * against the ids already standing in the touched buckets stops a
+  * re-delivery under a NEW batch id (at-least-once file re-appearance)
+  * from planting twin fingerprints — which the banded tiers absorb
+  * (candidates are distinct-ed) but the containment tier does NOT
+  * (duplicated index rows double the per-pair shared counts and can
+  * push overlap past 1).
   *
   * @param hashRows  the modality's scan-side fingerprint projection
   *                  ((media_id, payload) → fingerprint-row shape)
@@ -130,7 +150,14 @@ final class StreamMediaDedup private (
         // each consumer would re-open every pruned segment file — the
         // growth term a 20-batch image run measured before this cache
         // (batch seconds 4.1 -> 7.8 as the file count grew)
-        val index = store.readFor(pks).persist(StorageLevel.MEMORY_AND_DISK)
+        val pruned = store.readFor(pks).persist(StorageLevel.MEMORY_AND_DISK)
+        val batchIds = hashes.select(col("media_id")).distinct()
+        // replay shield: a batch replayed after its fold committed must
+        // see the PRE-fold index, so its own ids (present only on such a
+        // replay — arriving ids are otherwise disjoint by contract) are
+        // excluded before pairing; broadcast: the id set is batch-sized
+        val index = pruned.join(broadcast(batchIds),
+          Seq("media_id"), "left_anti")
         // persisted: best feeds both the verdict join and the index-fold
         // anti-join — without it each consumer would re-run the pairing
         val best = bestMatch(index, hashes)
@@ -151,23 +178,32 @@ final class StreamMediaDedup private (
             col("matched_id"), col("score"))
         verdictSink.write(verdicts, id)
         // fold the batch's canonical (non-dup, decodable) fingerprints
-        // into the standing index as ONE durable increment-sized segment
+        // into the standing index as ONE durable increment-sized
+        // segment; the second anti-join is the new-batch-id replay
+        // guard — an id already standing in the touched buckets (a
+        // re-delivered file under a fresh batch id) must never fold
+        // twin rows (alreadyStanding is empty in normal operation and
+        // batch-bounded on a re-delivery, so the broadcast is safe)
         if (id > store.lastFoldedId) {
+          val alreadyStanding = pruned.select(col("media_id"))
+            .join(broadcast(batchIds), Seq("media_id"), "left_semi")
+            .distinct()
           val keep = hashes
             .join(best.select(col("media_id")), Seq("media_id"), "left_anti")
+            .join(broadcast(alreadyStanding), Seq("media_id"), "left_anti")
           store.append(toStored(keep), id)
         }
         best.unpersist()
-        index.unpersist()
+        pruned.unpersist()
         hashes.unpersist()
       }
     } finally { batch.unpersist(); () }
   }
 
-  /** End-of-stream cleanup (the index itself is durable on disk; kept
-    * for call-site symmetry with the other legs).
+  /** Release the durable store's writer lock (the index itself stays
+    * on disk; reopen the leg on the same directory to resume).
     */
-  def close(): Unit = ()
+  def close(): Unit = store.close()
 }
 
 object StreamMediaDedup {

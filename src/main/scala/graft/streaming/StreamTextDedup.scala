@@ -44,9 +44,29 @@ import graft.ops.TextDedup
   * prunes to the band buckets it touches at file granularity; restart
   * recovery, the durable replay-guarded fold, and segment compaction
   * are the store's (shared with [[StreamMediaDedup]] /
-  * [[StreamEmbedDedup]]). Within-batch pairs are NOT this leg's job
-  * ([[StreamNearDup]] owns in-window pairing); folding only non-dup
-  * signatures keeps the index the canonical-document set.
+  * [[StreamEmbedDedup]]).
+  *
+  * Within-batch pairs are NOT this leg's verdict surface
+  * ([[StreamNearDup]] owns in-window pairing) — but the FOLD dedups
+  * within the batch (r12): without it two near-copies arriving in one
+  * micro-batch would BOTH fold as canonical forever, accreting
+  * duplicates into the standing index at a rate set by the batch's
+  * internal dup rate. The fold keeps the min-id member of each
+  * within-batch near-dup pair — the same non-iterative min-id-wins
+  * simplification as [[graft.ops.EmbedSim.semVerdictsAgainst]]'s
+  * vsBatch leg (a doc dropped from the fold still counts as a
+  * smaller-id blocker for later ids).
+  *
+  * Delivery: verdicts are a pure function of (standing index MINUS the
+  * batch's own ids, batch) — the self-exclusion is the r12 replay
+  * shield: a batch replayed after its fold committed would otherwise
+  * find its own kept signatures standing, self-match at jaccard 1, and
+  * flip every kept doc to dup-of-itself; with the shield the replay
+  * sees exactly the pre-fold index and re-emits identical rows (T1,
+  * spec-pinned on verdict content). The fold is double-guarded: the
+  * durable `lastFoldedId` stops a same-id replay, and an anti-join
+  * against doc ids already standing in the touched buckets stops a
+  * re-delivery under a NEW batch id from planting twin signature rows.
   */
 final class StreamTextDedup private (
     verdictSink: BatchSink,
@@ -85,9 +105,15 @@ final class StreamTextDedup private (
         // batch-lifetime cache of the pruned band-index read (the
         // pairing core consumes the index side twice — cap + candidate
         // join; see StreamMediaDedup for the measured rationale)
-        val index = store.readFor(pks)
+        val pruned = store.readFor(pks)
           .select(col("doc_id"), col("band"), col("shingles"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        val batchIds = fresh.select(col("doc_id")).distinct()
+        // replay shield: a batch replayed after its fold committed must
+        // see the PRE-fold index — its own ids (present only on such a
+        // replay) are excluded before pairing; the id set is batch-sized
+        val index = pruned.join(broadcast(batchIds),
+          Seq("doc_id"), "left_anti")
         val best = TextDedup.incrementalDupsFromBands(index, fresh,
             minJaccard)
           .groupBy(col("new_id").as("doc_id"))
@@ -108,21 +134,37 @@ final class StreamTextDedup private (
             col("matched_id"), col("jaccard"))
         verdictSink.write(verdicts, id)
         // fold the batch's canonical (non-dup, signatured) band rows
-        // into the standing index as ONE durable increment-sized segment
+        // into the standing index as ONE durable increment-sized
+        // segment — minus within-batch near-dups (min-id member wins:
+        // the same pairing core run fresh-vs-fresh, so two near-copies
+        // arriving together cannot BOTH become canonical) and minus ids
+        // already standing in the touched buckets (the new-batch-id
+        // re-delivery guard; empty in normal disjoint-id operation)
         if (id > store.lastFoldedId) {
+          val withinDup = TextDedup.incrementalDupsFromBands(fresh, fresh,
+              minJaccard)
+            .filter(col("indexed_id") < col("new_id"))
+            .select(col("new_id").as("doc_id")).distinct()
+          val alreadyStanding = pruned.select(col("doc_id"))
+            .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+            .distinct()
           val keep = fresh
             .join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .join(broadcast(withinDup), Seq("doc_id"), "left_anti")
+            .join(broadcast(alreadyStanding), Seq("doc_id"), "left_anti")
           store.append(keep.withColumn("pk", StreamTextDedup.pkOf), id)
         }
         best.unpersist()
-        index.unpersist()
+        pruned.unpersist()
         fresh.unpersist()
       }
     } finally { batch.unpersist(); () }
   }
 
-  /** End-of-stream cleanup (the index itself is durable on disk). */
-  def close(): Unit = ()
+  /** Release the durable store's writer lock (the index itself stays
+    * on disk).
+    */
+  def close(): Unit = store.close()
 }
 
 object StreamTextDedup {

@@ -255,9 +255,10 @@ class StreamMediaDedupSpec extends AnyFunSuite with Matchers with TestSpark {
       deliver("b1", Seq((newId, ImageDedup.encodeIncrement(1), t0)))
       q1.processAllAvailable()
     } finally { q1.stop(); leg1.close() }
-    // the fold committed durably before the "crash"
-    FoldStore.open(spark, ixDir, fail("seed must not re-evaluate"))
-      .lastFoldedId should be >= 0L
+    // the fold committed durably before the "crash" (the probe store
+    // must release the writer lock before the restarted leg opens)
+    val probe = FoldStore.open(spark, ixDir, fail("seed must not re-evaluate"))
+    try probe.lastFoldedId should be >= 0L finally probe.close()
 
     // restart: fresh leg instance + fresh query, same ck + index dirs
     val sink2 = new UpsertSink("media_key")

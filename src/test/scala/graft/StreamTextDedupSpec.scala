@@ -132,4 +132,41 @@ class StreamTextDedupSpec extends AnyFunSuite with Matchers
     v2(500003L)._2 shouldBe newId
     leg2.close()
   }
+
+  test("within-batch near-dups fold only their min-id member: the " +
+      "standing index cannot accrete both copies as canonical, and a " +
+      "later near-copy is flagged against the min-id one") {
+    import spark.implicits._
+    val ixDir = java.nio.file.Files.createTempDirectory("std-ix3").toString
+    val t0 = new Timestamp(1700000000000L)
+    val textA = (1 to 60).map(i => s"z${i * 991 % 9973}").mkString(" ")
+    val textB = (1 to 60).map(i => s"y${i * 983 % 9973}").mkString(" ")
+
+    val sink = new UpsertSink("doc_key")
+    val leg = StreamTextDedup(sink, standingDocs, ixDir, spark)
+    val size0 = leg.indexSize
+    // one batch carrying TWO near-copies of the same new content (A and
+    // A+tail) plus an unrelated new doc B
+    val b1 = Seq(
+      (600000L, textA, t0),
+      (600001L, textA + " tail", t0),
+      (600002L, textB, t0)).toDF("doc_id", "text", "ts")
+    leg.processBatch(b1, 0L)
+    // verdicts: within-batch pairs are StreamNearDup's surface, not
+    // this leg's — neither A copy is flagged against the OTHER here
+    val v1 = collectVerdicts(sink)
+    v1(600000L)._1 shouldBe false
+    v1(600001L)._1 shouldBe false
+    v1(600002L)._1 shouldBe false
+    // but the FOLD kept only min-id A and B: not both A copies
+    leg.indexSize shouldBe size0 + 2
+
+    // a later near-copy of A is flagged against the min-id member
+    val b2 = Seq((600003L, textA + " coda", t0)).toDF("doc_id", "text", "ts")
+    leg.processBatch(b2, 1L)
+    val v2 = collectVerdicts(sink)
+    v2(600003L)._1 shouldBe true
+    v2(600003L)._2 shouldBe 600000L
+    leg.close()
+  }
 }
