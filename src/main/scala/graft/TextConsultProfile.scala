@@ -24,8 +24,10 @@ import graft.streaming.{FoldStore, StreamTextDedup}
   *     (indexed_id, new_id) pairs;
   *  4. `verify`     — exact shingle-jaccard on candidates + per-doc best
   *     match reduction;
-  *  5. `fold`       — within-batch min-id dedup + canonical-row append
-  *     (segment publish + manifest swap, incl. any compaction step).
+  *  5. `within_dedup` — the fold's within-batch dedup: exact-hash
+  *     collapse + banded near-dup pairing among representatives;
+  *  6. `fold_append`  — canonical-row append (segment publish +
+  *     manifest swap, incl. any compaction step).
   *
   * Run: runMain graft.TextConsultProfile [standing] [batch] [reps].
   * Emits one JSON line (plus text_consult_profile.json).
@@ -123,10 +125,16 @@ object TextConsultProfile {
         .persist(StorageLevel.MEMORY_AND_DISK)
       stage("verify")(best.count())
 
-      stage("fold") {
-        val withinDup = TextDedup.incrementalDupsFromBands(fresh, fresh, 0.5)
-          .filter(col("indexed_id") < col("new_id"))
-          .select(col("new_id").as("doc_id")).distinct()
+      // the leg's within-batch fold dedup: exact-hash collapse, then
+      // banded near-dup pairing among the representatives only
+      val withinDup = stage("within_dedup") {
+        val w = StreamTextDedup.withinBatchDups(fresh, 0.5)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        w.count()
+        w
+      }
+
+      stage("fold_append") {
         val keep = fresh
           .join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .join(broadcast(withinDup), Seq("doc_id"), "left_anti")
@@ -134,6 +142,7 @@ object TextConsultProfile {
           FoldStore.pk(StreamTextDedup.PrefixParts, col("band"))),
           store.lastFoldedId + 1)
       }
+      withinDup.unpersist()
 
       best.unpersist(); cand.unpersist(); pruned.unpersist()
       fresh.unpersist()
@@ -145,7 +154,7 @@ object TextConsultProfile {
       try run(b) finally { b.unpersist(); () }
     }
     val stages = Seq("signature", "prune_read", "band_join", "verify",
-      "fold")
+      "within_dedup", "fold_append")
     def med(name: String): Double = {
       val xs = all.map(_(name)).sorted; xs(xs.size / 2)
     }

@@ -120,8 +120,23 @@ object TextIngestBench {
     val nDup = verdicts.filter(col("is_dup")).count()
     val nNoSig = verdicts.filter(!col("has_sig")).count()
     val planted = verdicts.filter((col("doc_id") - newBase) % 10 === 0)
+    // planted recrawls whose STANDING target is the boilerplate clique
+    // are absorbed by the hot-band cap BY CONTRACT (the batch tier's
+    // incremental operator misses them identically — the clique's band
+    // buckets exceed MaxBucket in the standing index); r11's apparent
+    // 100% recall on them was an artifact of within-batch dup copies
+    // accreting into the index and matching later copies, the exact
+    // accretion the r12 fold dedup closes — so they are reported as
+    // their own absorbed bucket, not blended into recall
+    val isBoiler =
+      (((col("doc_id") - newBase) / 10).cast("long") % nStanding) % 11 === 3
+    val contentful = planted.filter(!isBoiler)
     val nPlanted = planted.count()
-    val nPlantedFound = planted.filter(col("is_dup")).count()
+    val nContentful = contentful.count()
+    val nContentfulFound = contentful.filter(col("is_dup")).count()
+    val nBoiler = nPlanted - nContentful
+    val nBoilerFound = planted.filter(isBoiler)
+      .filter(col("is_dup")).count()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
@@ -132,7 +147,10 @@ object TextIngestBench {
       f""""median_batch_first_half":${median(batchSec.take(batchSec.size / 2))}%.2f,""" +
       f""""median_batch_second_half":${median(batchSec.drop(batchSec.size / 2))}%.2f,""" +
       s""""verdicts":$nV,"dups":$nDup,"no_sig":$nNoSig,""" +
-      s""""planted":$nPlanted,"planted_found":$nPlantedFound,""" +
+      s""""planted":$nPlanted,"planted_contentful":$nContentful,""" +
+      s""""planted_contentful_found":$nContentfulFound,""" +
+      s""""planted_boilerplate_absorbed":$nBoiler,""" +
+      s""""planted_boilerplate_found":$nBoilerFound,""" +
       s""""index_start":$indexSize0,"index_end":${leg.indexSize},""" +
       s""""batch_seconds":${batchSec.map(t => f"$t%.2f").mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get("text_bench_out.json"), line)
