@@ -173,7 +173,11 @@ object FirehoseBench {
       val df = spark.read.format("jdbc").option("url", jdbcUrl)
         .option("dbtable", table).load()
       val cols = df.columns.sorted.map(c => col(c).cast("string"))
-      val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).collect().head
+      // bit_xor, not sum: xxhash64 values span the full long range and
+      // a sum over millions of rows overflows under ANSI mode; xor is
+      // order-independent and closed over long
+      val r = df.select(xxhash64(cols: _*).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val docSink = new JdbcUpsertSink(jdbcUrl, "curated_docs", "doc_key",
@@ -274,6 +278,11 @@ object FirehoseBench {
       (System.nanoTime() - b0) / 1e9
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // the timed evidence survives any replay-leg failure: write it now
+    Files.writeString(Paths.get("firehose_bench_out.json"),
+      s"""{"metric":"firehose_timed_window","seconds":$sec,""" +
+        s""""batch_seconds":${batchSec.map(t => f"$t%.2f")
+          .mkString("[", ",", "]")}}""")
 
     // ---- end-to-end replay idempotence across every tier --------------
     val tables = Seq("curated_docs", "curated_media", "curated_vectors",

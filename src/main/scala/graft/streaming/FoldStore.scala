@@ -57,9 +57,13 @@ import org.apache.spark.sql.types.StructType
   * into one new bucket-sliced segment and EXCLUDING the buckets from the
   * older segments via per-(segment, bucket) manifest granularity. A full
   * cursor cycle rewrites the index exactly once, i.e. the amortized
-  * bytes equal the old rare full merge, but each batch now pays
-  * ~`compactBuckets / prefixParts` of the index instead of occasionally
-  * paying all of it — worst-case batch time stays near the median. A
+  * bytes equal the old rare full merge, but each step touches only
+  * ~`compactBuckets / prefixParts` of the index — and the step runs on
+  * a per-store BACKGROUND thread, overlapping the next micro-batch's
+  * consult/verdict work instead of landing inside the triggering batch
+  * (mutually synchronized with [[append]], so state stays
+  * single-writer; an inline fallback fires if the compactor falls 4
+  * thresholds behind, so the segment count is still bounded). A
   * segment whose buckets are all excluded is retired; per-bucket live
   * file count stays bounded at ~(segments alive per cycle), the same
   * steady state as the full merge gave.
@@ -112,6 +116,19 @@ final class FoldStore private (spark: SparkSession, dir: Path,
   // the cross-process single-writer guard, held for the store's lifetime
   private var lockCh: FileChannel = _
   private var lock: java.nio.channels.FileLock = _
+
+  // one background compactor per store: a step is kicked off by append()
+  // and runs CONCURRENTLY with the next micro-batch's consult/verdict
+  // work (compactStep and append are mutually synchronized, so state
+  // mutation stays single-writer) — inline, the step's rewrite landed
+  // inside the triggering batch and set its wall time
+  private lazy val compactor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"foldstore-compact-$dir")
+      t.setDaemon(true)
+      t
+    })
+  @volatile private var compacting: java.util.concurrent.Future[_] = _
 
   /** Highest micro-batch id whose fold the manifest has committed —
     * the replay guard: a redelivered batch id <= this folds nothing.
@@ -178,14 +195,37 @@ final class FoldStore private (spark: SparkSession, dir: Path,
     * bucket-slice compaction step when the segment count is past the
     * threshold.
     */
-  def append(stored: DataFrame, foldId: Long): Unit = synchronized {
-    sweepPending()
-    publishSegment(stored).foreach { case (nonce, buckets) =>
-      live = live :+ Seg(nonce, buckets, Set.empty)
+  def append(stored: DataFrame, foldId: Long): Unit = {
+    synchronized {
+      sweepPending()
+      publishSegment(stored).foreach { case (nonce, buckets) =>
+        live = live :+ Seg(nonce, buckets, Set.empty)
+      }
+      folded = foldId
+      writeManifest()
     }
-    folded = foldId
-    writeManifest()
-    if (live.size > compactAfter) compactStep()
+    if (live.size > compactAfter.toLong * 4) {
+      // backpressure: the background compactor has fallen far behind
+      // (steps slower than the fold cadence) — run inline so the
+      // segment count cannot grow without bound
+      awaitCompaction()
+      compactStep()
+    } else if (live.size > compactAfter &&
+        (compacting == null || compacting.isDone)) {
+      compacting = compactor.submit(new Runnable {
+        def run(): Unit =
+          try compactStep()
+          catch { case scala.util.control.NonFatal(_) => () }
+      })
+    }
+  }
+
+  /** Block until any in-flight background compaction step finishes
+    * (close() drains it; specs use it for deterministic counts).
+    */
+  private[graft] def awaitCompaction(): Unit = {
+    val f = compacting
+    if (f != null) { try f.get() catch { case _: Exception => () }; () }
   }
 
   /** One incremental compaction step: merge the cursor's next
@@ -229,20 +269,28 @@ final class FoldStore private (spark: SparkSession, dir: Path,
     * closed store must not be used again — reopen with
     * [[FoldStore.open]].
     */
-  def close(): Unit = synchronized {
-    sweepPending()
-    if (lock != null) { lock.release(); lock = null }
-    if (lockCh != null) { lockCh.close(); lockCh = null }
+  def close(): Unit = {
+    awaitCompaction()
+    synchronized {
+      compactor.shutdown()
+      sweepPending()
+      if (lock != null) { lock.release(); lock = null }
+      if (lockCh != null) { lockCh.close(); lockCh = null }
+    }
   }
 
   /** Test hook: abandon the store as a crash would — the lock drops
     * (the OS releases a dead process's locks) but nothing is swept and
     * no manifest is written.
     */
-  private[graft] def simulateCrash(): Unit = synchronized {
-    if (lock != null) { lock.release(); lock = null }
-    if (lockCh != null) { lockCh.close(); lockCh = null }
-    pendingSweep = Vector.empty
+  private[graft] def simulateCrash(): Unit = {
+    awaitCompaction()
+    synchronized {
+      compactor.shutdown()
+      if (lock != null) { lock.release(); lock = null }
+      if (lockCh != null) { lockCh.close(); lockCh = null }
+      pendingSweep = Vector.empty
+    }
   }
 
   private def acquireLock(): Unit = {

@@ -49,9 +49,25 @@ object Monitor {
     * shape that survives an unbounded stream. Mirrors the reference's
     * incremental RocksDB writes (Faust's store commits per-message, not
     * per-table-dump).
+    *
+    * Bounded memory is the other unbounded-native-growth axis: WITHOUT
+    * it every state-store instance (one per shuffle partition PER
+    * stateful operator — a 4-leg topology at 32 partitions runs 100+
+    * instances in one JVM) allocates its own block cache and
+    * memtables, and total native memory grows with state until the
+    * container is killed (measured: the composed firehose's JVM was
+    * OOM-killed at 104 GB anon RSS, ~2x its heap, at 5M docs of
+    * accumulated dedup state). `boundedMemoryUsage` charges every
+    * instance's cache AND write buffers to one shared LRUCache capped
+    * at `maxMemoryUsageMB` — the per-executor discipline a
+    * 1000-executor deployment needs anyway, since a YARN/k8s container
+    * enforces exactly this bound from the outside.
     */
   val RocksDbScaleConf: Map[String, String] = Map(
     RocksDbConf,
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-      "true")
+      "true",
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" ->
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MB", "4096"))
 }

@@ -222,9 +222,13 @@ object StreamMediaDedup {
     * a measured r11 A/B at these increment-heavy shapes (SCALING r11
     * addendum 2); the refinement for regimes where one merge would
     * stall a batch is per-pk-bucket incremental compaction, not
-    * finer-grained whole-segment tiering.
+    * finer-grained whole-segment tiering. Env-overridable
+    * (SPARK_GRAFT_COMPACT_AFTER) — the right threshold trades
+    * steady-state consult file count against amortized rewrite bytes,
+    * which is deployment-shape-dependent (increment:corpus ratio).
     */
-  val CompactAfter = 8
+  val CompactAfter: Int =
+    sys.env.get("SPARK_GRAFT_COMPACT_AFTER").map(_.toInt).getOrElse(8)
 
   /** Stored index-row shape for the banded modalities: the band-exploded
     * LSH inverted index (media_id, i, bv, h) + the (i, bv) hash-prefix

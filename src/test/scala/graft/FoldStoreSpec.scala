@@ -131,8 +131,11 @@ class FoldStoreSpec extends AnyFunSuite with Matchers with TestSpark {
     (0 until 24).foreach { b =>
       val lo = 100L + b * 2
       store.append(rows(lo, lo + 1), b.toLong)
+      // the compaction step runs on the store's background thread —
+      // drain it so the per-fold count assertions are deterministic
+      // (value identity holds at ANY point: the manifest swap is atomic)
+      store.awaitCompaction()
       expected = expected ++ Vector(lo, lo + 1)
-      // value identity after every fold (+ any compaction step it ran)
       store.read().select("id").collect().map(_.getLong(0)).sorted shouldBe
         expected.sorted.toArray
       maxSegs = math.max(maxSegs, store.segmentCount)
