@@ -82,7 +82,10 @@ object Bench {
     // pass outright; min/max are kept as dispersion evidence. Passes are
     // interleaved query-major (pass loop outside) so a transient box-wide
     // stall hits one pass of many queries, not all passes of one query.
-    val nPasses = 3
+    // env-overridable for the big-SF sweeps (sf10 × 3 passes is hours;
+    // a single steady-state pass after the warm pass is the standard
+    // one-boot slope evidence there). The driver never sets it.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = selected.map(_._1)
     // each sample carries provenance: (duration, pass index, start offset
