@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def builder(cpus: String): SparkSession.Builder =
+    withEnvOverrides(base(cpus))
+
+  private def base(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,4 +29,19 @@ object Sessions {
       // single-directory reads on the cheap serial path.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8")
       .config("spark.ui.enabled", "false")
+
+  /** Optional conf overrides from `SPARK_GRAFT_CONF` ("k=v,k=v") — the
+    * same-boot A/B knob for optimization experiments (guide §1: compare
+    * plan shapes under ONE bench condition). The driver never sets it;
+    * defaults above stay the measured configuration.
+    */
+  private def withEnvOverrides(b: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
+      s.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val i = kv.indexOf('=')
+        b.config(kv.take(i), kv.drop(i + 1))
+      }
+    }
+    b
+  }
 }

@@ -159,21 +159,16 @@ object Relational {
     * compute exact linear-interpolated quantiles over the sorted values;
     * approx_percentile/HLL sketches are deliberately not oracle-paired).
     *
-    * Scale shape (the r8→r9 rewrite): `percentile()` is a
-    * TypedImperativeAggregate whose per-group buffer holds EVERY distinct
-    * value with its count and merges single-threaded on one reducer per
-    * group — with 3 return flags, three ~n-entry buffers serialize the
-    * whole corpus through 3 tasks. Instead the four statistics families
-    * are exploded into a (kind, value) stream and counted by
-    * `groupBy(flag, kind, value)` — an ordinary partial/final hash
-    * aggregation, fully parallel over ALL partitions, whose OUTPUT is
-    * bounded by the value domain (prices are cent-quantized at the
-    * source, quantities integral, part/supp keys finite), not by the row
-    * count. Only that domain-bounded histogram reaches the per-(flag,
-    * kind) window that turns cumulative counts into interpolated
-    * percentiles and row counts into distinct counts. At 100 TB the big
-    * stream never sees a low-parallelism operator; the window sees at
-    * most |price domain| rows per partition.
+    * Scale lineage: `percentile()` is a TypedImperativeAggregate whose
+    * per-group buffer holds EVERY distinct value and merges
+    * single-threaded on one reducer per group — rejected in r9 for a
+    * (flag, kind, value) histogram + per-key windows. r12 retires THAT
+    * shape too: the "domain-bounded" histogram is near-row-count-sized
+    * on cent-quantized prices and its per-key window is a single-task
+    * sort (details at the implementation comment below). The current
+    * form is the classic three-pass distributed percentile: scalar
+    * stats, bucket counts locating the target ranks, value detail only
+    * inside target buckets.
     *
     * The interpolation mirrors Spark's own `Percentile.getPercentile`
     * bit for bit — position = pct·(n−1); short-circuit on integral
@@ -189,46 +184,123 @@ object Relational {
     * (rank error ≤ n/PctAccuracy, pinned in SketchesSpec) and
     * [[graft.ops.Sketches.approxDistinct]] (HLL).
     */
+  val HistBuckets = 256
+
   def priceStats(spark: SparkSession, dir: String): DataFrame = {
-    // one scan, four value families: p/q carry the double value (exact
-    // cent/integer doubles — grouping on the raw double is lossless),
-    // pk/sk carry the long key; the unused slot is a constant so the
-    // histogram key stays narrow
-    val exploded = Par.fanOut(Tables.load(spark, dir, "lineitem"))
-      .select(col("l_returnflag"), explode(array(
-        struct(lit("p").as("kind"), col("l_extendedprice").as("vd"),
-          lit(0L).as("vl")),
-        struct(lit("q").as("kind"), col("l_quantity").as("vd"),
-          lit(0L).as("vl")),
-        struct(lit("pk").as("kind"), lit(0.0).as("vd"),
-          col("l_partkey").as("vl")),
-        struct(lit("sk").as("kind"), lit(0.0).as("vd"),
-          col("l_suppkey").as("vl")))).as("e"))
+    // r12 rewrite: THREE narrow passes, none of which moves corpus-sized
+    // rows through an exchange or a single-task window. The r9 shape
+    // (explode 4 kinds -> one (flag, kind, value) histogram -> per-key
+    // windows) was domain-bounded on paper, but prices are cent-quantized
+    // AND near-unique (sf0.1: 583k distinct / 600k rows), so the
+    // "domain-bounded" histogram was ~657k rows and its per-(flag, kind)
+    // windows were ~196k-row sorts in THREE single tasks — the exact
+    // single-task-window straggler the engine bans elsewhere (measured
+    // ~60% of the query). The classic distributed-percentile shape
+    // instead:
+    //   1. per-flag scalar stats in ONE narrow scan (counts, min/max,
+    //      exact distinct part/supp keys) — no explode;
+    //   2. per-(flag, kind) ORDER-PRESERVING value buckets (linear
+    //      between the key's broadcast min/max — a pure row function, no
+    //      sampled range boundaries to diverge) counted into a
+    //      <= |keys| x HistBuckets frame whose running sum locates which
+    //      buckets contain the target ranks floor/ceil(pct x (n-1));
+    //   3. a value-level histogram ONLY inside those target buckets
+    //      (bucket-pruned before any shuffle), whose within-bucket
+    //      running count + the bucket's base offset reproduce the global
+    //      cumulative EXACTLY; Spark's Percentile.getPercentile
+    //      interpolation then runs bit-identically on the pick rows.
+    // At 100 TB this trades two extra column-pruned scans for never
+    // shuffling or sorting more than |target buckets| worth of values —
+    // the percentile work is O(detail in ~4 buckets), not O(domain).
+    // Degenerate distributions (all rows one value) collapse to one
+    // bucket = the old per-key window, never worse.
+    val li = Par.fanOut(Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_partkey", "l_suppkey"), key = "l_extendedprice")
+
+    // pass 1: per-flag scalars. count(col) skips nulls, count_distinct
+    // is exact over non-null keys — same populations as the r9 hist rows.
+    val keyStats = li.groupBy("l_returnflag")
+      .agg(count(col("l_extendedprice")).as("n_p"),
+        count(col("l_quantity")).as("n_q"),
+        min(col("l_extendedprice")).as("mn_p"),
+        max(col("l_extendedprice")).as("mx_p"),
+        min(col("l_quantity")).as("mn_q"),
+        max(col("l_quantity")).as("mx_q"),
+        count_distinct(col("l_partkey")).as("n_parts_c"),
+        count_distinct(col("l_suppkey")).as("n_supps_c"))
+
+    // per-(flag, kind) stats frame for the two percentile kinds
+    val kindStats = keyStats.select(col("l_returnflag"), explode(array(
+        struct(lit("p").as("kind"), col("mn_p").as("_mn"),
+          col("mx_p").as("_mx"), col("n_p").as("n")),
+        struct(lit("q").as("kind"), col("mn_q").as("_mn"),
+          col("mx_q").as("_mx"), col("n_q").as("n")))).as("e"))
       .select(col("l_returnflag"), col("e.kind").as("kind"),
-        col("e.vd").as("vd"), col("e.vl").as("vl"))
-      .filter(col("vd").isNotNull && col("vl").isNotNull)
+        col("e._mn").as("_mn"), col("e._mx").as("_mx"), col("e.n").as("n"))
+      .filter(col("n") > 0)
 
-    // the big shuffle: partial/final hash agg, output domain-bounded
-    val hist = exploded.groupBy("l_returnflag", "kind", "vd", "vl")
+    // the (flag, kind, value) stream for p/q only, with its deterministic
+    // order-preserving bucket (monotone in vd, so cross-bucket order is
+    // the value order; equal values share a bucket)
+    val exploded = li.select(col("l_returnflag"), explode(array(
+        struct(lit("p").as("kind"), col("l_extendedprice").as("vd")),
+        struct(lit("q").as("kind"), col("l_quantity").as("vd")))).as("e"))
+      .select(col("l_returnflag"), col("e.kind").as("kind"),
+        col("e.vd").as("vd"))
+      .filter(col("vd").isNotNull)
+    val bucketed = exploded
+      .join(broadcast(kindStats), Seq("l_returnflag", "kind"))
+      .withColumn("_bkt",
+        when(col("_mx") > col("_mn"),
+          least(lit(HistBuckets - 1),
+            floor((col("vd") - col("_mn")) /
+              ((col("_mx") - col("_mn")) / HistBuckets))))
+          .otherwise(lit(0L)))
+      .drop("_mn", "_mx")
+
+    // pass 2: bucket counts (<= |flags| x 2 x HistBuckets rows) + the
+    // bucket-level running sum that locates the target ranks
+    val wB = Window.partitionBy("l_returnflag", "kind").orderBy("_bkt")
+    val bktCum = bucketed.groupBy("l_returnflag", "kind", "_bkt")
+      .agg(count(lit(1)).as("_c"), max(col("n")).as("n"))
+      .withColumn("_bcum", sum("_c").over(wB))
+      .withColumn("_bbase", col("_bcum") - col("_c"))
+    def posOf(pct: Double): Column =
+      lit(pct) * (col("n") - 1).cast("double")
+    def containsRank(r: Column): Column =
+      r >= col("_bbase") && r <= col("_bcum") - 1
+    def targetFor(pct: Double): Column =
+      containsRank(floor(posOf(pct))) || containsRank(ceil(posOf(pct)))
+    val targets = bktCum.filter(
+        (col("kind") === "p" && (targetFor(0.5) || targetFor(0.95))) ||
+        (col("kind") === "q" && targetFor(0.5)))
+      .select(col("l_returnflag"), col("kind"), col("_bkt"),
+        col("_bbase"))
+
+    // pass 3: value-level histogram inside target buckets only; global
+    // cumulative = bucket base + within-bucket running count
+    val detail = bucketed
+      .join(broadcast(targets), Seq("l_returnflag", "kind", "_bkt"))
+      .groupBy(col("l_returnflag"), col("kind"), col("_bkt"),
+        col("_bbase"), col("n"), col("vd"))
       .agg(count(lit(1)).as("cnt"))
-
-    // domain-bounded rows only from here on; (vd, vl) are distinct per
-    // partition so the running-sum RANGE frame equals ROWS
-    val w = Window.partitionBy("l_returnflag", "kind").orderBy("vd", "vl")
-    val wAll = Window.partitionBy("l_returnflag", "kind")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("cum", sum("cnt").over(w))
-      .withColumn("nxt", lead(col("vd"), 1).over(w))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", sum("cnt").over(wAll))
-      .withColumn("nvals", count(lit(1)).over(wAll))
+    val wBkt = Window.partitionBy("l_returnflag", "kind", "_bkt")
+      .orderBy("vd")
+    // lead over the SELECTED rows: consulted only when ceil(pos) crosses
+    // into the next histogram row — which is then in the adjacent
+    // selected bucket by the hi-rank containment filter above
+    val wKind = Window.partitionBy("l_returnflag", "kind")
+      .orderBy("_bkt", "vd")
+    val cum = detail
+      .withColumn("cum", col("_bbase") + sum("cnt").over(wBkt))
+      .withColumn("nxt", lead(col("vd"), 1).over(wKind))
 
     // Spark Percentile.getPercentile, expressed over the histogram: the
     // row whose index range [cum-cnt, cum-1] contains ⌊pos⌋ carries the
     // result; null on every other row
     def pick(pct: Double): Column = {
-      val pos = lit(pct) * (col("n") - 1).cast("double")
+      val pos = posOf(pct)
       val lo = floor(pos)
       val hi = ceil(pos)
       val vLo = col("vd")
@@ -239,18 +311,27 @@ object Relational {
       when(lo >= col("cum") - col("cnt") && lo <= col("cum") - 1, res)
     }
 
-    cum
-      .withColumn("m50", when(col("kind").isin("p", "q"), pick(0.5)))
+    val picks = cum
+      .withColumn("m50", pick(0.5))
       .withColumn("m95", when(col("kind") === "p", pick(0.95)))
-      .filter(col("m50").isNotNull || col("m95").isNotNull ||
-        (col("kind").isin("pk", "sk") && col("rn") === 1))
+      .filter(col("m50").isNotNull || col("m95").isNotNull)
       .groupBy("l_returnflag")
       .agg(
         round(max(when(col("kind") === "p", col("m50"))), 2).as("p50_price"),
         round(max(when(col("kind") === "p", col("m95"))), 2).as("p95_price"),
-        round(max(when(col("kind") === "q", col("m50"))), 2).as("p50_qty"),
-        max(when(col("kind") === "pk", col("nvals"))).as("n_parts"),
-        max(when(col("kind") === "sk", col("nvals"))).as("n_supps"))
+        round(max(when(col("kind") === "q", col("m50"))), 2).as("p50_qty"))
+
+    // flags appear iff they carried >= 1 non-null statistic row (the r9
+    // hist-row condition); zero distinct keys read back as NULL exactly
+    // like the r9 "no pk/sk hist row" case
+    keyStats
+      .filter(col("n_p") > 0 || col("n_q") > 0 ||
+        col("n_parts_c") > 0 || col("n_supps_c") > 0)
+      .join(picks, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
+        col("p50_qty"),
+        when(col("n_parts_c") > 0, col("n_parts_c")).as("n_parts"),
+        when(col("n_supps_c") > 0, col("n_supps_c")).as("n_supps"))
       .orderBy("l_returnflag")
   }
 

@@ -649,18 +649,103 @@ object TextDedup {
     lastLabels = Some(labels)
   }
 
+  /** Edge-count ceiling for the driver-local union-find tier of
+    * [[dedupClusters]] / [[dedupClustersStar]] (r12 optimization round).
+    * The verified near-dup pair set is CHURN-sized, not corpus-sized —
+    * LSH-capped candidates that survive an exact-jaccard verify — so at
+    * bench scale it is a few thousand rows and even the sf10 sweep stays
+    * far under this cap. Below the cap, iterating a distributed
+    * fixpoint (3 key-partitioned exchanges + one action PER ROUND) costs
+    * ~10× the data's worth in scheduling latency; a bounded collect
+    * (16 MB at the cap — well under the 1 GB driver default) + union-find
+    * + one broadcast join back is the honest plan, exactly the tiered
+    * decision the engine already makes for broadcast-sized benchmarks
+    * (StreamGate) and increments. Above the cap the distributed loops
+    * run unchanged — the 100 TB shape is untouched.
+    *
+    * Conf `spark.graft.cc.localMaxEdges` overrides (0 disables — specs
+    * pin the distributed tier's round semantics that way).
+    */
+  val LocalEdgeMax = 1000000L
+
+  private def localEdgeCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.cc.localMaxEdges", LocalEdgeMax.toString).toLong
+
+  /** Driver union-find over a bounded edge array: (node, minRep, size)
+    * rows. Roots merge min-under (attach the larger root below the
+    * smaller), so a tree's root IS its component minimum by invariant;
+    * iterative find with full path compression keeps adversarial chains
+    * amortized near-linear.
+    */
+  private def unionFindLabels(
+      edges: Array[(Long, Long)]): Array[(Long, Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) x = parent(x)
+      var y = x0
+      while (parent(y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val size = new scala.collection.mutable.LongMap[Long]()
+    val keys = parent.keys.toArray
+    keys.foreach { k => val r = find(k); size(r) = size.getOrElse(r, 0L) + 1L }
+    keys.map { k => val r = find(k); (k, r, size(r)) }
+  }
+
+  /** Finalize the local tier: broadcast the (paired-docs-only) label
+    * frame onto the corpus; singletons coalesce to themselves. Same
+    * output contract as [[withClusterCols]]. Precondition (shared with
+    * the distributed tier's cluster_size semantics): pair endpoints are
+    * corpus doc_ids.
+    */
+  private def smallGraphClusters(corpus: DataFrame,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val lbl = unionFindLabels(edges).toSeq
+      .toDF("doc_id", "rep", "sz")
+    corpus.select(col("doc_id"))
+      .join(broadcast(lbl), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === coalesce(col("rep"), col("doc_id")))
+          .as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Iterate ONLY over the paired subgraph: near-dup pairs cover a tiny
     * fraction of a real corpus (worst case ~a few % at 100 TB), and a doc
     * with no edge can never change its label — carrying the corpus-sized
     * label frame through every round (the previous shape) multiplied each
     * round's two joins by |corpus| / |paired docs|. Singletons attach in
     * ONE final left join after convergence.
+    *
+    * Tiered (r12): pair sets at or under [[LocalEdgeMax]] take the
+    * driver union-find (exact — the fixpoint the loop converges to);
+    * `maxRounds` binds only the distributed tier, whose cap can return a
+    * consistent partial labeling.
     */
   def dedupClusters(corpus: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = p.count()
+    if (nPairs <= localEdgeCap(corpus.sparkSession)) {
+      val collected = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist(blocking = false)
+      return smallGraphClusters(corpus, collected)
+    }
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     def sumOf(df: DataFrame): Long = {
       val r = df.agg(sum(col("rep"))).head()
@@ -675,6 +760,8 @@ object TextDedup {
         least(col("src"), col("_m")).as("rep"))
       .persist()
     var labelSum = sumOf(labels)
+    // labels + edges are materialized in cache now; the pair parent can go
+    p.unpersist(blocking = false)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -850,7 +937,18 @@ object TextDedup {
     }
 
     var sig = signature(edges)
-    var converged = edges.isEmpty
+    // tiered like [[dedupClusters]]: a bounded canonical edge set takes
+    // the driver union-find (exact), the star loop stays the
+    // adversarial-diameter scale path. Exact ⇒ report converged, 0 rounds.
+    if (sig._1 <= localEdgeCap(corpus.sparkSession)) {
+      val collected = edges.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(blocking = false)
+      lastStarRounds = 0
+      lastStarConverged = true
+      return smallGraphClusters(corpus, collected)
+    }
+    var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       // LAZY checkpoint: the plan is truncated either way, and the

@@ -23,6 +23,15 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     ps.toDF("doc_a", "doc_b")
   }
 
+  /** Run `f` with the driver-local union-find tier capped at `cap` edges
+    * (0 = force the distributed loop — the tests pinning round semantics
+    * must exercise the loop, not the exact local tier).
+    */
+  private def withLocalCap[T](cap: Long)(f: => T): T = {
+    spark.conf.set("spark.graft.cc.localMaxEdges", cap.toString)
+    try f finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
   test("chain merges into one cluster labeled by its min; " +
       "isolated docs stay singletons") {
     // 1-2, 2-3, 3-4 is a 3-hop chain: node 4 learns label 1 only after
@@ -78,21 +87,50 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
   }
 
   test("maxRounds caps the iteration for adversarially deep chains") {
-    // a 5-hop path with maxRounds = 1: label 10 can only travel one hop,
-    // so the far end is NOT yet labeled 10 — proves the cap binds and the
-    // operator still returns a consistent (partial) labeling
-    val out = TextDedup.dedupClusters(
-      corpusOf(10L, 11L, 12L, 13L, 14L, 15L),
-      pairsOf((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)),
-      maxRounds = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    out.toMap.apply(15L) should be > 10L
-    // and with enough rounds the same graph fully converges
-    val full = TextDedup.dedupClusters(
-      corpusOf(10L, 11L, 12L, 13L, 14L, 15L),
-      pairsOf((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)))
-      .collect().map(r => r.getLong(1)).distinct
-    full shouldBe Array(10L)
+    withLocalCap(0) {
+      // a 5-hop path with maxRounds = 1: label 10 can only travel one hop,
+      // so the far end is NOT yet labeled 10 — proves the cap binds and the
+      // operator still returns a consistent (partial) labeling
+      val out = TextDedup.dedupClusters(
+        corpusOf(10L, 11L, 12L, 13L, 14L, 15L),
+        pairsOf((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)),
+        maxRounds = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      out.toMap.apply(15L) should be > 10L
+      // and with enough rounds the same graph fully converges
+      val full = TextDedup.dedupClusters(
+        corpusOf(10L, 11L, 12L, 13L, 14L, 15L),
+        pairsOf((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L)))
+        .collect().map(r => r.getLong(1)).distinct
+      full shouldBe Array(10L)
+    }
+  }
+
+  test("local union-find tier ≡ distributed loop, both variants") {
+    val rnd = new scala.util.Random(20260819L)
+    val n = 40
+    val edges = (Seq.fill(30)(
+      (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      ++ (1L until 10L).map(i => (i, i + 1))).distinct
+    val nodes = 1L to n.toLong
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val localP = run(TextDedup.dedupClusters(corpusOf(nodes: _*),
+      pairsOf(edges: _*)))
+    val localS = run(TextDedup.dedupClustersStar(corpusOf(nodes: _*),
+      pairsOf(edges: _*)))
+    withLocalCap(0) {
+      val distP = run(TextDedup.dedupClusters(corpusOf(nodes: _*),
+        pairsOf(edges: _*)))
+      val distS = run(TextDedup.dedupClustersStar(corpusOf(nodes: _*),
+        pairsOf(edges: _*)))
+      localP shouldBe distP
+      localS shouldBe distS
+      TextDedup.lastStarConverged shouldBe true
+    }
   }
 
   test("random graphs match a driver-side union-find reference") {
@@ -109,7 +147,7 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
             .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
             .distinct)
         }
-    trials.zipWithIndex.foreach { case ((n, edges), trial) =>
+    trials.zipWithIndex.foreach { case ((n, edges), trial) => withLocalCap(0) {
       val nodes = (1L to n.toLong)
       // reference: plain union-find with min-root bookkeeping
       val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
@@ -127,7 +165,7 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
       withClue(s"trial $trial (n=$n, e=${edges.length}): ") {
         got shouldBe expected
       }
-    }
+    } }
   }
 
   test("star variant: long chain converges in O(log n) rounds, " +
@@ -136,15 +174,18 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     // rounds; large-star/small-star contraction must land well under that
     val n = 32
     val nodes = 1L to n.toLong
-    val out = TextDedup.dedupClustersStar(
-      corpusOf(nodes: _*),
-      pairsOf((1L until n.toLong).map(i => (i, i + 1)): _*))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getBoolean(3)))
-    out shouldBe nodes.map(i => (i, 1L, n.toLong, i == 1L)).toArray
-    TextDedup.lastStarRounds should be < (n - 1)
-    TextDedup.lastStarRounds should be <= 12
-    TextDedup.lastStarConverged shouldBe true
+    withLocalCap(0) {
+      val out = TextDedup.dedupClustersStar(
+        corpusOf(nodes: _*),
+        pairsOf((1L until n.toLong).map(i => (i, i + 1)): _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+      out shouldBe nodes.map(i => (i, 1L, n.toLong, i == 1L)).toArray
+      TextDedup.lastStarRounds should be > 0
+      TextDedup.lastStarRounds should be < (n - 1)
+      TextDedup.lastStarRounds should be <= 12
+      TextDedup.lastStarConverged shouldBe true
+    }
   }
 
   test("star variant: exhausting the round cap is flagged, not silent") {
@@ -152,24 +193,33 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     // must report non-convergence (its labels are under-clustered)
     val n = 32
     val nodes = 1L to n.toLong
-    val out = TextDedup.dedupClustersStar(
-      corpusOf(nodes: _*),
-      pairsOf((1L until n.toLong).map(i => (i, i + 1)): _*),
-      maxRounds = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    TextDedup.lastStarConverged shouldBe false
-    out.values.toSet.size should be > 1 // under-clustered, as warned
+    withLocalCap(0) {
+      val out = TextDedup.dedupClustersStar(
+        corpusOf(nodes: _*),
+        pairsOf((1L until n.toLong).map(i => (i, i + 1)): _*),
+        maxRounds = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      TextDedup.lastStarConverged shouldBe false
+      out.values.toSet.size should be > 1 // under-clustered, as warned
+    }
   }
 
   test("cluster_size is a partial-agg groupBy + join, not a window") {
     // Window.partitionBy(rep) has no map-side combine: one mega-cluster =
-    // one unbounded task at scale. The finalize step must show an
-    // aggregate on rep and ZERO window nodes in the physical plan.
-    val df = TextDedup.dedupClusters(
+    // one unbounded task at scale. The DISTRIBUTED finalize step must
+    // show an aggregate on rep and ZERO window nodes in the physical plan
+    // (the local tier broadcasts precomputed sizes — no window either).
+    withLocalCap(0) {
+      val df = TextDedup.dedupClusters(
+        corpusOf(1L, 2L, 3L), pairsOf((1L, 2L)))
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "Window"
+      plan should include regex "(?i)hashaggregate"
+    }
+    val localPlan = TextDedup.dedupClusters(
       corpusOf(1L, 2L, 3L), pairsOf((1L, 2L)))
-    val plan = df.queryExecution.executedPlan.toString
-    plan should not include "Window"
-    plan should include regex "(?i)hashaggregate"
+      .queryExecution.executedPlan.toString
+    localPlan should not include "Window"
   }
 
   test("star variant: no pairs => singletons; random graphs match " +
@@ -180,7 +230,7 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
     noPairs shouldBe Array((5L, 5L, 1L, true), (6L, 6L, 1L, true))
 
     val rnd = new scala.util.Random(20260813L)
-    (0 until 3).foreach { trial =>
+    (0 until 3).foreach { trial => withLocalCap(0) {
       val n = 8 + rnd.nextInt(18)
       val edges = Seq.fill(rnd.nextInt(n + 1))(
         (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
@@ -203,7 +253,7 @@ class DedupClustersSpec extends AnyFunSuite with Matchers with TestSpark {
       withClue(s"star trial $trial (n=$n, e=${edges.length}): ") {
         got shouldBe expected
       }
-    }
+    } }
   }
 
   test("matches the clusters implied by the jaccard pairs on testdata") {

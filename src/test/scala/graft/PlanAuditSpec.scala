@@ -132,7 +132,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // tiny final agg + output sort; the extra exchange carries only
     // histogram rows and buys removing percentile()'s one-reducer-per-
     // flag value buffer (the registry's former #1 sf1 cost)
-    "q_price_stats" -> 5, "q_pricing_rollup" -> 2,
+    // STATIC count (r12 three-pass percentile rewrite): the scalar-stats,
+    // bucket-count and target-bucket-detail passes each textually repeat
+    // the fanned-out scan subtree (same ReusedExchange situation as
+    // q_ccnet_buckets); the UNIQUE runtime exchanges are fanOut + three
+    // narrow partial/final aggs + two tiny bucket/pick windows + output
+    // sort, and nothing corpus-sized crosses any of them (the r9 shape
+    // shuffled + single-task-sorted a ~657k-row value histogram)
+    "q_price_stats" -> 15, "q_pricing_rollup" -> 2,
     "q_pii_scrub" -> 2, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
     // + corpus left join + output sort
