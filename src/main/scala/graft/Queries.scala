@@ -49,7 +49,8 @@ object Queries {
     // warmup wall time is the max, not the sum
     val builds = Seq[() => Unit](
       () => { docsAnnotated(spark, dir); () },
-      () => { nearSignatures(spark, dir); () },
+      // candPairs depends on the signature memo — same thread, in order
+      () => { nearSignatures(spark, dir); candPairs(spark, dir); () },
       () => {
         memoize(spark, dir, "emb_assigned")(EmbedSim.dupAssigned(spark, dir))
         ()
@@ -160,6 +161,18 @@ object Queries {
       } {
         sigRows(Corpus.nearDupIncrement(spark, dir))
       }
+    }
+
+  /** The LSH candidate-pair set over the standing MinHash band index —
+    * memoized like the signatures themselves (r12): six registry queries
+    * consume the same banded candidate generation (minhash estimate,
+    * jaccard verify, edit verify, both cluster variants via the verified
+    * pairs, the overlap matrix), and a production dedup service derives
+    * the candidate set once per corpus snapshot for all of them.
+    */
+  private def candPairs(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, dir, "candpairs") {
+      TextDedup.candidatePairs(nearSignatures(spark, dir))
     }
 
   def cleanDocs(spark: SparkSession, dir: String): DataFrame =
@@ -297,9 +310,9 @@ object Queries {
       TextDedup.substringDedupIncremental(aGrams, incr)
     }),
     "q_minhash_pairs" -> ((s: SparkSession, d: String) =>
-      TextDedup.minhashPairsOf(nearSignatures(s, d))),
+      TextDedup.minhashPairsOf(nearSignatures(s, d), candPairs(s, d))),
     "q_jaccard_pairs" -> ((s: SparkSession, d: String) =>
-      TextDedup.jaccardPairsOf(nearSignatures(s, d))),
+      TextDedup.jaccardPairsOf(nearSignatures(s, d), candPairs(s, d))),
     // asymmetric containment over the EXCERPT corpus: catches
     // quote/extract duplication (one doc inside another) that symmetric
     // Jaccard dilutes by the length ratio
@@ -309,11 +322,12 @@ object Queries {
     // inside every other (the mixing-decision report)
     "q_source_overlap" -> ((s: SparkSession, d: String) =>
       TextDedup.sourceOverlap(Corpus.withNearDups(s, d),
-        TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
+        TextDedup.jaccardPairsOf(nearSignatures(s, d), candPairs(s, d)))),
     // character-level verification of the same candidates (bounded
     // levenshtein short-circuits the DP at EditMax)
     "q_edit_pairs" -> ((s: SparkSession, d: String) =>
-      TextDedup.editPairsOf(nearSignatures(s, d), Corpus.withNearDups(s, d))),
+      TextDedup.editPairsOf(nearSignatures(s, d), Corpus.withNearDups(s, d),
+        candPairs(s, d))),
     // incremental path: the injected near-copies (doc_id >= 100000) play
     // the NEW batch against the originals' standing band index
     "q_dedup_incremental" -> ((s: SparkSession, d: String) =>
@@ -322,12 +336,12 @@ object Queries {
     // min-label propagation; oracle = recursive CTE)
     "q_dedup_clusters" -> ((s: SparkSession, d: String) =>
       TextDedup.dedupClusters(Corpus.withNearDups(s, d),
-        TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
+        TextDedup.jaccardPairsOf(nearSignatures(s, d), candPairs(s, d)))),
     // same contract via alternating large-star/small-star contraction —
     // the O(log n)-round variant for adversarial component diameters
     "q_dedup_clusters_star" -> ((s: SparkSession, d: String) =>
       TextDedup.dedupClustersStar(Corpus.withNearDups(s, d),
-        TextDedup.jaccardPairsOf(nearSignatures(s, d)))),
+        TextDedup.jaccardPairsOf(nearSignatures(s, d), candPairs(s, d)))),
     "q_simhash" -> ((s: SparkSession, d: String) =>
       TextDedup.simhash(Tables.load(s, d, "documents"))),
     // simhash as an actual dedup join: 4x14-bit band buckets + exact
@@ -441,7 +455,7 @@ object Queries {
       TextDedup.keepBest(
         durableIndex(s, d, "dedup_clusters", "documents", clusterParams) {
           TextDedup.dedupClusters(corpus,
-            TextDedup.jaccardPairsOf(nearSignatures(s, d)))
+            TextDedup.jaccardPairsOf(nearSignatures(s, d), candPairs(s, d)))
         },
         TextAnalysis.docQuality(corpus))
     }),

@@ -137,8 +137,16 @@ object TextDedup {
   /** Candidate pairs with the estimated Jaccard = fraction of equal minhash
     * components; `sigs` is a (cached) signatures() projection.
     */
-  def minhashPairsOf(sigs: DataFrame): DataFrame = {
-    val pairs = candidatePairs(sigs)
+  def minhashPairsOf(sigs: DataFrame): DataFrame =
+    minhashPairsOf(sigs, candidatePairs(sigs))
+
+  /** As above with the candidate set supplied by the caller — the
+    * registry memoizes ONE candidatePairs frame per corpus snapshot and
+    * feeds every pair consumer (minhash estimate, jaccard/edit verify,
+    * clusters, overlap matrix) from it, the same shared-index contract
+    * as the memoized signatures themselves (r12).
+    */
+  def minhashPairsOf(sigs: DataFrame, pairs: DataFrame): DataFrame = {
     val mhOf = sigs.select(col("doc_id"), col("mh"))
     pairs
       .join(mhOf.as("ma"), col("doc_a") === col("ma.doc_id"))
@@ -156,8 +164,11 @@ object TextDedup {
   /** True shingle-set Jaccard for the LSH candidates (the scale path:
     * LSH narrows, exact similarity verifies), kept at j >= 0.5.
     */
-  def jaccardPairsOf(sigs: DataFrame): DataFrame = {
-    val pairs = candidatePairs(sigs)
+  def jaccardPairsOf(sigs: DataFrame): DataFrame =
+    jaccardPairsOf(sigs, candidatePairs(sigs))
+
+  /** See [[minhashPairsOf(sigs:*]] — caller-supplied candidate set. */
+  def jaccardPairsOf(sigs: DataFrame, pairs: DataFrame): DataFrame = {
     val shOf = sigs.select(col("doc_id"), col("shingles"))
     pairs
       .join(shOf.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -174,8 +185,14 @@ object TextDedup {
   val ContainMin = 0.9
 
   def containmentPairs(corpus: DataFrame): DataFrame =
+    // one materialization of the signature pass (r12): the consumer reads
+    // sigs THREE times (band buckets + both verify-join sides), and with
+    // no shared exchange below them the ShingleHashes text pass ran three
+    // times per execution — same single-materialization rationale as the
+    // substring family's gram checkpoint
     containmentPairsOf(
-      signatures(corpus).select("doc_id", "shingles", "mh", "bands"))
+      signatures(corpus).select("doc_id", "shingles", "mh", "bands")
+        .localCheckpoint(true, graft.Tier.level(corpus.sparkSession)))
 
   /** Asymmetric shingle containment |A∩B| / |A| (both directions) for the
     * LSH candidates, kept when either direction >= [[ContainMin]] —
@@ -229,13 +246,19 @@ object TextDedup {
     */
   def sourceOverlap(corpus: DataFrame, pairs: DataFrame): DataFrame = {
     val src = corpus.select(col("doc_id"), col("source"))
-    val sym = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-      .unionAll(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
-    val ann = sym
-      .join(src.select(col("doc_id").as("x"), col("source").as("src_a")),
-        "x")
-      .join(src.select(col("doc_id").as("y"), col("source").as("src_b")),
-        "y")
+    // annotate the UNDIRECTED pairs first, then mirror by projection: the
+    // former swap-then-annotate shape unioned two copies of the whole
+    // pair-verification subtree and joined sources onto both (r12 — the
+    // union of two projections over ONE annotated frame is plan-free)
+    val annotated = pairs.select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+    val ann = annotated
+      .select(col("doc_a").as("x"), col("src_a"), col("src_b"))
+      .unionAll(annotated.select(col("doc_b").as("x"),
+        col("src_b").as("src_a"), col("src_a").as("src_b")))
     val totals = corpus.groupBy(col("source").as("src_a"))
       .agg(count(lit(1)).as("n_docs_a"))
     ann.groupBy("src_a", "src_b")
@@ -372,15 +395,25 @@ object TextDedup {
     * wrong cost model for compute-heavy verify stages; the explicit
     * numPartitions pins the fan-out AQE cannot see.
     */
-  def editPairsOf(sigs: DataFrame, corpus: DataFrame): DataFrame = {
+  def editPairsOf(sigs: DataFrame, corpus: DataFrame): DataFrame =
+    editPairsOf(sigs, corpus, candidatePairs(sigs))
+
+  /** See [[minhashPairsOf(sigs:*]] — caller-supplied candidate set. */
+  def editPairsOf(sigs: DataFrame, corpus: DataFrame,
+      candidates: DataFrame): DataFrame = {
     val fanout =
       sigs.sparkSession.sessionState.conf.numShufflePartitions
     // round-robin, NOT repartition(n, doc_a, doc_b): the distinct already
     // hash-partitions on exactly those keys, so a same-key repartition is
     // elided as redundant — and then AQE coalesces the distinct's own
     // exchange back to one partition
-    val pairs = candidatePairs(sigs).repartition(fanout)
-    val txt = corpus.select(col("doc_id"), col("text"))
+    val pairs = candidates.repartition(fanout)
+    // the text side carries the verify's parallelism too (r12): once the
+    // candidate frame is a cached, known-small relation, AQE broadcasts
+    // it — and then the stream side's partitioning (a near-single-file
+    // scan at test scale) is where the DP executes, re-creating the
+    // single-task verify the pair fan-out was built to prevent
+    val txt = Par.fanOut(corpus.select(col("doc_id"), col("text")))
     // the DP is guarded by the O(1) length test INSIDE one expression
     // (|len(a)-len(b)| > EditMax already implies edit_dist > EditMax):
     // a separate .filter would be merged into the join condition AFTER

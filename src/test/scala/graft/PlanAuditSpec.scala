@@ -76,7 +76,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     "q_dedup_incremental" -> 3,
     "q_dedup_events" -> 2, "q_dedup_exact" -> 2, "q_doc_quality" -> 1,
     "q_doc_split" -> 1, "q_mixed_sample" -> 4,
-    "q_dup_events" -> 2, "q_edit_pairs" -> 3,
+    "q_dup_events" -> 2,
+    // STATIC count (r12): the memoized candidate frame's CACHED plan
+    // (band exchange + pair distinct) prints inside the
+    // InMemoryTableScan subtree and the text side gained its own fanOut
+    // guard; at runtime the candidates are one cache read, the pair
+    // fan-out one exchange, the verify joins broadcast
+    "q_edit_pairs" -> 7,
     "q_embed_dups" -> 5, "q_embed_dups_lsh" -> 3,
     // pair pipeline + loser distinct + verdict left join (the assignment
     // subtree appears via the shared memo's cached plan)
@@ -110,7 +116,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // canon-winner agg + join back + TopK's single domain exchange +
     // the kept left join + output sort
     "q_url_dedup" -> 6,
-    "q_issue_histogram" -> 4, "q_jaccard_pairs" -> 3,
+    "q_issue_histogram" -> 4,
+    // STATIC counts (r12): the memoized candidate frame's cached plan
+    // prints its band exchange + pair distinct inside the
+    // InMemoryTableScan subtree; at runtime the candidates are one
+    // cache read and the verify joins broadcast
+    "q_jaccard_pairs" -> 7,
     // inline signature build: one pinned band exchange feeding the
     // bucket agg + verify join backs (broadcast at audit scale) + sort
     "q_containment_pairs" -> 6,
@@ -123,10 +134,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // + the coarse assignment argmax, probe window, and candidate join
     // on top of the PQ tail
     "q_knn_ivfpq" -> 12, // +3: packedCodes groupBy, denseLut grid distinct+agg (512-row frames)
-    // jaccard-pairs chain (incl. its sort) + two doc_id source joins +
-    // the distinct-x two-phase agg + tiny totals + output sort
-    "q_source_overlap" -> 10,
-    "q_minhash_pairs" -> 3,
+    // jaccard-pairs chain (incl. its sort, and since r12 the memoized
+    // candidate frame's cached plan inside the InMemoryTableScan
+    // subtree) + two doc_id source joins + the distinct-x two-phase agg
+    // + tiny totals + output sort
+    "q_source_overlap" -> 12,
+    "q_minhash_pairs" -> 7, // see q_jaccard_pairs (r12 memoized candidates)
     // r9: +1 over the percentile() form — fanOut + the full-parallel
     // (flag, kind, value) histogram agg + the domain-bounded window +
     // tiny final agg + output sort; the extra exchange carries only
