@@ -52,7 +52,10 @@ object Relational {
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
     val charge = disc * (lit(1) + col("l_tax"))
-    Tables.load(spark, dir, "lineitem")
+    // fanOut (r12): 7 exact decimal(38,0) partial sums per row are
+    // per-row-heavy work, and the single-file test layout serialized the
+    // whole partial aggregation through one scan task
+    Par.fanOut(Tables.load(spark, dir, "lineitem"), key = "l_orderkey")
       .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -126,7 +129,9 @@ object Relational {
     * are made oracle-comparable via grouping_id.
     */
   def pricingRollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
+    // fanOut (r12): same rationale as q1Pricing — rollup Expands 3× the
+    // row stream into decimal partial sums, all previously on one task
+    Par.fanOut(Tables.load(spark, dir, "lineitem"), key = "l_orderkey")
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         grouping_id().cast("int").as("gid"),

@@ -376,11 +376,24 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes(lower(col("text")),
           NoveltyK, distinct = true)).as("_g"))
-    val df = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
-    val scored = grams.join(df, "_g")
+    // r12: no join back to the gram stream. Per-doc grams are DISTINCT,
+    // so a gram with corpus df == 1 has exactly ONE owner doc and
+    // shared_grams = n_grams − |{df==1 grams of the doc}| — the df
+    // aggregate carries the owner (min(doc_id) — unique when _df = 1)
+    // and the former stream-sized _g-keyed join back (a second full
+    // exchange of every gram occurrence) collapses to a tiny
+    // unique-per-doc count (guide §2.3: aggregate before you shuffle).
+    val perDoc = grams.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val uniq = grams.groupBy("_g")
+      .agg(count(lit(1)).as("_df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("_df") === 1)
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_grams"),
-        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+      .agg(count(lit(1)).cast("long").as("_uniq"))
+    val scored = perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("_uniq"), lit(0L)))
+          .as("shared_grams"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -410,8 +423,15 @@ object TextAnalysis {
   def keyterms(docs: DataFrame, k: Int = KeytermsK): DataFrame = {
     val toks = Par.fanOut(docs).select(col("doc_id"),
       explode(words(col("text"))).as("word"))
+    // one materialization of the tf table (r12): df derives FROM tf, but
+    // tf's aggregation needs no exchange (the fan-out already clusters by
+    // doc_id), so there is no shuffle for the df branch to reuse and the
+    // whole tokenize+tf pass ran TWICE (main stream + the broadcast df
+    // build). tf is (doc, word)-distinct — corpus-compressed — so the
+    // checkpoint is far cheaper than the repeated pass it removes.
     val tf = toks.groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true, graft.Tier.level(docs.sparkSession))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_n"))
     val scored = tf.join(dfreq, "word")

@@ -1257,11 +1257,24 @@ object TextDedup {
           i => concat_ws(" ", slice(col("_words"), i * k + 1, lit(k)))))
           .as(Seq("chunk_pos", "chunk")))
       .withColumn("_ord", firstOcc(col("chunk_pos")))
-    val keeper = chunks.groupBy(col("chunk"))
-      .agg(min(col("_ord")).as("_keeper"))
+      // chunks travel as 64-bit hashes through the keeper agg and its
+      // join (r12): the group/join key was the chunk TEXT itself —
+      // arbitrary-width strings through the exchange where 8 bytes
+      // decide (the ShingleHashes/h56 precedent; internal-only, the
+      // output still carries text)
+      .withColumn("_ch", xxhash64(col("chunk")))
+    // only DUPLICATED chunks need a keeper row (a unique chunk's sole
+    // occurrence IS its first occurrence): filtering the join's build
+    // side to them keeps it churn-sized — AQE broadcasts it and the
+    // chunk stream never shuffles for the join (r12, the same
+    // restructure substringDedup got in r8)
+    val dupKeeper = chunks.groupBy(col("_ch"))
+      .agg(min(col("_ord")).as("_keeper"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("_ch"), col("_keeper"))
     val kept = chunks
-      .join(keeper, "chunk")
-      .filter(col("_ord") === col("_keeper"))
+      .join(dupKeeper, Seq("_ch"), "left")
+      .filter(col("_keeper").isNull || col("_ord") === col("_keeper"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(
         concat_ws(" ", transform(

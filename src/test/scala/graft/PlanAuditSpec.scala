@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
 
   /** Max shuffle-Exchange count per query (measured + headroom 0). */
   private val shuffleBudget = Map(
-    "q1_pricing" -> 2, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
+    // q1/rollup +1 (r12): fanOut guard for the decimal partial agg
+    "q1_pricing" -> 3, "q3_shipping" -> 1, "q_asof_purchase" -> 3,
     "q_business_stats" -> 4, "q_clean_docs" -> 3,
     "q_click_and_purchase" -> 2, "q_click_no_purchase" -> 2,
     "q_chunk_dedup" -> 6,
@@ -152,7 +153,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with TestSpark {
     // narrow partial/final aggs + two tiny bucket/pick windows + output
     // sort, and nothing corpus-sized crosses any of them (the r9 shape
     // shuffled + single-task-sorted a ~657k-row value histogram)
-    "q_price_stats" -> 15, "q_pricing_rollup" -> 2,
+    "q_price_stats" -> 15, "q_pricing_rollup" -> 3, // +1 r12 fanOut
     "q_pii_scrub" -> 2, "q_quality_classifier" -> 1,
     // gram explode -> bucket-table agg (broadcast subtree) + per-doc agg
     // + corpus left join + output sort
